@@ -1,0 +1,58 @@
+"""Table registry over the driver-generated parquet test tables.
+
+TESTDATA.md: TPC-H-ish star schema + ``events`` stream table +
+``documents``/``embeddings`` at ``/root/testdata/sf{0.001,0.01,0.1}``.
+Scans go through :func:`table` so every query benefits from parquet
+column pruning + filter pushdown, and so a future move to a real
+catalog (Delta / HMS / Unity) is one function swap.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# The driver's parquet carries TIMESTAMP(NANOS), which Spark's reader
+# rejects; session.tune() flips spark.sql.legacy.parquet.nanosAsLong so the
+# scan succeeds, and the catalog restores a proper TimestampType here
+# (integer div — nanos exceed double precision).
+_TS_COLUMNS = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one test table (predicate pushdown comes free)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    dtypes = dict(df.dtypes)
+    for c in _TS_COLUMNS.get(name, ()):
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for spark.sql queries."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

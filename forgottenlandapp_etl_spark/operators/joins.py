@@ -1,0 +1,170 @@
+"""Join operators (SURVEY.md §2.4).
+
+Every reference join is an O(n·m) nested-loop probe on ``name``
+(etl.dart:234, :245-246, :370-372, :410-413, :552-554). Here each one is a
+declarative equi-join: Catalyst picks broadcast-hash for dimension-sized
+sides and sort-merge (AQE skew-split) for big-big, so the same code runs at
+snapshot scale and at 100 TB.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import points_from_position
+
+
+def first_match_dedupe(df: DataFrame, key: str, order_col: str) -> DataFrame:
+    """Reduce the build side to the FIRST row per key.
+
+    The reference's probe is ``firstWhere`` (etl.dart:234): on duplicate
+    names only the first list entry (lowest rank / input order) matches.
+    Relational joins multiply on duplicates, so the build side is deduped
+    with a per-key row_number — a map-side-combinable window, one shuffle.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(order_col).asc_nulls_last())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def snapshot_diff(
+    today: DataFrame,
+    yesterday: DataFrame,
+    key: str = "name",
+    value: str = "value",
+    gain_name: str = "gain",
+    dedupe_order: str | None = None,
+) -> DataFrame:
+    """J1 — snapshot-diff join (etl.dart:229-241), the flagship operator.
+
+    today ⋈ yesterday on ``key`` (inner: the existence clause of the
+    validity predicate F5, etl.dart:243-247), gain = vₜ − vᵧ (C3, :235),
+    keep positive gains (F4, :236). Null values on either side are dropped
+    (F5's ``is int`` guards) — expressed as not-null filters so they push
+    down into both scans.
+    """
+    t = today.where(F.col(value).isNotNull())
+    y = yesterday.where(F.col(value).isNotNull())
+    if dedupe_order is not None:
+        y = first_match_dedupe(y, key, dedupe_order)
+    y = y.select(F.col(key), F.col(value).alias("__y_value"))
+    out = (
+        t.join(y, on=key, how="inner")
+        .withColumn(gain_name, F.col(value) - F.col("__y_value"))
+        .where(F.col(gain_name) > 0)
+        .drop("__y_value")
+    )
+    return out
+
+
+def enrich_points(
+    base: DataFrame,
+    rankings: DataFrame,
+    key: str = "name",
+    category_col: str = "category",
+    rank_col: str = "rank",
+    total_name: str = "total_points",
+) -> DataFrame:
+    """J2 — multi-category enrichment (etl.dart:550-570, driven 7× :447-466).
+
+    Long-format form: instead of 7 chained left joins (7 shuffles), the
+    per-category rankings arrive unioned long (``category, key, rank``); one
+    groupBy converts rank→points (C2) and sums per key, then a single left
+    join attaches the total to the base ranking. Two shuffles total,
+    independent of category count — the shape that survives 100× scale.
+    """
+    pts = (
+        rankings.withColumn("__points", points_from_position(F.col(rank_col)))
+        .groupBy(key)
+        .agg(F.sum("__points").alias(total_name))
+    )
+    return base.join(pts, on=key, how="left").withColumn(
+        total_name, F.coalesce(F.col(total_name), F.lit(0))
+    )
+
+
+def accumulating_merge(
+    acc: DataFrame,
+    batch: DataFrame,
+    key: str = "name",
+    time_col: str = "time",
+    increment: int = 5,
+    carry_cols: tuple[str, ...] = ("level",),
+) -> DataFrame:
+    """J3 — accumulating merge (etl.dart:360-382).
+
+    Full-outer merge of the running accumulator with the current poll:
+    matched → time += increment and carry columns take the batch's value;
+    accumulator-only → unchanged; batch-only → appended with initial
+    increment. One full-outer hash join replaces the reference's triple
+    ``firstWhere`` probe per row (etl.dart:370-372).
+    """
+    b = batch.select(
+        F.col(key), *[F.col(c).alias(f"__b_{c}") for c in carry_cols]
+    ).withColumn("__present", F.lit(1))
+    out = acc.join(b, on=key, how="full_outer")
+    out = out.withColumn(
+        time_col,
+        F.coalesce(F.col(time_col), F.lit(0))
+        + F.when(F.col("__present").isNotNull(), F.lit(increment)).otherwise(F.lit(0)),
+    )
+    for c in carry_cols:
+        out = out.withColumn(c, F.coalesce(F.col(f"__b_{c}"), F.col(c)))
+    return out.drop("__present", *[f"__b_{c}" for c in carry_cols])
+
+
+def period_rollup(
+    daily: DataFrame,
+    key: str = "name",
+    time_col: str = "time",
+    date_col: str = "date",
+    last_wins: tuple[str, ...] = ("level", "world"),
+    start: Column | None = None,
+    end: Column | None = None,
+) -> DataFrame:
+    """J4 — period rollup (etl.dart:397-424) as ONE scan + aggregate.
+
+    The reference folds up to 365 sequential per-day reads into an in-memory
+    accumulator; here a single partition-pruned scan with a BETWEEN filter
+    feeds ``groupBy(key).agg(sum(time), max_by(…, date))`` — last-date-wins
+    for the carry columns (etl.dart:412-413). Partial aggregation
+    (map-side combine) makes this one shuffle of pre-aggregated state.
+    """
+    df = daily
+    if start is not None:
+        df = df.where(F.col(date_col) >= start)
+    if end is not None:
+        df = df.where(F.col(date_col) <= end)
+    aggs = [F.sum(time_col).alias(time_col)]
+    aggs += [F.max_by(c, date_col).alias(c) for c in last_wins]
+    return df.groupBy(key).agg(*aggs)
+
+
+def exists_probe(df: DataFrame, predicates: dict[str, object]) -> bool:
+    """S6/J5 — existence probe (etl.dart:286-289).
+
+    Conjunctive equality predicate + LIMIT 1 short-circuit; with partitioned
+    tables the equality on the partition key makes this a metadata-only
+    partition prune. Driver-side control flow (idempotency guards), hence
+    the scalar return.
+    """
+    cond = reduce(
+        lambda a, b: a & b, (F.col(k) == F.lit(v) for k, v in predicates.items())
+    )
+    return df.where(cond).limit(1).count() > 0
+
+
+def semi_probe(left: DataFrame, right: DataFrame, on: list[str] | str) -> DataFrame:
+    """J5 batched — left-semi join (the set form of the existence probe)."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_probe(left: DataFrame, right: DataFrame, on: list[str] | str) -> DataFrame:
+    """Anti-join — the set form of the retention ``neq`` delete (K4)."""
+    return left.join(right, on=on, how="left_anti")

@@ -1,0 +1,61 @@
+"""Sorts, ranks, top-K (SURVEY.md §2.6).
+
+The reference assigns rank by list position after an O(n²) ``indexOf``
+(etl.dart:253, :347, :623). Here rank is ``row_number`` over a window —
+**row_number, not rank**: ties get distinct sequential positions, matching
+list-position semantics. Every window spec carries a deterministic
+tiebreaker so results are stable across runs/engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def add_rank(
+    df: DataFrame,
+    order_by: list[Column],
+    rank_name: str = "rank",
+    partition_by: list[Column] | None = None,
+) -> DataFrame:
+    """W4 — rank assignment (etl.dart:249-255, :344-349, :620-624).
+
+    A global window (no partition) is a single-reducer sort — fine for
+    ranking-table sizes (≤ O(100k) rows). For 100 TB-scale ranking, pass
+    ``partition_by`` (e.g. per world / per day) so the sort distributes.
+    """
+    w = Window.partitionBy(*(partition_by or [])).orderBy(*order_by)
+    return df.withColumn(rank_name, F.row_number().over(w))
+
+
+def add_missing_rank(
+    df: DataFrame, order_by: list[Column], rank_name: str = "rank"
+) -> DataFrame:
+    """W4 guarded variant — assign rank only where missing (etl.dart:250)."""
+    w = Window.orderBy(*order_by)
+    return df.withColumn(
+        rank_name,
+        F.coalesce(F.col(rank_name), F.row_number().over(w)),
+    )
+
+
+def top_k(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:
+    """W6/S4 — top-K (etl.dart page caps :501, :544; cutoff :83).
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject: each partition
+    keeps its local top-k heap, the driver merges — no full sort, no full
+    shuffle. This is the scale-correct replacement for the reference's
+    "scan 20 pages of a server-sorted stream".
+    """
+    return df.orderBy(*order_by).limit(k)
+
+
+def multikey_sort(df: DataFrame, *cols: Column) -> DataFrame:
+    """W1–W3 — global sort (etl.dart:88, :330, :339-342).
+
+    Range-partitioned sort (sampled boundaries) — distributes at any scale.
+    Note the engine treats output order as presentation-only; operators
+    never depend on physical row order.
+    """
+    return df.orderBy(*cols)
