@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract, BASELINE.md rebuild targets).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized through the noop sink (full execution, no write
+cost, no driver collect) — the number measures the engine, not the pipe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from forgottenlandapp_etl_spark.plans import QUERIES
+from forgottenlandapp_etl_spark.session import build_session
+
+HEADLINE = [
+    "j1_snapshot_diff",
+    "j2_enrichment_join",
+    "j3_accumulating_merge",
+    "j4_period_rollup",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "w1_rank_desc",
+    "s4_topk_scan",
+    "a2_horizontal_sum",
+    "e3_daily_online_time",
+    "e3_period_online_time",
+    # extensions (auto-skipped until implemented)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "text_stats",
+    "sim_bruteforce_topk",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    spark = build_session(app_name="forgottenlandapp-etl-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    # JVM/codegen warmup on the smallest query
+    materialize(QUERIES[names[0]](spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        materialize(QUERIES[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
