@@ -1,0 +1,193 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §7.6).
+
+Four tiers, each a different cost/recall point at 100 TB:
+
+- exact            hash-groupBy on a normalized fingerprint (one shuffle)
+- n-gram Jaccard   exact set-similarity via shingle self-join (the oracle
+                   for the approximate tiers; quadratic in bucket size)
+- MinHash + LSH    shingle→minhash signature→banded bucket join: candidate
+                   generation is linear in corpus size, verification only
+                   within buckets — the scale path
+- SimHash          64→32-bit projection; equal-signature buckets catch
+                   near-identical docs at one shuffle
+
+Everything is engine-native column math: token hashes derive from md5 (a
+cross-engine-stable hash), folded to 60 bits, then universal-hashed mod a
+31-bit prime so products stay inside BIGINT. No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 31-bit prime universal-hash domain: a*h+b stays < 2^62 (no BIGINT overflow
+# in either engine).
+MERSENNE_31 = 2_147_483_647
+
+_rng = random.Random(42)
+# (a, b) pairs for k=16 minhash permutations — module constants so the Spark
+# plan and the generated DuckDB oracle share one source of truth.
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (_rng.randrange(1, MERSENNE_31), _rng.randrange(0, MERSENNE_31)) for _ in range(16)
+]
+LSH_BANDS = 4  # 16 hashes = 4 bands × 4 rows
+SIMHASH_BITS = 32
+
+
+def token_hash(tok: Column) -> Column:
+    """Cross-engine-stable 60-bit token hash folded to the 31-bit domain.
+
+    md5 hex → first 15 nibbles → BIGINT → mod p. Identical in Spark
+    (conv(...,16,10)) and DuckDB (CAST('0x'||… AS BIGINT)).
+    """
+    h60 = F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+    return h60 % F.lit(MERSENNE_31)
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) — distinct word n-grams per document.
+
+    A narrow map + explode: no shuffle. Documents shorter than n tokens
+    produce no shingles (mirrors SQL generate_series emptiness).
+    """
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+    )
+    return (
+        df.where(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, key: Column) -> DataFrame:
+    """Exact dedup: group by fingerprint, keep the lowest id, count copies.
+
+    One hash shuffle on the fingerprint; at 100 TB this is the cheapest tier
+    and runs first to shrink the corpus for the approximate tiers.
+    """
+    return df.select(key.alias("fp"), F.col(id_col)).groupBy("fp").agg(
+        F.min(id_col).alias("keeper"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs from a shingle relation.
+
+    Self-equi-join on shingle (skew-prone: AQE skew-join handles hot
+    shingles; at extreme scale drop top-frequency shingles first), then
+    |A∩B| / (|A|+|B|−|A∩B|). All-integer math until the final division, so
+    the score is bit-stable cross-engine.
+    """
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "common", "na", "nb", "jaccard")
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """k=16 minhash values per document from the shingle relation.
+
+    h_i(x) = (a_i·H(x) + b_i) mod p over the document's shingle set; MIN is
+    map-side-combinable, so the signature costs one partial-agg shuffle.
+    """
+    h = token_hash(F.col("shingle")).alias("h")
+    base = sh.select(F.col(id_col), h)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return base.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Banded LSH: equal signature in ANY band → candidate pair.
+
+    Each band is an equi-join on its 4 minhash columns (hash shuffle on the
+    band signature — linear, no all-pairs comparison); bands union-distinct.
+    """
+    k = len(MINHASH_COEFFS)
+    rows = k // LSH_BANDS
+    per_band = []
+    for band in range(LSH_BANDS):
+        cols = [f"mh{i}" for i in range(band * rows, (band + 1) * rows)]
+        a = sig.alias("a")
+        b = sig.alias("b")
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        for c in cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        per_band.append(
+            a.join(b, cond).select(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+        )
+    out = per_band[0]
+    for p in per_band[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def minhash_lsh_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", threshold: float = 0.8
+) -> DataFrame:
+    """Full MinHash-LSH near-dedup: shingle → signature → banded candidates
+    → exact-Jaccard verification of candidates only."""
+    sh = shingles(df, id_col, text_col, n=3)
+    cand = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col)
+    verified = jaccard_pairs(sh, id_col, threshold)
+    return verified.join(cand, on=["id_a", "id_b"], how="inner").select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash signature per document over distinct tokens.
+
+    bit_j(sig) = sign of Σ_tokens (2·bit_j(H(tok)) − 1): one groupBy with
+    ``bits`` SUM aggregates (map-side combinable), then the signature is
+    recomposed bit by bit. Equal signatures → near-identical docs.
+    """
+    tok = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .distinct()
+        .withColumn("h", token_hash(F.col("tok")))
+    )
+    weights = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"w{j}")
+        for j in range(bits)
+    ]
+    w = tok.groupBy(id_col).agg(*weights)
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig + F.when(F.col(f"w{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return w.select(F.col(id_col), sig.alias("simhash"))

@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (SURVEY.md §7.6).
+
+Embeddings are ``array<float>`` columns; all math is JVM-side higher-order
+functions over doubles (bit-stable cross-engine — verified against DuckDB's
+list_dot_product). Two tiers:
+
+- brute-force top-k: exact, quadratic — the correctness baseline and fine
+  when the query set is small (broadcast) even if the corpus is huge;
+- IVF-bucketed top-k: coarse quantization to centroid buckets, search only
+  within the probe bucket — candidate generation linear in corpus size,
+  the 100 TB path (buckets also partition-prune if written bucketed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    """float[] → double[] (exact widening) so accumulation is in double."""
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order double dot product (matches DuckDB list_dot_product
+    bit-for-bit)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set against the corpus, rank
+    per query. Per-query row_number keeps the sort distributed (one
+    partition per query id)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )
+
+
+def assign_buckets(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """IVF coarse quantization: each vector → argmax-cosine centroid.
+
+    Centroids are broadcast (they're tiny by construction); assignment is a
+    narrow map over the corpus — at 100 TB this is one scan, and writing the
+    result bucketed by ``bucket`` makes every later probe a pruned read.
+    """
+    cent = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv")
+    )
+    scored = corpus.crossJoin(F.broadcast(cent)).withColumn(
+        "cs", cosine(F.col(vec_col), F.col("centv"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cs"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("centroid_id").alias("bucket"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """IVF top-k: rank candidates only within the query's probe bucket.
+
+    Recall < exact by construction (single-probe); the candidate join is an
+    equi-join on bucket instead of a cross join — the piece that scales.
+    """
+    cb = assign_buckets(corpus, centroids, id_col, vec_col)
+    qb = assign_buckets(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    cand = cb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
+    )
+    scored = (
+        cand.join(F.broadcast(qb), on="bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "bucket", "neighbor_id", "cos", "rnk")
+    )
+
+
+def near_dup_pairs(
+    corpus: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "v"
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
+
+    Brute-force form; at scale, run through assign_buckets first and only
+    compare within buckets (same shape as jaccard_pairs' shingle buckets).
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

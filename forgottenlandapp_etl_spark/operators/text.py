@@ -1,0 +1,101 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md §7.6).
+
+All pure Column expressions (whole-stage codegen; no Python in the hot
+path): token statistics, quality scoring, language-ID heuristic, document
+fingerprinting. Designed to run over trillions of documents: every function
+is a narrow map — no shuffle until the caller aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny language-marker table for the n-gram/stopword heuristic. The engine
+# ships a real lang-id as a pluggable Pandas-UDF stage; this heuristic is the
+# built-in, shuffle-free default.
+STOPWORDS_EN = ("the", "a", "of", "and", "to")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (single-space convention of the corpus)."""
+    return F.split(text, " ")
+
+
+def n_tokens(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def n_distinct_tokens(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def char_len(text: Column) -> Column:
+    return F.length(text)
+
+
+def non_space_len(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, " ", ""))
+
+
+def avg_token_len(text: Column) -> Column:
+    """Mean token length — int/int division, deterministic cross-engine."""
+    return non_space_len(text).cast("double") / n_tokens(text)
+
+
+def distinct_ratio(text: Column) -> Column:
+    """Lexical diversity: distinct/total tokens. Low → boilerplate/spam."""
+    return n_distinct_tokens(text).cast("double") / n_tokens(text)
+
+
+def _token_occurrences(toks: Column, word: str) -> Column:
+    # NB: the lambda must take exactly one parameter — Spark interprets a
+    # second higher-order-function parameter as the element index.
+    return F.size(F.filter(toks, lambda t: t == F.lit(word)))
+
+
+def stopword_count(text: Column, words: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    """Exact-token stopword occurrences via array filtering."""
+    toks = tokens(text)
+    out = F.lit(0)
+    for w in words:
+        out = out + _token_occurrences(toks, w)
+    return out.cast("long")
+
+
+def stopword_ratio(text: Column, words: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    return stopword_count(text, words).cast("double") / n_tokens(text)
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token counting: runs of letters, runs of digits, or single
+    non-alphanumeric glyphs — a cheap upper-bound proxy for tokenizer cost."""
+    return F.size(F.regexp_extract_all(text, F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), 0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]-ish: rewards moderate length,
+    lexical diversity and stopword presence (fluency proxy). Deterministic
+    rational arithmetic only."""
+    length_term = F.least(n_tokens(text).cast("double") / F.lit(64.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * length_term
+        + F.lit(0.3) * distinct_ratio(text)
+        + F.lit(0.3) * F.least(stopword_ratio(text) * F.lit(8.0), F.lit(1.0))
+    )
+
+
+def lang_guess(text: Column) -> Column:
+    """Stopword-density language-ID heuristic (built-in default)."""
+    return F.when(stopword_ratio(text) >= 0.05, F.lit("en")).otherwise(F.lit("other"))
+
+
+def normalize(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    return F.trim(F.regexp_replace(F.lower(text), "  +", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint = md5 of the normalized text: the exact-dedup
+    key and the anchor for incremental corpus diffing."""
+    return F.md5(normalize(text))

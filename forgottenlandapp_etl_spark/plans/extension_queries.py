@@ -1,8 +1,413 @@
-"""LLM-data-pipeline extension operators (SURVEY.md §7.6) — filled in
-incrementally: dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash),
-similarity search over embeddings, text analysis."""
+"""LLM-data-pipeline extension operators (SURVEY.md §7.6) with DuckDB
+oracles: dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), embedding
+similarity search (brute-force + IVF), text analysis.
+
+The MinHash and SimHash oracles are GENERATED from the same constants the
+Spark plans use (operators.dedup.MINHASH_COEFFS etc.) — one source of truth,
+so the approximate algorithms are verified exactly, not just "roughly".
+"""
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..operators import dedup, similarity, text
+from ..operators.dedup import LSH_BANDS, MERSENNE_31, MINHASH_COEFFS, SIMHASH_BITS
+from ..session import tune
+
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
+
+
+def ext_query(name: str, oracle: str | None = None):
+    """Register a (spark, sf_dir) -> DataFrame callable and its oracle."""
+
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = name
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def _docs(spark, sf_dir):
+    return catalog.table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    e = catalog.table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", similarity.as_double(F.col("embedding")).alias("v"))
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB)
+# ---------------------------------------------------------------------------
+
+_SQL_SHINGLES = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+)
+"""
+
+_SQL_TOKEN_HASH = (
+    f"CAST('0x' || SUBSTR(md5({{col}}), 1, 15) AS BIGINT) % {MERSENNE_31}"
+)
+
+_SQL_JACCARD_PAIRS = f"""
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT id_a, id_b, common, sa.n AS na, sb.n AS nb,
+         CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+  FROM common
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+)
+"""
+
+
+def _minhash_sig_sql() -> str:
+    h = _SQL_TOKEN_HASH.format(col="shingle")
+    mins = ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {MERSENNE_31}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    return f"""
+hashed AS (SELECT doc_id, {h} AS h FROM sh),
+sig AS (
+  SELECT doc_id, {mins}
+  FROM hashed GROUP BY doc_id
+)
+"""
+
+
+def _lsh_candidates_sql() -> str:
+    k = len(MINHASH_COEFFS)
+    rows = k // LSH_BANDS
+    bands = []
+    for band in range(LSH_BANDS):
+        conds = " AND ".join(
+            f"a.mh{i} = b.mh{i}" for i in range(band * rows, (band + 1) * rows)
+        )
+        bands.append(
+            f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a "
+            f"JOIN sig b ON a.doc_id < b.doc_id AND {conds}"
+        )
+    return "cand AS (\n  " + "\n  UNION\n  ".join(bands) + "\n)"
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+_FP_SQL = "md5(trim(regexp_replace(lower(text), '  +', ' ', 'g')))"
+
+
+@ext_query(
+    "dedup_exact",
+    f"""
+    SELECT {_FP_SQL} AS fp, CAST(MIN(doc_id) AS BIGINT) AS keeper,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: normalized-text fingerprint groupBy — the cheapest tier,
+    run first at scale to shrink the corpus for the approximate tiers."""
+    d = _docs(spark, sf_dir)
+    return dedup.exact_dedup(d, "doc_id", text.fingerprint(F.col("text")))
+
+
+@ext_query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SQL_SHINGLES.strip().rstrip()}, {_SQL_JACCARD_PAIRS.strip()}
+    SELECT id_a, id_b, CAST(common AS BIGINT) AS common,
+           CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb, jaccard
+    FROM jp WHERE jaccard >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs via shingle self-join (the
+    ground-truth tier; quadratic only within shingle buckets)."""
+    d = _docs(spark, sf_dir)
+    sh = dedup.shingles(d, "doc_id", "text", n=3)
+    return dedup.jaccard_pairs(sh, "doc_id", threshold=0.8).select(
+        "id_a",
+        "id_b",
+        F.col("common").cast("long").alias("common"),
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        "jaccard",
+    )
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_SQL_SHINGLES.strip()}, {_minhash_sig_sql().strip()},
+    {_lsh_candidates_sql()}, {_SQL_JACCARD_PAIRS.strip()}
+    SELECT jp.id_a, jp.id_b, jp.jaccard
+    FROM jp JOIN cand ON jp.id_a = cand.id_a AND jp.id_b = cand.id_b
+    WHERE jp.jaccard >= 0.8
+    """
+
+
+@ext_query("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16) + LSH(4 bands × 4 rows) near-dedup: linear candidate
+    generation via banded signature joins, exact-Jaccard verification only
+    within candidates — the 100 TB scale path."""
+    d = _docs(spark, sf_dir)
+    return dedup.minhash_lsh_dedup(d, "doc_id", "text", threshold=0.8)
+
+
+def _simhash_oracle() -> str:
+    h = _SQL_TOKEN_HASH.format(col="tok")
+    weights = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS w{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN w{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok0 AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tok AS (SELECT DISTINCT doc_id, tok FROM tok0),
+    hashed AS (SELECT doc_id, {h} AS h FROM tok),
+    w AS (SELECT doc_id, {weights} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM w
+    """
+
+
+@ext_query("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark, sf_dir):
+    """SimHash(32) signatures: one groupBy with 32 map-side-combinable SUM
+    aggregates; equal signatures bucket near-identical documents."""
+    d = _docs(spark, sf_dir)
+    return dedup.simhash(d, "doc_id", "text", bits=SIMHASH_BITS)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@ext_query(
+    "text_stats",
+    """
+    SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
+      CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+      CAST(length(replace(text, ' ', '')) AS INT) AS n_nonspace,
+      CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        / len(string_split(text, ' ')) AS avg_tok_len,
+      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' ')) AS distinct_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Per-document token statistics — narrow map, no shuffle."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        text.n_tokens(t).alias("n_toks"),
+        text.n_distinct_tokens(t).alias("n_distinct"),
+        text.non_space_len(t).alias("n_nonspace"),
+        text.avg_token_len(t).alias("avg_tok_len"),
+        text.distinct_ratio(t).alias("distinct_ratio"),
+    )
+
+
+_QUALITY_SQL = """
+    SELECT doc_id,
+      CAST(0.4 AS DOUBLE) * LEAST(CAST(len(string_split(text,' ')) AS DOUBLE) / 64, CAST(1 AS DOUBLE))
+      + CAST(0.3 AS DOUBLE) * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                               / len(string_split(text,' ')))
+      + CAST(0.3 AS DOUBLE) * LEAST(
+          (CAST(len(list_filter(string_split(text,' '), x -> x = 'the'))
+               + len(list_filter(string_split(text,' '), x -> x = 'a'))
+               + len(list_filter(string_split(text,' '), x -> x = 'of'))
+               + len(list_filter(string_split(text,' '), x -> x = 'and'))
+               + len(list_filter(string_split(text,' '), x -> x = 'to')) AS DOUBLE)
+           / len(string_split(text,' '))) * 8, CAST(1 AS DOUBLE))
+      AS quality
+    FROM documents
+"""
+
+
+@ext_query("text_quality", _QUALITY_SQL)
+def text_quality(spark, sf_dir):
+    """Composite quality score: length, lexical diversity, stopword density
+    (fluency proxy) — pure rational arithmetic, bit-stable."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", text.quality_score(F.col("text")).alias("quality"))
+
+
+@ext_query(
+    "text_lang_id",
+    """
+    SELECT doc_id, lang,
+      CASE WHEN (CAST(len(list_filter(string_split(text,' '), x -> x = 'the'))
+               + len(list_filter(string_split(text,' '), x -> x = 'a'))
+               + len(list_filter(string_split(text,' '), x -> x = 'of'))
+               + len(list_filter(string_split(text,' '), x -> x = 'and'))
+               + len(list_filter(string_split(text,' '), x -> x = 'to')) AS DOUBLE)
+              / len(string_split(text,' '))) >= CAST(0.05 AS DOUBLE)
+           THEN 'en' ELSE 'other' END AS lang_guess
+    FROM documents
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Stopword-density language-ID heuristic next to the labeled lang."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", "lang", text.lang_guess(F.col("text")).alias("lang_guess")
+    )
+
+
+@ext_query(
+    "text_token_count",
+    """
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT)
+        AS n_bpe_ish
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """BPE-ish token-count proxy via regex runs."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", text.bpe_ish_token_count(F.col("text")).alias("n_bpe_ish")
+    )
+
+
+@ext_query(
+    "text_fingerprint",
+    f"""SELECT doc_id, {_FP_SQL} AS fp FROM documents""",
+)
+def text_fingerprint(spark, sf_dir):
+    """Normalized-text md5 fingerprint per document."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_SQL_EMB = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+_SQL_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@ext_query(
+    "sim_bruteforce_topk",
+    f"""
+    WITH {_SQL_EMB},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+    s AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_SQL_COS.format(a="q.qv", b="e.v")} AS cos
+      FROM e, q WHERE e.vec_id <> q.query_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER
+                  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT)
+               AS rnk
+      FROM s
+    )
+    SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def sim_bruteforce_topk(spark, sf_dir):
+    """Exact cosine top-5 for a sampled query set (vec_id % 50 == 0):
+    broadcast queries × corpus scan, per-query window rank. The correctness
+    baseline for the IVF tier."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") % 50 == 0)
+    return similarity.brute_force_topk(e, q, k=5)
+
+
+_IVF_ORACLE = f"""
+WITH {_SQL_EMB},
+cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, e.v, cent.centroid_id,
+         {_SQL_COS.format(a="e.v", b="cent.centv")} AS cs
+  FROM e, cent
+),
+assign AS (
+  SELECT vec_id, v, centroid_id AS bucket FROM (
+    SELECT vec_id, v, centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id)
+             AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM assign WHERE vec_id % 50 = 0),
+s AS (
+  SELECT q.query_id, a.bucket, a.vec_id AS neighbor_id,
+         {_SQL_COS.format(a="q.qv", b="a.v")} AS cos
+  FROM assign a JOIN q ON a.bucket = q.bucket AND a.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, bucket, neighbor_id, cos,
+         CAST(ROW_NUMBER() OVER
+              (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+  FROM s
+)
+SELECT query_id, bucket, neighbor_id, cos, rnk FROM r WHERE rnk <= 3
+"""
+
+
+@ext_query("sim_ivf_topk", _IVF_ORACLE)
+def sim_ivf_topk(spark, sf_dir):
+    """IVF-bucketed top-3: coarse-quantize to the nearest of 8 centroid
+    vectors, search only within the probe bucket — candidate generation
+    linear in corpus size (the ANN scale path)."""
+    e = _emb(spark, sf_dir)
+    cent = e.where(F.col("vec_id") < 8)
+    q = e.where(F.col("vec_id") % 50 == 0)
+    return similarity.ivf_topk(e, q, cent, k=3)
+
+
+@ext_query(
+    "emb_near_dup_pairs",
+    f"""
+    WITH {_SQL_EMB},
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_SQL_COS.format(a="a.v", b="b.v")} AS cos
+      FROM e a, e b WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos FROM p WHERE cos >= CAST(0.4 AS DOUBLE)
+    """,
+)
+def emb_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4). Brute-force form;
+    the bucketed variant reuses assign_buckets to stay linear."""
+    e = _emb(spark, sf_dir)
+    return similarity.near_dup_pairs(e, threshold=0.4)

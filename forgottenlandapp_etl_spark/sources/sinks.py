@@ -1,0 +1,77 @@
+"""Sink operators K1–K4 (SURVEY.md §2.2) + nested-document codec (C7).
+
+The reference writes one row per snapshot with the whole ranking nested in a
+JSON ``data`` column (etl.dart:107-122, :257-284, :334-358, :384-395).
+Here tables live EXPLODED (row per entry) in date-partitioned parquet —
+every reference ``eq('date', …)`` becomes partition pruning — and the nested
+document form exists only at API-compatibility edges via encode/decode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def insert_snapshot(df: DataFrame, path: str, partition_cols: tuple[str, ...] = ("date",)) -> None:
+    """K1 — append a dated snapshot (etl.dart:115-121). Partitioned append:
+    each run adds exactly its own partition directories."""
+    df.write.mode("append").partitionBy(*partition_cols).parquet(path)
+
+
+def overwrite_latest(df: DataFrame, path: str) -> None:
+    """K2 — replace the single current-state row/table (etl.dart:113,:336).
+    The match key is the whole table, so update == overwrite."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def upsert_partitions(df: DataFrame, path: str, partition_cols: tuple[str, ...] = ("date",)) -> None:
+    """K3 — upsert on the partition key (etl.dart:271,:357): dynamic
+    partition overwrite rewrites only the partitions present in ``df`` —
+    idempotent re-runs, no read-modify-write of the whole table."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def retention_keep_only(
+    spark: SparkSession, path: str, predicate: F.Column, tmp_suffix: str = "__retained"
+) -> None:
+    """K4 — retention delete (etl.dart:270,:282,:394): keep only rows
+    matching ``predicate`` (e.g. date == latest). Implemented as an
+    anti-predicate rewrite; on a partitioned store this prunes to partition
+    drops. Two-phase (write aside, swap) for crash safety."""
+    import shutil
+
+    kept = spark.read.parquet(path).where(predicate)
+    tmp = path.rstrip("/") + tmp_suffix
+    kept.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+
+
+def encode_nested_document(
+    df: DataFrame, keys: tuple[str, ...], entry_cols: tuple[str, ...], doc_col: str = "data"
+) -> DataFrame:
+    """C7 encode — exploded rows → one row per key-tuple with the ranking as
+    a JSON array-of-structs document (the reference's `data` column)."""
+    entry = F.struct(*[F.col(c) for c in entry_cols])
+    return df.groupBy(*keys).agg(F.to_json(F.collect_list(entry)).alias(doc_col))
+
+
+def decode_nested_document(
+    df: DataFrame, entry_schema: StructType | str, doc_col: str = "data"
+) -> DataFrame:
+    """C7 decode — nested JSON document → exploded rows (one per entry),
+    snapshot keys carried alongside."""
+    keys = [c for c in df.columns if c != doc_col]
+    arr = F.from_json(F.col(doc_col), f"array<struct<{entry_schema}>>") if isinstance(
+        entry_schema, str
+    ) else F.from_json(F.col(doc_col), entry_schema)
+    exploded = df.select(*keys, F.explode(arr).alias("__e"))
+    return exploded.select(*keys, "__e.*")
