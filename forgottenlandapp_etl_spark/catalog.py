@@ -52,6 +52,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Fan a small scan out across the cluster before expensive per-row work.
+
+    At real scale the reader's split planning (maxPartitionBytes) already
+    yields one task per 128 MB, so this guard is false and no shuffle is
+    added. Tiny local fixtures arrive as a single parquet row group = one
+    split, which would serialize explode/hash-heavy expansion onto one core;
+    repartitioning costs a shuffle of the (small) input and unlocks full
+    parallelism for everything downstream. Only applied when the scan has
+    fewer splits than the session's parallelism.
+
+    Pass ``key`` to hash-partition instead of round-robin: deterministic
+    output placement keeps the exchange subtree reusable by Catalyst's
+    ReuseExchange when several plan branches scan the same table.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key)) if key else df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view for spark.sql queries."""
     for name in TABLES:

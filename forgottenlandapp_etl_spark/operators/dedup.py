@@ -114,56 +114,114 @@ def jaccard_pairs(
 
 
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """k=16 minhash values per document from the shingle relation.
+    """k=16 minhash values + shingle-set size per document.
 
-    h_i(x) = (a_i·H(x) + b_i) mod p over the document's shingle set; MIN is
-    map-side-combinable, so the signature costs one partial-agg shuffle.
+    h_i(x) = (a_i·H(x) + b_i) mod p over the document's shingle set; MIN and
+    COUNT are map-side-combinable, so the whole signature (including the
+    ``n_shingles`` size that Jaccard verification needs later) costs ONE
+    partial-agg shuffle — no separate sizes pass over the shingle relation.
     """
     h = token_hash(F.col("shingle")).alias("h")
     base = sh.select(F.col(id_col), h)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
-    ]
+    ] + [F.count(F.lit(1)).alias("n_shingles")]
     return base.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Banded LSH: equal signature in ANY band → candidate pair.
 
-    Each band is an equi-join on its 4 minhash columns (hash shuffle on the
-    band signature — linear, no all-pairs comparison); bands union-distinct.
+    Long-format formulation: explode each signature into (id, band-key
+    struct) rows and self-equi-join ONCE on the band key — one shuffle on
+    the band signature instead of one join per band, and a plan whose size
+    is independent of the band count. Linear candidate generation: no
+    all-pairs comparison ever happens.
     """
     k = len(MINHASH_COEFFS)
     rows = k // LSH_BANDS
-    per_band = []
-    for band in range(LSH_BANDS):
-        cols = [f"mh{i}" for i in range(band * rows, (band + 1) * rows)]
-        a = sig.alias("a")
-        b = sig.alias("b")
-        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-        for c in cols:
-            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-        per_band.append(
-            a.join(b, cond).select(
-                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                *[F.col(f"mh{band * rows + j}").alias(f"r{j}") for j in range(rows)],
             )
+            for band in range(LSH_BANDS)
+        ]
+    )
+    long = sig.select(F.col(id_col), F.explode(bands).alias("bk"))
+    a = long.alias("a")
+    b = long.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-    out = per_band[0]
-    for p in per_band[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def verify_candidate_pairs(
+    cand: DataFrame,
+    sh: DataFrame,
+    sizes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact-Jaccard verification restricted to candidate pairs.
+
+    Work is proportional to |candidates| × avg shingles/doc, NOT to the
+    all-pairs shingle self-join — this is what makes LSH the scale path:
+    at 100 TB the quadratic `jaccard_pairs` is infeasible, but candidates
+    are near-linear in corpus size. Pairs with zero common shingles drop
+    out of the inner join, which is correct for any threshold > 0.
+
+    ``sizes`` is an (id, n) relation of shingle-set cardinalities; pass the
+    minhash signature table (which carries ``n_shingles`` for free) to avoid
+    a second aggregation over the shingle relation.
+    """
+    if sizes is None:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+        n_col = "n"
+    else:
+        n_col = "n_shingles" if "n_shingles" in sizes.columns else "n"
+    sha = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    shb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        cand.join(sha, "id_a")
+        .join(shb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col(n_col).alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col(n_col).alias("nb"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 def minhash_lsh_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", threshold: float = 0.8
 ) -> DataFrame:
     """Full MinHash-LSH near-dedup: shingle → signature → banded candidates
-    → exact-Jaccard verification of candidates only."""
+    → exact-Jaccard verification of candidates only (never the all-pairs
+    shingle join — candidate generation is linear in corpus size)."""
     sh = shingles(df, id_col, text_col, n=3)
-    cand = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col)
-    verified = jaccard_pairs(sh, id_col, threshold)
-    return verified.join(cand, on=["id_a", "id_b"], how="inner").select(
+    sig = minhash_signatures(sh, id_col)
+    cand = lsh_candidate_pairs(sig, id_col)
+    return verify_candidate_pairs(cand, sh, sizes=sig, id_col=id_col, threshold=threshold).select(
         "id_a", "id_b", "jaccard"
     )
 

@@ -39,12 +39,17 @@ def ext_query(name: str, oracle: str | None = None):
     return deco
 
 
-def _docs(spark, sf_dir):
-    return catalog.table(spark, sf_dir, "documents")
+def _docs(spark, sf_dir, fan_out: bool = False):
+    """Documents scan; fan_out=True for expansion-heavy consumers (shingle
+    explode, token hashing) whose per-row cost dwarfs the scan."""
+    d = catalog.table(spark, sf_dir, "documents")
+    return catalog.spread(d, key="doc_id") if fan_out else d
 
 
-def _emb(spark, sf_dir):
+def _emb(spark, sf_dir, fan_out: bool = False):
     e = catalog.table(spark, sf_dir, "embeddings")
+    if fan_out:
+        e = catalog.spread(e, key="vec_id")
     return e.select("vec_id", similarity.as_double(F.col("embedding")).alias("v"))
 
 
@@ -145,7 +150,7 @@ def dedup_exact(spark, sf_dir):
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard near-dup pairs via shingle self-join (the
     ground-truth tier; quadratic only within shingle buckets)."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, fan_out=True)
     sh = dedup.shingles(d, "doc_id", "text", n=3)
     return dedup.jaccard_pairs(sh, "doc_id", threshold=0.8).select(
         "id_a",
@@ -172,7 +177,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(16) + LSH(4 bands × 4 rows) near-dedup: linear candidate
     generation via banded signature joins, exact-Jaccard verification only
     within candidates — the 100 TB scale path."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, fan_out=True)
     return dedup.minhash_lsh_dedup(d, "doc_id", "text", threshold=0.8)
 
 
@@ -200,7 +205,7 @@ def _simhash_oracle() -> str:
 def dedup_simhash(spark, sf_dir):
     """SimHash(32) signatures: one groupBy with 32 map-side-combinable SUM
     aggregates; equal signatures bucket near-identical documents."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, fan_out=True)
     return dedup.simhash(d, "doc_id", "text", bits=SIMHASH_BITS)
 
 
@@ -346,7 +351,7 @@ def sim_bruteforce_topk(spark, sf_dir):
     """Exact cosine top-5 for a sampled query set (vec_id % 50 == 0):
     broadcast queries × corpus scan, per-query window rank. The correctness
     baseline for the IVF tier."""
-    e = _emb(spark, sf_dir)
+    e = _emb(spark, sf_dir, fan_out=True)
     q = e.where(F.col("vec_id") % 50 == 0)
     return similarity.brute_force_topk(e, q, k=5)
 
@@ -388,7 +393,7 @@ def sim_ivf_topk(spark, sf_dir):
     """IVF-bucketed top-3: coarse-quantize to the nearest of 8 centroid
     vectors, search only within the probe bucket — candidate generation
     linear in corpus size (the ANN scale path)."""
-    e = _emb(spark, sf_dir)
+    e = _emb(spark, sf_dir, fan_out=True)
     cent = e.where(F.col("vec_id") < 8)
     q = e.where(F.col("vec_id") % 50 == 0)
     return similarity.ivf_topk(e, q, cent, k=3)
@@ -409,5 +414,5 @@ def sim_ivf_topk(spark, sf_dir):
 def emb_near_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.4). Brute-force form;
     the bucketed variant reuses assign_buckets to stay linear."""
-    e = _emb(spark, sf_dir)
+    e = _emb(spark, sf_dir, fan_out=True)
     return similarity.near_dup_pairs(e, threshold=0.4)
