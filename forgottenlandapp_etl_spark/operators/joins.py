@@ -168,3 +168,75 @@ def semi_probe(left: DataFrame, right: DataFrame, on: list[str] | str) -> DataFr
 def anti_probe(left: DataFrame, right: DataFrame, on: list[str] | str) -> DataFrame:
     """Anti-join — the set form of the retention ``neq`` delete (K4)."""
     return left.join(right, on=on, how="left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value: str = "value",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    ``right_ts <= left_ts`` within the same ``on`` key (left outer).
+
+    Spark has no ASOF JOIN; the naive form is a range join that explodes to
+    |left|×|right| per key. This is the scalable union formulation: tag both
+    sides, sort once per key by (ts, side, tiebreak) with right rows ordered
+    before left rows at equal ts (<= semantics), and carry the last non-null
+    right value forward with an unbounded-preceding frame. ONE shuffle on
+    the key — linear, skew governed by the key like any window.
+
+    Output: every left row + ``asof_<value>`` (null when no prior right row).
+    """
+    tb = [F.col(tiebreak)] if tiebreak else []
+    lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    rt = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.col(value).alias("__rv"),
+        *( [F.col(tiebreak)] if tiebreak and tiebreak in right.columns else [] ),
+    ).withColumn("__side", F.lit(0))
+    for c in lt.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None))
+    for c in rt.columns:
+        if c not in lt.columns:
+            lt = lt.withColumn(c, F.lit(None))
+    u = lt.unionByName(rt.select(lt.columns))
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts"), F.col("__side"), *tb)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = u.withColumn("__asof", F.last("__rv", ignorenulls=True).over(w))
+    return (
+        out.where(F.col("__side") == 1)
+        .drop("__ts", "__side", "__rv")
+        .withColumnRenamed("__asof", f"asof_{value}")
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    interval: str,
+) -> DataFrame:
+    """Interval join: right rows with ``left_ts <= right_ts <= left_ts +
+    interval`` within the same key.
+
+    The equality on ``on`` keeps this a hash equi-join with the band as a
+    residual filter — never a cartesian/broadcast-nested-loop. Skewed keys
+    split by AQE. ``interval`` is a SQL interval literal (e.g. '10 minutes').
+    """
+    lt = left.alias("l")
+    rt = right.alias("r")
+    band = (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}")) & (
+        F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {interval}")
+    )
+    return lt.join(rt, (F.col(f"l.{on}") == F.col(f"r.{on}")) & band, "inner")

@@ -1,0 +1,289 @@
+"""Wider relational surface: temporal joins, multidimensional aggregates,
+set operations, distribution statistics (SURVEY.md §2.4/§2.5/§2.7 notes —
+operators absent from the reference but first-class in the engine).
+
+Same conventions as reference_queries: decimal-sum discipline for doubles,
+unique tiebreakers in every window, integer widths pinned on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..functions.num import dsum
+from ..operators import joins
+from ..session import tune
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = name
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return catalog.table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# temporal joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j7_asof_join",
+    """
+    SELECT c.event_id, c.user_id, e.value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id AND e.ts <= c.ts
+    """,
+)
+def j7_asof_join(spark, sf_dir):
+    """As-of join — each click gets the most recent prior error value for
+    the same user. Implemented as the union+last-non-null window form (one
+    shuffle on user_id), not a range join: |left|+|right| rows sorted once,
+    never |left|×|right| candidates."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = joins.asof_join(
+        clicks, errors, on="user_id", value="value", tiebreak="event_id"
+    )
+    return out.select("event_id", "user_id", F.col("asof_value"))
+
+
+@query(
+    "j8_range_join",
+    """
+    SELECT l.event_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'error') l
+    JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 2 HOUR
+    GROUP BY 1
+    """,
+)
+def j8_range_join(spark, sf_dir):
+    """Interval join — clicks within 2 hours after each error, per user.
+    The user_id equality keeps it a hash equi-join with the time band as a
+    residual predicate (never a nested-loop cross product)."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    j = joins.range_join(errors, clicks, "user_id", "ts", "ts", "2 HOUR")
+    return j.groupBy(F.col("l.event_id").alias("event_id")).agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multidimensional aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """ROLLUP — hierarchical subtotals (flag, flag+status, grand total) in
+    one pass; Spark expands grouping sets before the hash aggregate, so it
+    still partial-aggregates map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """CUBE — all 2^2 grouping combinations in one aggregate pass."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — per-flag and per-status marginals without
+    the full cube."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_distinct_count",
+    """
+    SELECT user_id,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_distinct_count(spark, sf_dir):
+    """COUNT(DISTINCT) per key — Spark expands to a two-phase aggregate
+    (partial distinct then merge), no driver-side dedup."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query("agg_approx_distinct")
+def agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) per event_type — sketch-based,
+    mergeable, constant memory per group at any scale. No SQL oracle: HLL
+    estimates are engine-specific (rows-only check; the accuracy bound is
+    asserted against the exact count in tests/test_extensions.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_intersect",
+    """
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def set_intersect(spark, sf_dir):
+    """INTERSECT — users who both clicked and errored."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select("user_id")
+    b = ev.where(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    """
+    SELECT event_id FROM events WHERE value > 30
+    EXCEPT
+    SELECT event_id FROM events WHERE event_type = 'click'
+    """,
+)
+def set_except(spark, sf_dir):
+    """EXCEPT (distinct set semantics, DataFrame ``subtract``) — high-value
+    events that are not clicks."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("value") > 30).select("event_id")
+    b = ev.where(F.col("event_type") == "click").select("event_id")
+    return a.subtract(b)
+
+
+# ---------------------------------------------------------------------------
+# distribution statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_percentile",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           MIN(value) AS vmin, MAX(value) AS vmax
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentile(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, bit-equal linear interpolation), plus min/max.
+    For 100 TB use the approx_percentile sketch; the exact form is the
+    correctness oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+@query(
+    "wx_ntile",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(NTILE(4) OVER (PARTITION BY o_orderstatus
+                               ORDER BY o_totalprice DESC, o_orderkey) AS INT)
+             AS quartile
+    FROM orders
+    """,
+)
+def wx_ntile(spark, sf_dir):
+    """NTILE quartiles per order status (partitioned window — no global
+    single-partition sort)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey", "o_orderstatus", F.ntile(4).over(w).cast("int").alias("quartile")
+    )

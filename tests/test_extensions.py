@@ -1,0 +1,90 @@
+"""Property tests for operators whose primary check is not (or not fully)
+the DuckDB oracle: sketch accuracy bounds, as-of join invariants, LSH
+recall against the exact tier."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from forgottenlandapp_etl_spark import catalog
+from forgottenlandapp_etl_spark.operators import dedup, joins
+from forgottenlandapp_etl_spark.plans import QUERIES
+
+
+def test_approx_distinct_within_bound(spark, sf_dir):
+    """HLL++ at rsd=0.02 must land within 5% of the exact distinct count."""
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
+    }
+    ev = catalog.table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, n in exact.items():
+        assert abs(got[k] - n) <= max(1, 0.05 * n), (k, got[k], n)
+
+
+def test_asof_join_invariants(spark, sf_dir):
+    """Every left row survives exactly once; the as-of value equals the
+    max-ts right row ≤ left ts (checked via a reference range join)."""
+    ev = catalog.table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = joins.asof_join(
+        clicks, errors, on="user_id", value="value", tiebreak="event_id"
+    )
+    assert out.count() == clicks.count()
+    assert out.groupBy("event_id").count().where("count > 1").count() == 0
+
+    # reference computation: per left row, value of the latest prior error
+    c = clicks.alias("c")
+    e = errors.alias("e")
+    ref = (
+        c.join(
+            e,
+            (F.col("c.user_id") == F.col("e.user_id"))
+            & (F.col("e.ts") <= F.col("c.ts")),
+            "left",
+        )
+        .groupBy(F.col("c.event_id").alias("event_id"))
+        .agg(F.max_by("e.value", "e.ts").alias("ref_value"))
+    )
+    diff = (
+        out.select("event_id", "asof_value")
+        .join(ref, "event_id")
+        .where(
+            ~(
+                F.col("asof_value").eqNullSafe(F.col("ref_value"))
+            )
+        )
+    )
+    assert diff.count() == 0
+
+
+def test_lsh_is_subset_of_exact_with_high_recall(spark, sf_dir):
+    """LSH-verified pairs ⊆ exact Jaccard pairs (verification guarantees
+    precision = 1); recall at 0.8 threshold should be high."""
+    d = catalog.table(spark, sf_dir, "documents")
+    sh = dedup.shingles(d, "doc_id", "text", n=3)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_pairs(sh, "doc_id", 0.8).select("id_a", "id_b").collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_dedup(d, "doc_id", "text", 0.8)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert got <= exact
+    if exact:
+        assert len(got) / len(exact) >= 0.8, (len(got), len(exact))
