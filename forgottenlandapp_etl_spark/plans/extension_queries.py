@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..operators import dedup, similarity, text
+from ..operators import dedup, multimodal, similarity, text
 from ..operators.dedup import LSH_BANDS, MERSENNE_31, MINHASH_COEFFS, SIMHASH_BITS
 from ..session import tune
 
@@ -416,3 +416,50 @@ def emb_near_dup_pairs(spark, sf_dir):
     the bucketed variant reuses assign_buckets to stay linear."""
     e = _emb(spark, sf_dir, fan_out=True)
     return similarity.near_dup_pairs(e, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (binary payload columns, Arrow-batched stages)
+# ---------------------------------------------------------------------------
+
+
+@ext_query(
+    "mm_media_features",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def mm_media_features(spark, sf_dir):
+    """Binary media payloads through the Arrow-batched mapInPandas feature
+    stage (operators.multimodal.media_features) — the oracle checks the
+    byte-level outputs (length + sha256) the codec-independent way."""
+    d = _docs(spark, sf_dir, fan_out=True)
+    media = multimodal.attach_media(d, "doc_id", "text", kind="image")
+    return multimodal.media_features(media).select(
+        "media_id", "kind", "n_bytes", "sha256"
+    )
+
+
+@ext_query(
+    "mm_frame_index",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(g.i AS INT) AS frame_idx
+    FROM documents,
+         UNNEST(generate_series(
+           0,
+           CAST(ceil(ceil(octet_length(encode(text)) / 16.0) / 4.0) AS INT) - 1
+         )) g(i)
+    """,
+)
+def mm_frame_index(spark, sf_dir):
+    """Video-style frame sampling (every 4th 16-byte chunk) as a 1→N
+    mapInPandas fan-out; the oracle reproduces the sampled-frame index set
+    arithmetically."""
+    d = _docs(spark, sf_dir, fan_out=True)
+    media = multimodal.attach_media(d, "doc_id", "text", kind="video")
+    return multimodal.frame_sample(media, every=4, frame_bytes=16).select(
+        "media_id", "frame_idx"
+    )

@@ -1,0 +1,289 @@
+"""Sink (K1–K4), nested-document codec (C7), route-pipeline, streaming, and
+multimodal plumbing tests (SURVEY.md §5.2 plans 2/4: golden + idempotency).
+
+These cover everything the DuckDB oracle gate can't: write-path semantics,
+re-run idempotency, batch↔stream equivalence, and mapInPandas batch shapes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from forgottenlandapp_etl_spark.operators import multimodal
+from forgottenlandapp_etl_spark.pipelines.routes import ETLPipelines
+from forgottenlandapp_etl_spark.sources import sinks
+from forgottenlandapp_etl_spark.streaming import online
+
+
+# ---------------------------------------------------------------------------
+# fixtures: tiny domain snapshots (FIXTURES.md §2 edge cases)
+# ---------------------------------------------------------------------------
+
+SNAP_SCHEMA = "name string, vocation string, world string, level int, value long"
+
+
+def snap(spark, rows):
+    return spark.createDataFrame(rows, SNAP_SCHEMA)
+
+
+DAY1 = [
+    ("alice", "Knight", "Antica", 100, 5000),
+    ("bob", "Druid", "Antica", 80, 4000),
+    ("carol", "Paladin", "Secura", 60, 3000),
+    ("dave", "None", "Secura", 25, 500),  # below level 30 → filtered
+]
+DAY2 = [
+    ("alice", "Knight", "Antica", 101, 5600),  # +600
+    ("bob", "Druid", "Antica", 80, 4000),  # +0 → dropped
+    ("carol", "Paladin", "Secura", 61, 3100),  # +100
+    ("erin", "Sorcerer", "Antica", 50, 2000),  # new → no diff row
+]
+
+
+# ---------------------------------------------------------------------------
+# sinks K1–K4
+# ---------------------------------------------------------------------------
+
+
+def test_insert_snapshot_appends_partitions(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df1 = spark.createDataFrame([("a", 1)], "k string, v int").withColumn(
+        "date", F.lit("2024-01-01")
+    )
+    df2 = spark.createDataFrame([("b", 2)], "k string, v int").withColumn(
+        "date", F.lit("2024-01-02")
+    )
+    sinks.insert_snapshot(df1, p)
+    sinks.insert_snapshot(df2, p)
+    back = spark.read.parquet(p)
+    assert back.count() == 2
+    # partition-dir values come back type-inferred (DateType here)
+    assert sorted(str(r["date"]) for r in back.select("date").collect()) == [
+        "2024-01-01",
+        "2024-01-02",
+    ]
+    # physical layout: one directory per date partition (partition pruning)
+    assert os.path.isdir(os.path.join(p, "date=2024-01-01"))
+
+
+def test_overwrite_latest_replaces_state(spark, tmp_path):
+    p = str(tmp_path / "t")
+    sinks.overwrite_latest(spark.createDataFrame([(1,)], "v int"), p)
+    sinks.overwrite_latest(spark.createDataFrame([(2,)], "v int"), p)
+    assert [r["v"] for r in spark.read.parquet(p).collect()] == [2]
+
+
+def test_upsert_partitions_is_idempotent_and_partial(spark, tmp_path):
+    p = str(tmp_path / "t")
+    d1 = spark.createDataFrame([("x", 1)], "k string, v int").withColumn(
+        "date", F.lit("d1")
+    )
+    d2 = spark.createDataFrame([("y", 2)], "k string, v int").withColumn(
+        "date", F.lit("d2")
+    )
+    sinks.upsert_partitions(d1, p)
+    sinks.upsert_partitions(d2, p)
+    # re-run day-1 with corrected value: only that partition is rewritten
+    d1b = spark.createDataFrame([("x", 10)], "k string, v int").withColumn(
+        "date", F.lit("d1")
+    )
+    sinks.upsert_partitions(d1b, p)
+    got = {r["date"]: r["v"] for r in spark.read.parquet(p).collect()}
+    assert got == {"d1": 10, "d2": 2}
+
+
+def test_retention_keep_only(spark, tmp_path):
+    p = str(tmp_path / "t")
+    for d in ("d1", "d2", "d3"):
+        sinks.insert_snapshot(
+            spark.createDataFrame([(d, 1)], "k string, v int").withColumn(
+                "date", F.lit(d)
+            ),
+            p,
+        )
+    sinks.retention_keep_only(spark, p, F.col("date") == "d3")
+    assert [r["date"] for r in spark.read.parquet(p).collect()] == ["d3"]
+
+
+def test_nested_document_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("d1", "alice", 1), ("d1", "bob", 2), ("d2", "alice", 3)],
+        "date string, name string, rank int",
+    )
+    doc = sinks.encode_nested_document(df, ("date",), ("name", "rank"))
+    assert doc.count() == 2  # one row per snapshot date
+    back = sinks.decode_nested_document(doc, "name string, rank int")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+# ---------------------------------------------------------------------------
+# route pipelines: flagship diff + idempotency guards
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def pipelines(spark, tmp_path):
+    return ETLPipelines(spark, str(tmp_path / "wh"))
+
+
+def test_exp_record_and_gain_flow(pipelines, spark):
+    assert pipelines.exp_record(snap(spark, DAY1), "2024-01-01") is not None
+    assert pipelines.exp_record(snap(spark, DAY2), "2024-01-02") is not None
+    out = pipelines.exp_gain("2024-01-01", "2024-01-02", period="yesterday")
+    rows = {r["name"]: (r["gain"], r["rank"]) for r in out.collect()}
+    # positive gains only (F4), ranked desc by gain (W4); zero-gain bob and
+    # new-name erin dropped; dave filtered by level
+    assert rows == {"alice": (600, 1), "carol": (100, 2)}
+
+
+def test_exp_record_idempotency_guard(pipelines, spark):
+    assert pipelines.exp_record(snap(spark, DAY1), "2024-01-01") is not None
+    assert pipelines.exp_record(snap(spark, DAY1), "2024-01-01") is None  # S6 guard
+
+
+def test_exp_gain_retention_keeps_latest_per_period(pipelines, spark):
+    day3 = [
+        ("alice", "Knight", "Antica", 102, 6000),  # +400 over day 2
+        ("carol", "Paladin", "Secura", 62, 3300),  # +200
+    ]
+    pipelines.exp_record(snap(spark, DAY1), "2024-01-01")
+    pipelines.exp_record(snap(spark, DAY2), "2024-01-02")
+    pipelines.exp_gain("2024-01-01", "2024-01-02", period="yesterday")
+    pipelines.exp_record(snap(spark, day3), "2024-01-03")
+    pipelines.exp_gain("2024-01-02", "2024-01-03", period="yesterday")
+    dates = {
+        str(r["date"])
+        for r in pipelines._read("exp_gain").select("date").distinct().collect()
+    }
+    assert dates == {"2024-01-03"}  # K4: only the latest date per period
+
+
+def test_online_time_daily_and_period(pipelines, spark):
+    polls = spark.createDataFrame(
+        [
+            ("alice", 100, "Antica", 1),
+            ("alice", 100, "Antica", 2),
+            ("alice", 101, "Antica", 3),
+            ("bob", 9, "Antica", 1),  # below level 10 → filtered
+        ],
+        "name string, level int, world string, poll_ts int",
+    )
+    daily = pipelines.register_online_players(polls, "2024-01-01")
+    rows = {r["name"]: (r["time"], r["level"]) for r in daily.collect()}
+    assert rows == {"alice": (15, 101)}  # 3 polls × 5 min; last level wins
+    out = pipelines.online_time_period("2024-01-01", days=7, period="7days")
+    assert {r["name"]: r["time"] for r in out.collect()} == {"alice": 15}
+    # guard: second run is a no-op
+    assert pipelines.online_time_period("2024-01-01", days=7, period="7days") is None
+
+
+def test_rook_master_points(pipelines, spark):
+    rankings = spark.createDataFrame(
+        [
+            ("experience", "alice", 1, 900),
+            ("experience", "bob", 2, 800),
+            ("fist", "alice", 3, 50),
+            ("sword", "bob", 1, 70),
+        ],
+        "category string, name string, rank int, value long",
+    )
+    out = pipelines.rook_master(rankings, "2024-01-01")
+    rows = {r["name"]: r["total_points"] for r in out.collect()}
+    # points = 1000 - (rank - 1) per category, summed
+    assert rows == {"alice": (1000 - 0) + (1000 - 2), "bob": (1000 - 1) + (1000 - 0)}
+
+
+def test_calc_skill_points(pipelines):
+    # value <= 10 → 0 tries below base skill (etl.dart:605 floor cases)
+    assert pipelines.calc_skill_points("fist", 10) == 0
+    assert pipelines.calc_skill_points("fist", None) == 0
+    assert pipelines.calc_skill_points("fist", 11) > 0
+    with pytest.raises(KeyError):
+        pipelines.calc_skill_points("nonsense", 10)
+
+
+# ---------------------------------------------------------------------------
+# streaming: availableNow drain == batch aggregate
+# ---------------------------------------------------------------------------
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    polls = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1, 5),
+            (2, "2024-01-01 00:05:00", 1, 5),
+            (3, "2024-01-01 23:59:00", 2, 5),
+            (4, "2024-01-02 00:01:00", 1, 5),
+        ],
+        "event_id long, ts string, user_id long, minutes_per_poll int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "polls")
+    polls.repartition(2).write.parquet(src)
+
+    out = str(tmp_path / "daily")
+    ckpt = str(tmp_path / "ckpt")
+    online.run_stream(spark, src, out, ckpt)
+    got = {
+        (str(r["day"]), r["user_id"]): r["minutes"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        ("2024-01-01", 1): 10,
+        ("2024-01-01", 2): 5,
+        ("2024-01-02", 1): 5,
+    }
+
+    # re-running over the same checkpoint is a no-op (exactly-once)
+    online.run_stream(spark, src, out, ckpt)
+    again = {
+        (str(r["day"]), r["user_id"]): r["minutes"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == got
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_media_features_match_python(spark):
+    df = spark.createDataFrame([(1, "hello world"), (2, "abc")], "id long, txt string")
+    media = multimodal.attach_media(df, "id", "txt")
+    got = {r["media_id"]: r for r in multimodal.media_features(media).collect()}
+    for mid, s in [(1, b"hello world"), (2, b"abc")]:
+        assert got[mid]["sha256"] == hashlib.sha256(s).hexdigest()
+        assert got[mid]["crc32"] == zlib.crc32(s)
+        assert got[mid]["n_bytes"] == len(s)
+
+
+def test_fake_decode_shape_and_determinism(spark):
+    df = spark.createDataFrame([(1, "xyz")], "id long, txt string")
+    media = multimodal.attach_media(df, "id", "txt")
+    a = multimodal.fake_decode_media(media, side=4).collect()[0]
+    assert (a["width"], a["height"], len(a["pixels"])) == (4, 4, 16)
+    assert a["pixels"][:3] == [ord("x"), ord("y"), ord("z")]
+    b = multimodal.fake_decode_media(media, side=4).collect()[0]
+    assert a["pixels"] == b["pixels"]
+
+
+def test_decode_media_is_stubbed(spark):
+    df = spark.createDataFrame([(1, "xyz")], "id long, txt string")
+    media = multimodal.attach_media(df, "id", "txt")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(media)
+
+
+def test_frame_sample_counts(spark):
+    text = "a" * 100  # 100 bytes → 7 chunks of 16 → frames at 0,4 → 2 frames
+    df = spark.createDataFrame([(1, text)], "id long, txt string")
+    media = multimodal.attach_media(df, "id", "txt", kind="video")
+    frames = multimodal.frame_sample(media, every=4, frame_bytes=16).collect()
+    assert len(frames) == 2
+    assert sorted(f["frame_idx"] for f in frames) == [0, 1]
+    assert len(frames[0]["frame_bytes"]) == 16
