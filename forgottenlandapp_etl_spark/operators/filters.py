@@ -14,8 +14,18 @@ from ..functions.num import coalesce0
 
 
 def min_value(df: DataFrame, col: str, threshold: int) -> DataFrame:
-    """F1/F3 — drop rows with (col ?? 0) < threshold (etl.dart:77, :361)."""
-    return df.where(coalesce0(col) >= threshold)
+    """F1/F3 — drop rows with (col ?? 0) < threshold (etl.dart:77, :361).
+
+    ``coalesce(col, 0) >= t`` defeats parquet filter pushdown (the scan
+    can't evaluate coalesce), so the predicate is rewritten to the
+    equivalent pushable form: for t > 0 nulls fail either way (``col >= t``
+    alone); for t <= 0 nulls pass (``col IS NULL OR col >= t``). Same rows,
+    but the filter now lands in ``PushedFilters`` and skips row groups via
+    parquet min/max stats.
+    """
+    if threshold > 0:
+        return df.where(F.col(col) >= threshold)
+    return df.where(F.col(col).isNull() | (F.col(col) >= threshold))
 
 
 def conjunctive(df: DataFrame, *predicates: Column) -> DataFrame:

@@ -165,8 +165,10 @@ def f1_min_value_filter(spark, sf_dir):
 def f2_conjunctive_filter(spark, sf_dir):
     """F2 — rookie filter shape (etl.dart:321): equality AND min-threshold."""
     li = _t(spark, sf_dir, "lineitem")
+    # threshold > 0 makes the coalesce form equivalent to the bare >=,
+    # which (unlike coalesce) reaches PushedFilters — see filters.min_value
     return filters.conjunctive(
-        li, F.col("l_returnflag") == "R", coalesce0("l_quantity") >= 10
+        li, F.col("l_returnflag") == "R", F.col("l_quantity") >= 10
     ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
 
 

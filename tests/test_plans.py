@@ -1,0 +1,148 @@
+"""Physical-plan quality gates (SURVEY.md §4.2/§4.3, BASELINE.md 100 TB
+posture).
+
+Correctness says an operator works at sf0.01; these assertions say the
+*plan* would still be the right plan at 1000 executors — filters reach the
+parquet scan, projections prune columns, joins never degenerate to
+nested-loop cross products (except the two intentionally brute-force
+similarity baselines), top-k avoids a global sort, and partitioned tables
+prune partitions on key equality.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from forgottenlandapp_etl_spark.plans import QUERIES
+from forgottenlandapp_etl_spark.sources import sinks
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# intentionally quadratic brute-force baselines (the scale path for each is
+# the bucketed variant: sim_ivf_topk / dedup_minhash_lsh), plus plans whose
+# only nested-loop is a deliberate broadcast of a tiny relation: a 1-row
+# max-date/bounds scalar (j3/j4/e3 — the scalar-subquery pattern), the
+# 7-row skill-constants table (c1), and the 8-row centroid table (sim_ivf)
+CROSS_JOIN_OK = {
+    "sim_bruteforce_topk",
+    "emb_near_dup_pairs",
+    "j3_accumulating_merge",
+    "j4_period_rollup",
+    "e3_period_online_time",
+    "c1_skill_points",
+    "sim_ivf_topk",
+}
+
+
+def test_no_accidental_cross_joins(spark, sf_dir):
+    bad = []
+    for name, fn in QUERIES.items():
+        plan = plan_of(fn(spark, sf_dir))
+        if name in CROSS_JOIN_OK:
+            continue
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            bad.append(name)
+    assert not bad, f"nested-loop/cartesian joins in: {bad}"
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(QUERIES["s1_scan_pushdown"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "l_quantity" in m.group(1), plan[:2000]
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = plan_of(QUERIES["s1_scan_pushdown"](spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:2000]
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"}
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(QUERIES["s4_topk_scan"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    """TPC-H Q5's nation/region joins must be broadcast-hash, not shuffle."""
+    plan = plan_of(QUERIES["tpch_q5_local_supplier_volume"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_aggregates_are_partial_final(spark, sf_dir):
+    """Q1's hash aggregate must have a map-side partial stage (two
+    HashAggregate nodes around the exchange), not a single post-shuffle agg."""
+    df = QUERIES["tpch_q1_pricing_summary"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "partial_sum" in plan, plan[:2000]
+    assert len(re.findall(r"HashAggregate", plan)) >= 2
+    # codegen stages appear as *(n) markers only once AQE finalizes the
+    # plan; collect() executes THIS QueryExecution (count() would spawn a
+    # new one and leave df's plan un-finalized)
+    df.collect()
+    final = plan_of(df)
+    assert re.search(r"\*\(\d+\)", final), final[:2000]
+
+
+def test_asof_join_is_single_key_shuffle(spark, sf_dir):
+    """The as-of join must stay the union+window form: no join node at all,
+    and at most the key shuffle + small-input spreads — never a range join."""
+    plan = plan_of(QUERIES["j7_asof_join"](spark, sf_dir))
+    assert "Join" not in plan, plan[:2000]
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_range_join_keeps_equi_component(spark, sf_dir):
+    """The interval join must hash/merge on user_id with the time band as a
+    residual condition — not a nested-loop over all pairs."""
+    plan = plan_of(QUERIES["j8_range_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_lsh_never_contains_allpairs_shingle_join(spark, sf_dir):
+    """The LSH tier's only self-join keys must be the band signature and the
+    candidate pair ids — a join keyed on the raw shingle would mean the
+    quadratic verification path leaked back in."""
+    # the exact tier joins on shingle (expected); LSH must join shingle only
+    # together with a candidate id (the common-count join), never alone
+    plan = plan_of(QUERIES["dedup_minhash_lsh"](spark, sf_dir))
+    for m in re.finditer(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*", plan):
+        line = m.group(0)
+        if "shingle" in line:
+            assert "id_a" in line or "id_b" in line, line
+
+
+def test_partition_pruning_on_partitioned_table(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("a", 1, "2024-01-01"), ("b", 2, "2024-01-02")], "k string, v int, date string"
+    )
+    sinks.insert_snapshot(df, p)
+    scan = spark.read.parquet(p).where(F.col("date") == "2024-01-01")
+    plan = plan_of(scan)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "date" in m.group(1), plan[:2000]
+    assert scan.count() == 1
+
+
+def test_smoke_entry_schema_stable(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert df.columns == sorted(set(df.columns)) or len(set(df.columns)) == len(
+        df.columns
+    )
