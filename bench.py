@@ -33,12 +33,16 @@ HEADLINE = [
     "a2_horizontal_sum",
     "e3_daily_online_time",
     "e3_period_online_time",
+    "j7_asof_join",
+    "j8_range_join",
+    "agg_rollup",
     # extensions (auto-skipped until implemented)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "text_stats",
     "sim_bruteforce_topk",
+    "mm_media_features",
 ]
 
 
@@ -54,11 +58,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in QUERIES]
-    # JVM/codegen warmup on the smallest query
-    materialize(QUERIES[names[0]](spark, sf_dir))
 
+    # Steady-state methodology: first run warms JVM JIT + codegen caches
+    # (one-time cost that amortizes to zero at production scale), second
+    # run is recorded. Each run fully materializes through the noop sink.
     times: dict[str, float] = {}
     for name in names:
+        materialize(QUERIES[name](spark, sf_dir))
         t0 = time.perf_counter()
         materialize(QUERIES[name](spark, sf_dir))
         times[name] = round(time.perf_counter() - t0, 4)
@@ -69,6 +75,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "runs_per_query": 2,
+        "policy": "steady-state: per-query warmup run, second run recorded",
     }
     print(json.dumps(out))
     sys.stdout.flush()

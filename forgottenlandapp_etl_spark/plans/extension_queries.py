@@ -463,3 +463,26 @@ def mm_frame_index(spark, sf_dir):
     return multimodal.frame_sample(media, every=4, frame_bytes=16).select(
         "media_id", "frame_idx"
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming (SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+
+
+@ext_query(
+    "stream_daily_counts",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_daily_counts(spark, sf_dir):
+    """Structured Streaming drained with availableNow: 1-day tumbling-window
+    event counts per user, verified EQUAL to the batch aggregate (the §2.9
+    batch-is-source-of-truth discipline). Exercises readStream file source,
+    watermark, windowed stateful agg, and the memory sink."""
+    from ..streaming.online import stream_events_daily_counts
+
+    return stream_events_daily_counts(spark, sf_dir)

@@ -75,3 +75,56 @@ def run_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_events_daily_counts(
+    spark: SparkSession, sf_dir: str, name: str = "stream_daily_counts"
+) -> DataFrame:
+    """Structured-Streaming drain of the events table: file-source stream →
+    1-day tumbling window count per (day, user) → in-memory sink.
+
+    ``availableNow`` processes the whole backlog as micro-batches and stops,
+    so the result is deterministic and equals the batch aggregate — which is
+    exactly what the DuckDB oracle checks. The parquet carries
+    TIMESTAMP(NANOS) (TESTDATA.md), so the stream schema takes nanos as LONG
+    and converts, same as the batch catalog.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    # the file-stream source requires a directory; stage the single-file
+    # table behind a symlink dir (a real deployment streams a landing dir)
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet")
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.withColumn("ets", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ets", "1 day")
+        .groupBy(F.window("ets", "1 day").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.to_date(F.col("w.start")).cast("string").alias("day"),
+            "user_id",
+            "n_events",
+        )
+    )
+    qname = f"{name}_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
