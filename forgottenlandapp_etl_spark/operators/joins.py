@@ -240,3 +240,31 @@ def range_join(
         F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {interval}")
     )
     return lt.join(rt, (F.col(f"l.{on}") == F.col(f"r.{on}")) & band, "inner")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting for extreme skew (SURVEY.md §4.3).
+
+    AQE's skew-join splitting handles most skew by subdividing oversized
+    partitions, but it cannot split a SINGLE hot key's build-side hash
+    bucket. Salting does: the left (large, skewed) side gets a uniform
+    random-free salt derived from a stable row hash, the right side is
+    replicated ``salt_buckets`` times, and the join key becomes
+    (key, salt) — spreading one hot key over ``salt_buckets`` tasks.
+    Replication factor applies to the right side only; keep it the smaller
+    relation. Deterministic (hash-derived salt, no rand()), so plans stay
+    reusable and re-runs identical.
+    """
+    salt = (F.xxhash64(*[F.col(c) for c in left.columns]) % salt_buckets + salt_buckets) % salt_buckets
+    lt = left.withColumn("__salt", salt.cast("int"))
+    rt = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = lt.join(rt, on=[on, "__salt"], how=how)
+    return out.drop("__salt")

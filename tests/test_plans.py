@@ -146,3 +146,58 @@ def test_smoke_entry_schema_stable(spark):
     assert df.columns == sorted(set(df.columns)) or len(set(df.columns)) == len(
         df.columns
     )
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path, sf_dir):
+    """Two tables bucketed on the join key must join with zero shuffles —
+    the write-once pre-shuffle that makes repeated big-big joins viable at
+    100 TB (sources/bucketing.py)."""
+    from forgottenlandapp_etl_spark import catalog
+    from forgottenlandapp_etl_spark.sources import bucketing
+
+    orders = catalog.table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = catalog.table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    bucketing.write_bucketed(
+        orders, "b_orders", "o_orderkey", n_buckets=8,
+        path=str(tmp_path / "b_orders"),
+    )
+    bucketing.write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey",
+        8, path=str(tmp_path / "b_lineitem"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at this tiny SF the planner would broadcast (and rightly ignore
+        # buckets); disable broadcast to exercise the big-big shape the
+        # buckets exist for
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = bucketing.read_table(spark, "b_orders").join(
+            bucketing.read_table(spark, "b_lineitem"), "o_orderkey"
+        )
+        plan = plan_of(j)
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        assert "Bucketed: true" in plan, plan[:2000]
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting must not change join results — only the key distribution."""
+    from forgottenlandapp_etl_spark import catalog
+    from forgottenlandapp_etl_spark.operators import joins as J
+
+    ev = catalog.table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = (
+        catalog.table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_user_events"))
+    )
+    plain = ev.join(dim, "user_id")
+    salted = J.salted_join(ev, dim, "user_id", salt_buckets=8)
+    assert salted.count() == plain.count()
+    a = sorted(map(tuple, plain.select("event_id", "n_user_events").collect()))
+    b = sorted(map(tuple, salted.select("event_id", "n_user_events").collect()))
+    assert a == b
