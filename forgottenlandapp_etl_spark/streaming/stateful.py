@@ -1,0 +1,100 @@
+"""Custom stateful streaming operator: exact J3 accumulating-merge semantics
+via applyInPandasWithState (SURVEY.md §2.9).
+
+The windowed count×5 in streaming/online.py covers the reference's real
+behavior; this operator exists for the general case a built-in windowed agg
+cannot express — per-key running state with arbitrary merge logic (the
+reference's matched→update / unmatched→insert fold, etl.dart:360-382):
+
+    state[user] = (minutes += cadence, level := latest poll's level)
+
+State is one small tuple per key (bounded by |active users|), timeouts
+close idle keys, and each micro-batch emits the keys it touched — the
+streaming analog of the K3 day-partition upsert.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "minutes LONG, level INT, n_polls LONG"
+OUTPUT_SCHEMA = "user_id LONG, minutes LONG, level INT, n_polls LONG"
+
+
+def _merge_polls(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    minutes_per_poll: int,
+    idle_timeout_ms: int,
+) -> Iterator[pd.DataFrame]:
+    """Fold this batch's polls for one user into the running accumulator.
+
+    Mirrors etl.dart:370-373: every poll adds the cadence to the user's
+    minutes and the LATEST poll's level wins (ties on ts broken by poll id
+    so re-runs are deterministic).
+    """
+    if state.hasTimedOut:
+        state.remove()
+        return
+    minutes, level, n_polls = state.get if state.exists else (0, None, 0)
+    last_ts = None
+    for pdf in pdfs:
+        n = len(pdf)
+        n_polls += n
+        minutes += n * minutes_per_poll
+        pdf = pdf.sort_values(["ts", "event_id"])
+        batch_last = pdf.iloc[-1]
+        if last_ts is None or batch_last["ts"] >= last_ts:
+            last_ts = batch_last["ts"]
+            lv = batch_last["level"]
+            level = None if pd.isna(lv) else int(lv)
+    state.update((minutes, level, n_polls))
+    if idle_timeout_ms > 0:
+        state.setTimeoutDuration(idle_timeout_ms)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "minutes": [minutes],
+            "level": [level],
+            "n_polls": [n_polls],
+        }
+    )
+
+
+def accumulate_online_time(
+    polls: DataFrame, minutes_per_poll: int = 5, idle_timeout_ms: int = 0
+) -> DataFrame:
+    """Streaming per-user online-time accumulator.
+
+    ``polls`` is a streaming DataFrame with (event_id LONG, ts TIMESTAMP,
+    user_id LONG, level INT). Output mode must be ``update``: each
+    micro-batch emits the new running totals for the users it saw.
+
+    ``idle_timeout_ms=0`` (default) disables state timeouts, which is what a
+    bounded ``availableNow`` drain needs — with ProcessingTimeTimeout the
+    query keeps scheduling timeout-only batches and never reaches the
+    terminated state. Continuous deployments pass a positive timeout (e.g.
+    one day) so idle users' state is evicted and the store stays bounded by
+    the active-user count.
+    """
+
+    def fn(key, pdfs, state):
+        yield from _merge_polls(key, pdfs, state, minutes_per_poll, idle_timeout_ms)
+
+    return polls.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms > 0
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -287,3 +287,44 @@ def test_frame_sample_counts(spark):
     assert len(frames) == 2
     assert sorted(f["frame_idx"] for f in frames) == [0, 1]
     assert len(frames[0]["frame_bytes"]) == 16
+
+
+def test_stateful_accumulator_matches_batch(spark, tmp_path):
+    """applyInPandasWithState accumulator: after draining all polls, the
+    final per-user state equals the batch aggregate (count×5, last level)."""
+    from forgottenlandapp_etl_spark.streaming import stateful
+
+    polls = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1, 10),
+            (2, "2024-01-01 00:05:00", 1, 11),
+            (3, "2024-01-01 00:05:00", 2, 50),
+            (4, "2024-01-01 00:10:00", 1, 12),
+        ],
+        "event_id long, ts string, user_id long, level int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "polls")
+    polls.coalesce(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, level int")
+        .parquet(src)
+    )
+    out = stateful.accumulate_online_time(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("acc_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode: take the LAST emitted row per user
+    rows = spark.sql(
+        "SELECT user_id, minutes, level, n_polls FROM acc_test"
+    ).collect()
+    last = {}
+    for r in rows:
+        last[r["user_id"]] = (r["minutes"], r["level"], r["n_polls"])
+    assert last == {1: (15, 12, 3), 2: (5, 50, 1)}
