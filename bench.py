@@ -28,6 +28,9 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
     "w1_rank_desc",
     "s4_topk_scan",
     "a2_horizontal_sum",

@@ -898,3 +898,102 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
     return j.groupBy("n_name").agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue")
     )
+
+
+_Q6_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+@query("tpch_q6_forecast_revenue", _Q6_ORACLE)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6-shaped: pure scan-filter-aggregate — every predicate reaches
+    PushedFilters, no shuffle beyond the single-row final agg."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_Q10_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+    AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+@query("tpch_q10_returned_items", _Q10_ORACLE)
+def tpch_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10-shaped: returned-item revenue per customer, top-20 —
+    fact-side filter first, dims broadcast, TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue")
+    )
+    return windows.top_k(agg, [F.desc("revenue"), F.asc("c_custkey")], 20).select(
+        "c_custkey", "c_name", "n_name", "revenue"
+    )
+
+
+_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS DECIMAL(38,2))) > 150
+)
+SELECT c_custkey, c_name, o_orderkey,
+  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day, o_totalprice,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS total_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_custkey, c_name, o_orderkey, day, o_totalprice
+"""
+
+
+@query("tpch_q18_large_orders", _Q18_ORACLE)
+def tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18-shaped: HAVING-filtered semi-join (large-quantity orders)
+    then re-aggregate — the aggregate feeds a left-semi join, no subquery
+    re-evaluation."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", 2).alias("q"))
+        .where(F.col("q") > 150)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    j = (
+        li.join(o.join(big, "o_orderkey", "left_semi"), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    )
+    return j.groupBy(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        F.to_date("o_orderdate").cast("string").alias("day"),
+        "o_totalprice",
+    ).agg(dsum("l_quantity", 2).alias("total_qty"))
