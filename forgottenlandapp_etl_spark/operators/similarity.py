@@ -143,3 +143,68 @@ def near_dup_pairs(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def brute_force_topk_vectorized(
+    corpus: DataFrame,
+    queries_pdf,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Arrow-batched NumPy top-k: the high-throughput path for wide
+    embeddings.
+
+    The JVM higher-order-function dot product is bit-stable but evaluates
+    element-by-element; for 768-4096-dim embeddings a BLAS matmul per Arrow
+    batch is 10-100x faster. ``queries_pdf`` is a small pandas DataFrame
+    (query_id, vector) captured in the UDF closure — the broadcast —
+    and each executor batch computes batch_matrix @ query_matrix.T in one
+    GEMM, keeping a per-batch top-k. Final exact top-k across batches is the
+    tiny groupBy-window downstream. Float order differs from the sequential
+    JVM form in the last bits, so this path is property-tested for set
+    equality of the returned neighbors, not hash-compared (see
+    tests/test_extensions.py).
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    qids = queries_pdf["query_id"].to_numpy()
+    qm = np.stack(queries_pdf["qv"].to_list()).astype("float64")  # (nq, d)
+    qn = np.linalg.norm(qm, axis=1)
+
+    out_schema = "query_id LONG, neighbor_id LONG, cos DOUBLE"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            cm = np.stack(pdf[vec_col].to_list()).astype("float64")  # (nb, d)
+            cn = np.linalg.norm(cm, axis=1)
+            sims = (cm @ qm.T) / np.outer(cn, qn)  # (nb, nq)
+            nid = pdf[id_col].to_numpy()
+            rows = []
+            for j, qid in enumerate(qids):
+                col = sims[:, j]
+                mask = nid != qid
+                cand_idx = np.nonzero(mask)[0]
+                if not len(cand_idx):
+                    continue
+                top = cand_idx[np.argsort(-col[cand_idx], kind="stable")[: k]]
+                rows.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": nid[top], "cos": col[top]}
+                    )
+                )
+            yield pd.concat(rows) if rows else pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cos": []}
+            )
+
+    partial = corpus.mapInPandas(batches, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )

@@ -486,3 +486,19 @@ def stream_daily_counts(spark, sf_dir):
     from ..streaming.online import stream_events_daily_counts
 
     return stream_events_daily_counts(spark, sf_dir)
+
+
+@ext_query("sim_bruteforce_topk_vectorized")
+def sim_bruteforce_topk_vectorized(spark, sf_dir):
+    """Arrow-batched NumPy GEMM top-k (the high-throughput path for wide
+    embeddings). No SQL oracle: BLAS accumulation order differs from the
+    sequential JVM dot product in the last float bits, so this path is
+    property-tested for neighbor-set equality with the bit-stable JVM form
+    (tests/test_extensions.py::test_vectorized_topk_matches_jvm_path)."""
+    e = _emb(spark, sf_dir, fan_out=True)
+    q_pdf = (
+        e.where(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .toPandas()
+    )
+    return similarity.brute_force_topk_vectorized(e, q_pdf, k=5)

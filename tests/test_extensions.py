@@ -88,3 +88,23 @@ def test_lsh_is_subset_of_exact_with_high_recall(spark, sf_dir):
     assert got <= exact
     if exact:
         assert len(got) / len(exact) >= 0.8, (len(got), len(exact))
+
+
+def test_vectorized_topk_matches_jvm_path(spark, sf_dir):
+    """The NumPy mapInPandas top-k must return the same neighbor sets as
+    the bit-stable JVM higher-order-function path (cos values may differ in
+    the last float bits, so compare identity, not hashes)."""
+    from forgottenlandapp_etl_spark.operators import similarity
+
+    e = catalog.table(spark, sf_dir, "embeddings").select(
+        "vec_id", similarity.as_double(F.col("embedding")).alias("v")
+    )
+    q = e.where(F.col("vec_id") % 50 == 0)
+    jvm = similarity.brute_force_topk(e, q, k=5)
+    q_pdf = q.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    ).toPandas()
+    vec = similarity.brute_force_topk_vectorized(e, q_pdf, k=5)
+    a = {(r["query_id"], r["neighbor_id"], r["rnk"]) for r in jvm.collect()}
+    b = {(r["query_id"], r["neighbor_id"], r["rnk"]) for r in vec.collect()}
+    assert a == b
