@@ -435,7 +435,9 @@ def a1_range_sum(spark, sf_dir):
 )
 def a2_horizontal_sum(spark, sf_dir):
     """A2 — horizontal sum across measures (etl.dart:566): one wide
-    aggregate, columns added horizontally after exact per-column sums."""
+    aggregate, columns added horizontally after exact per-column sums.
+    No spread here: with ~1 group per 4 rows the map-side partial agg
+    barely shrinks data, so a pre-shuffle just adds a second exchange."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
         (dsum("l_quantity", 2) + dsum("l_extendedprice", 2) + dsum("l_tax", 2)).alias(
@@ -810,8 +812,13 @@ GROUP BY l_returnflag, l_linestatus
 def tpch_q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped pricing summary: the canonical wide hash aggregate
     (map-side partial + final), decimal-exact sums."""
-    li = _t(spark, sf_dir, "lineitem").where(
-        F.to_date("l_shipdate") <= F.lit("2001-09-02").cast("date")
+    # decimal partial-aggregation is the dominant cost; fan single-split
+    # local scans out first (no-op at real scale, catalog.spread). Round-
+    # robin is fine: decimal sums are order-independent by construction.
+    li = catalog.spread(
+        _t(spark, sf_dir, "lineitem").where(
+            F.to_date("l_shipdate") <= F.lit("2001-09-02").cast("date")
+        )
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
