@@ -208,3 +208,30 @@ def brute_force_topk_vectorized(
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos", "rnk")
     )
+
+
+def near_dup_pairs_bucketed(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Bucketed embedding near-dup: coarse-quantize once, then compare only
+    within buckets — the linear-candidate scale path for near_dup_pairs
+    (pairs crossing a bucket boundary are missed; recall is bounded by the
+    quantizer, which tests measure against the exact form)."""
+    cb = assign_buckets(corpus, centroids, id_col, vec_col)
+    a = cb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    b = cb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, on="bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "bucket", "cos")
+    )

@@ -502,3 +502,51 @@ def sim_bruteforce_topk_vectorized(spark, sf_dir):
         .toPandas()
     )
     return similarity.brute_force_topk_vectorized(e, q_pdf, k=5)
+
+
+_BUCKETED_NEAR_DUP_ORACLE = f"""
+WITH {_SQL_EMB},
+cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, e.v, cent.centroid_id,
+         {_SQL_COS.format(a="e.v", b="cent.centv")} AS cs
+  FROM e, cent
+),
+assign AS (
+  SELECT vec_id, v, centroid_id AS bucket FROM (
+    SELECT vec_id, v, centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id)
+             AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
+         {_SQL_COS.format(a="a.v", b="b.v")} AS cos
+  FROM assign a JOIN assign b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, bucket, cos FROM p WHERE cos >= CAST(0.4 AS DOUBLE)
+"""
+
+
+@ext_query("emb_near_dup_bucketed", _BUCKETED_NEAR_DUP_ORACLE)
+def emb_near_dup_bucketed(spark, sf_dir):
+    """Bucketed embedding near-dup (cos ≥ 0.4 within IVF buckets) — the
+    linear-candidate scale path for emb_near_dup_pairs; recall vs the exact
+    form is measured in tests/test_extensions.py."""
+    e = _emb(spark, sf_dir, fan_out=True)
+    cent = e.where(F.col("vec_id") < 8)
+    return similarity.near_dup_pairs_bucketed(e, cent, threshold=0.4)
+
+
+@ext_query("agg_approx_percentile")
+def agg_approx_percentile(spark, sf_dir):
+    """approx_percentile (KLL-style mergeable sketch) per event_type — the
+    constant-memory scale path for agg_percentile. No SQL oracle (sketch
+    internals are engine-specific); tests bound its error against the exact
+    interpolated percentile."""
+    ev = catalog.table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("p50_approx"),
+        F.expr("approx_percentile(value, 0.9, 1000)").alias("p90_approx"),
+    )

@@ -108,3 +108,48 @@ def test_vectorized_topk_matches_jvm_path(spark, sf_dir):
     a = {(r["query_id"], r["neighbor_id"], r["rnk"]) for r in jvm.collect()}
     b = {(r["query_id"], r["neighbor_id"], r["rnk"]) for r in vec.collect()}
     assert a == b
+
+
+def test_bucketed_near_dup_recall(spark, sf_dir):
+    """Bucketed near-dup ⊆ exact near-dup (same threshold); recall is
+    bounded by the quantizer but should stay useful."""
+    from forgottenlandapp_etl_spark.operators import similarity
+
+    e = catalog.table(spark, sf_dir, "embeddings").select(
+        "vec_id", similarity.as_double(F.col("embedding")).alias("v")
+    )
+    cent = e.where(F.col("vec_id") < 8)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.near_dup_pairs(e, 0.4).select("id_a", "id_b").collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.near_dup_pairs_bucketed(e, cent, 0.4)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert got <= exact
+    # single-probe quantization against 8 arbitrary centroid vectors is a
+    # coarse filter; precision is exact (subset above), recall modest
+    if exact:
+        assert len(got) / len(exact) >= 0.2, (len(got), len(exact))
+
+
+def test_approx_percentile_within_bound(spark, sf_dir):
+    """The sketch percentile must land near the exact interpolated value."""
+    approx = {
+        r["event_type"]: (r["p50_approx"], r["p90_approx"])
+        for r in QUERIES["agg_approx_percentile"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: (r["p50"], r["p90"])
+        for r in QUERIES["agg_percentile"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, (e50, e90) in exact.items():
+        a50, a90 = approx[k]
+        spread50 = max(1.0, abs(e50)) * 0.1
+        spread90 = max(1.0, abs(e90)) * 0.1
+        assert abs(a50 - e50) <= spread50, (k, a50, e50)
+        assert abs(a90 - e90) <= spread90, (k, a90, e90)

@@ -37,6 +37,7 @@ CROSS_JOIN_OK = {
     "e3_period_online_time",
     "c1_skill_points",
     "sim_ivf_topk",
+    "emb_near_dup_bucketed",  # same 8-row centroid broadcast as sim_ivf
 }
 
 
