@@ -287,3 +287,59 @@ def wx_ntile(spark, sf_dir):
     return o.select(
         "o_orderkey", "o_orderstatus", F.ntile(4).over(w).cast("int").alias("quartile")
     )
+
+
+@query(
+    "agg_pivot",
+    """
+    SELECT user_id,
+      CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+      CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+      CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+      CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+      CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """PIVOT — long→wide event-type counts per user (the reference's
+    `expanded` 8-skill struct is this same shape, SURVEY.md J2 note). The
+    explicit value list keeps it one aggregate pass — no distinct-values
+    pre-scan."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = ev.groupBy("user_id").pivot("event_type", kinds).count()
+    # pivot leaves null where a user lacks a type; counts are 0 there
+    for k in kinds:
+        out = out.withColumn(k, F.coalesce(F.col(k), F.lit(0)))
+    return out
+
+
+@query(
+    "wx_range_frame",
+    """
+    SELECT event_id, user_id,
+      CAST(SUM(CAST(value AS DECIMAL(38,2))) OVER (
+        PARTITION BY user_id ORDER BY epoch(ts)
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_1h
+    FROM events
+    """,
+)
+def wx_range_frame(spark, sf_dir):
+    """RANGE-frame window — trailing 1-hour sum per user ordered by event
+    time: a value-based frame (all rows within 3600s), not a row-count
+    frame. Decimal sums keep it order-independent within the frame."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(38,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_1h"),
+    )
