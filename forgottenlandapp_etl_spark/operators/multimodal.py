@@ -86,13 +86,12 @@ def media_features(df: DataFrame) -> DataFrame:
 
 
 def decode_media(df: DataFrame, target_size: tuple[int, int] = (224, 224)) -> DataFrame:
-    """Decode + resize stage.
+    """Decode + resize stage — STUB on every path.
 
     With a real codec installed this would decode ``payload`` and emit
-    fixed-size tensors; in this container it raises by default, or applies a
-    DETERMINISTIC FAKE when ``allow_fake`` metadata is present — keeping the
-    pipeline wiring testable. Reference: stub per build instructions (no
-    media libs baked into the environment).
+    fixed-size tensors; this environment has no media libs, so the stage
+    always raises. Use :func:`fake_decode_media` explicitly for plumbing
+    tests — it exercises the exact schema/batching a real decoder would.
     """
     if not _real_decoder_available():
         raise NotImplementedError(

@@ -32,11 +32,20 @@ def add_rank(
 def add_missing_rank(
     df: DataFrame, order_by: list[Column], rank_name: str = "rank"
 ) -> DataFrame:
-    """W4 guarded variant — assign rank only where missing (etl.dart:250)."""
+    """W4 guarded variant (etl.dart:249-255) — the guard is LIST-level, not
+    per-row: if the first entry (in sort order) already carries a rank, the
+    whole snapshot is returned untouched; otherwise EVERY row gets its
+    list-position rank (overwriting any stragglers), exactly mirroring the
+    reference's early-return-then-assign-all loop. One window pass: the
+    first entry's rank is a first_value over the full frame.
+    """
     w = Window.orderBy(*order_by)
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return df.withColumn(
         rank_name,
-        F.coalesce(F.col(rank_name), F.row_number().over(w)),
+        F.when(
+            F.first(F.col(rank_name)).over(wfull).isNotNull(), F.col(rank_name)
+        ).otherwise(F.row_number().over(w)),
     )
 
 

@@ -112,6 +112,7 @@ class ETLPipelines:
             self.spark,
             self._path(T_EXP_GAIN),
             (F.col("period") != period) | (F.col("date") == date_to),
+            partition_cols=("period", "date"),
         )
         return out
 
@@ -166,6 +167,7 @@ class ETLPipelines:
             self.spark,
             self._path(T_ONLINETIME_PERIOD),
             (F.col("period") != period) | (F.col("date") == date_to),
+            partition_cols=("period", "date"),
         )
         return out
 

@@ -328,11 +328,16 @@ def agg_pivot(spark, sf_dir):
 def wx_range_frame(spark, sf_dir):
     """RANGE-frame window — trailing 1-hour sum per user ordered by event
     time: a value-based frame (all rows within 3600s), not a row-count
-    frame. Decimal sums keep it order-independent within the frame."""
+    frame. Decimal sums keep it order-independent within the frame.
+
+    Ordering key is FRACTIONAL epoch seconds (cast ts to double), matching
+    DuckDB's epoch(); unix_timestamp() would truncate to whole seconds and
+    make sub-second events in the same second frame peers — a data-
+    dependent oracle divergence."""
     ev = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
+        .orderBy(F.col("ts").cast("double"))
         .rangeBetween(-3600, 0)
     )
     return ev.select(

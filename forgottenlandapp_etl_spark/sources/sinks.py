@@ -40,17 +40,31 @@ def upsert_partitions(df: DataFrame, path: str, partition_cols: tuple[str, ...] 
 
 
 def retention_keep_only(
-    spark: SparkSession, path: str, predicate: F.Column, tmp_suffix: str = "__retained"
+    spark: SparkSession,
+    path: str,
+    predicate: F.Column,
+    partition_cols: tuple[str, ...] = (),
+    tmp_suffix: str = "__retained",
 ) -> None:
     """K4 — retention delete (etl.dart:270,:282,:394): keep only rows
     matching ``predicate`` (e.g. date == latest). Implemented as an
     anti-predicate rewrite; on a partitioned store this prunes to partition
-    drops. Two-phase (write aside, swap) for crash safety."""
+    drops. Two-phase (write aside, swap) for crash safety.
+
+    ``partition_cols`` MUST name the table's partition layout: rewriting a
+    partitioned table without partitionBy would flatten it, and the next
+    dynamic-partition upsert would then mix partition directories with flat
+    files — a layout Spark only reads via fragile duplicate-column
+    resolution, with every eq() partition prune lost.
+    """
     import shutil
 
     kept = spark.read.parquet(path).where(predicate)
     tmp = path.rstrip("/") + tmp_suffix
-    kept.write.mode("overwrite").parquet(tmp)
+    w = kept.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(tmp)
     shutil.rmtree(path)
     shutil.move(tmp, path)
 
@@ -59,9 +73,18 @@ def encode_nested_document(
     df: DataFrame, keys: tuple[str, ...], entry_cols: tuple[str, ...], doc_col: str = "data"
 ) -> DataFrame:
     """C7 encode — exploded rows → one row per key-tuple with the ranking as
-    a JSON array-of-structs document (the reference's `data` column)."""
+    a JSON array-of-structs document (the reference's `data` column).
+
+    ``sort_array`` pins the document's element order (struct-field
+    lexicographic, i.e. the first entry column dominates): collect_list
+    alone orders by partition arrival, which would make the serialized
+    document nondeterministic run-to-run. Put the ranking's order key
+    (e.g. rank) first in ``entry_cols``.
+    """
     entry = F.struct(*[F.col(c) for c in entry_cols])
-    return df.groupBy(*keys).agg(F.to_json(F.collect_list(entry)).alias(doc_col))
+    return df.groupBy(*keys).agg(
+        F.to_json(F.sort_array(F.collect_list(entry))).alias(doc_col)
+    )
 
 
 def decode_nested_document(

@@ -8,10 +8,17 @@ minutes, poll who's online and fold into a per-day accumulator
     idempotent partition upsert
 
 Batch (plans.reference_queries.a5_poll_minutes / e3_*) stays the semantic
-source of truth; the stream is verified against it in tests. Late data: the
-reference can't receive any (a poll only lands in "today"), mirrored by a
-1-day watermark; exactly-once comes from idempotent dynamic partition
-overwrite per micro-batch, matching the reference's upsert+guard discipline.
+source of truth; the stream is verified against it in tests. Exactly-once
+comes from idempotent dynamic partition overwrite per micro-batch, matching
+the reference's upsert+guard discipline.
+
+Scope note: run_stream is the BOUNDED drain (availableNow). It uses
+``complete`` output mode because the day-partition overwrite sink needs each
+day's full aggregate per batch — and in complete mode the watermark does
+NOT evict state, so this shape is wrong for an unbounded deployment. For
+continuous operation use streaming/stateful.py (update-mode accumulator
+with per-key state and optional idle-timeout eviction), whose sink upserts
+only the keys each batch touched.
 """
 
 from __future__ import annotations
@@ -31,7 +38,7 @@ def daily_minutes(stream: DataFrame, minutes_per_poll: int = 5) -> DataFrame:
     windows) and the watermark closes day windows one day after they end.
     """
     return (
-        stream.withWatermark("ts", "1 day")
+        stream.withWatermark("ts", "1 day")  # bounds state in update/append
         .groupBy(F.window("ts", "1 day").alias("w"), "user_id")
         .agg((F.count(F.lit(1)) * minutes_per_poll).cast("long").alias("minutes"))
         .select(
@@ -118,13 +125,26 @@ def stream_events_daily_counts(
     )
     qname = f"{name}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(qname)
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # materialize the (small: days × users) result into a standalone
+        # DataFrame so the memory-sink table and temp dirs can be released
+        # instead of accumulating across repeated invocations
+        out = spark.createDataFrame(
+            spark.table(qname).collect(), schema=spark.table(qname).schema
+        )
+    finally:
+        import shutil
+
+        spark.catalog.dropTempView(qname)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
+    return out

@@ -22,7 +22,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-STATE_SCHEMA = "minutes LONG, level INT, n_polls LONG"
+STATE_SCHEMA = (
+    "minutes LONG, level INT, n_polls LONG, last_ts_us LONG, last_event_id LONG"
+)
 OUTPUT_SCHEMA = "user_id LONG, minutes LONG, level INT, n_polls LONG"
 
 
@@ -36,25 +38,32 @@ def _merge_polls(
     """Fold this batch's polls for one user into the running accumulator.
 
     Mirrors etl.dart:370-373: every poll adds the cadence to the user's
-    minutes and the LATEST poll's level wins (ties on ts broken by poll id
-    so re-runs are deterministic).
+    minutes and the LATEST poll's level wins. The winning (ts, event_id) is
+    PERSISTED IN STATE, not batch-local: a late-arriving micro-batch whose
+    newest poll is older than the level already accumulated must not
+    overwrite it, and equal-ts ties break on event_id across batch/chunk
+    boundaries so re-runs are deterministic.
     """
     if state.hasTimedOut:
         state.remove()
         return
-    minutes, level, n_polls = state.get if state.exists else (0, None, 0)
-    last_ts = None
+    if state.exists:
+        minutes, level, n_polls, last_ts_us, last_eid = state.get
+    else:
+        minutes, level, n_polls, last_ts_us, last_eid = 0, None, 0, None, None
     for pdf in pdfs:
         n = len(pdf)
         n_polls += n
         minutes += n * minutes_per_poll
         pdf = pdf.sort_values(["ts", "event_id"])
         batch_last = pdf.iloc[-1]
-        if last_ts is None or batch_last["ts"] >= last_ts:
-            last_ts = batch_last["ts"]
+        ts_us = int(batch_last["ts"].value // 1000)
+        eid = int(batch_last["event_id"])
+        if last_ts_us is None or (ts_us, eid) >= (last_ts_us, last_eid):
+            last_ts_us, last_eid = ts_us, eid
             lv = batch_last["level"]
             level = None if pd.isna(lv) else int(lv)
-    state.update((minutes, level, n_polls))
+    state.update((minutes, level, n_polls, last_ts_us, last_eid))
     if idle_timeout_ms > 0:
         state.setTimeoutDuration(idle_timeout_ms)
     yield pd.DataFrame(

@@ -328,3 +328,73 @@ def test_stateful_accumulator_matches_batch(spark, tmp_path):
     for r in rows:
         last[r["user_id"]] = (r["minutes"], r["level"], r["n_polls"])
     assert last == {1: (15, 12, 3), 2: (5, 50, 1)}
+
+
+def test_add_missing_rank_guard_is_list_level(spark):
+    """etl.dart:249-255: first entry ranked => whole list untouched; first
+    entry unranked => EVERY row gets its list-position rank (stragglers
+    overwritten)."""
+    from forgottenlandapp_etl_spark.operators import windows
+
+    order = [F.desc("value"), F.asc("name")]
+    # all unranked -> positions 1..n
+    df = spark.createDataFrame(
+        [("a", 30, None), ("b", 20, None), ("c", 10, None)],
+        "name string, value long, rank int",
+    )
+    got = {r["name"]: r["rank"] for r in windows.add_missing_rank(df, order).collect()}
+    assert got == {"a": 1, "b": 2, "c": 3}
+    # first (by sort) ranked -> untouched, even with null stragglers
+    df = spark.createDataFrame(
+        [("a", 30, 7), ("b", 20, None)], "name string, value long, rank int"
+    )
+    got = {r["name"]: r["rank"] for r in windows.add_missing_rank(df, order).collect()}
+    assert got == {"a": 7, "b": None}
+    # first unranked -> ALL overwritten, pre-existing later ranks included
+    df = spark.createDataFrame(
+        [("a", 30, None), ("b", 20, 99)], "name string, value long, rank int"
+    )
+    got = {r["name"]: r["rank"] for r in windows.add_missing_rank(df, order).collect()}
+    assert got == {"a": 1, "b": 2}
+
+
+def test_encode_nested_document_is_order_deterministic(spark):
+    """The serialized ranking document must be byte-identical run-to-run
+    regardless of partitioning (sort_array pins element order)."""
+    from forgottenlandapp_etl_spark.sources import sinks as S
+
+    rows = [("d1", i, f"p{i}") for i in range(1, 21)]
+    a = spark.createDataFrame(rows, "date string, rank int, name string")
+    b = spark.createDataFrame(list(reversed(rows)), "date string, rank int, name string").repartition(7)
+    da = S.encode_nested_document(a, ("date",), ("rank", "name")).collect()[0]["data"]
+    db = S.encode_nested_document(b, ("date",), ("rank", "name")).collect()[0]["data"]
+    assert da == db
+    assert '"rank":1' in da.split("},{")[0]
+
+
+def test_retention_preserves_partition_layout(spark, tmp_path):
+    """After retention, the table must still be partition-dir laid out so
+    the next dynamic-partition upsert doesn't create a mixed layout."""
+    import os as _os
+
+    p = str(tmp_path / "t")
+    for d in ("d1", "d2"):
+        sinks.upsert_partitions(
+            spark.createDataFrame([(d, 1)], "k string, v int").withColumn(
+                "date", F.lit(d)
+            ),
+            p,
+        )
+    sinks.retention_keep_only(
+        spark, p, F.col("date") == "d2", partition_cols=("date",)
+    )
+    assert _os.path.isdir(_os.path.join(p, "date=d2"))
+    # follow-up upsert must not warn/mix: same partitioned layout
+    sinks.upsert_partitions(
+        spark.createDataFrame([("d3", 3)], "k string, v int").withColumn(
+            "date", F.lit("d3")
+        ),
+        p,
+    )
+    got = {r["date"] for r in spark.read.parquet(p).select("date").collect()}
+    assert got == {"d2", "d3"}
