@@ -8,7 +8,7 @@ Four tiers, each a different cost/recall point at 100 TB:
 - MinHash + LSH    shingle→minhash signature→banded bucket join: candidate
                    generation is linear in corpus size, verification only
                    within buckets — the scale path
-- SimHash          64→32-bit projection; equal-signature buckets catch
+- SimHash          31-bit sign projection; equal-signature buckets catch
                    near-identical docs at one shuffle
 
 Everything is engine-native column math: token hashes derive from md5 (a
@@ -34,7 +34,9 @@ MINHASH_COEFFS: list[tuple[int, int]] = [
     (_rng.randrange(1, MERSENNE_31), _rng.randrange(0, MERSENNE_31)) for _ in range(16)
 ]
 LSH_BANDS = 4  # 16 hashes = 4 bands × 4 rows
-SIMHASH_BITS = 32
+# 31, not 32: token hashes live in the 31-bit Mersenne-prime domain, so a
+# 32nd signature bit would always be 0 (dead weight, inflated claim)
+SIMHASH_BITS = 31
 
 
 def token_hash(tok: Column) -> Column:
@@ -231,7 +233,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
 
     bit_j(sig) = sign of Σ_tokens (2·bit_j(H(tok)) − 1): one groupBy with
     ``bits`` SUM aggregates (map-side combinable), then the signature is
-    recomposed bit by bit. Equal signatures → near-identical docs.
+    recomposed bit by bit. Equal signatures → near-identical docs. ``bits``
+    is capped by the token-hash domain (31-bit prime) — asking for more
+    would only add always-zero bits.
     """
     tok = (
         df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
