@@ -99,3 +99,26 @@ def fingerprint(text: Column) -> Column:
     """Document fingerprint = md5 of the normalized text: the exact-dedup
     key and the anchor for incremental corpus diffing."""
     return F.md5(normalize(text))
+
+
+def make_chunker_udtf(chunk_tokens: int = 16):
+    """Python UDTF (Spark 4 arrow-optimized) that fans a document out into
+    fixed-size token chunks — the §2.10 user-extensibility surface the
+    reference lacks entirely. One input row → N output rows with a stable
+    chunk index; deterministic, so it stays oracle-comparable.
+
+    UDTFs are the lazy-iterator row-multiplying cousin of mapInPandas:
+    use them when the fan-out factor varies per row and downstream wants
+    plain rows, not arrays.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: int, chunk: string, n_tokens: int")
+    class ChunkDocument:
+        def eval(self, text: str):
+            toks = (text or "").split(" ")
+            for i in range(0, len(toks), chunk_tokens):
+                part = toks[i : i + chunk_tokens]
+                yield i // chunk_tokens, " ".join(part), len(part)
+
+    return ChunkDocument

@@ -550,3 +550,51 @@ def agg_approx_percentile(spark, sf_dir):
         F.expr("approx_percentile(value, 0.5, 1000)").alias("p50_approx"),
         F.expr("approx_percentile(value, 0.9, 1000)").alias("p90_approx"),
     )
+
+
+@ext_query(
+    "text_udtf_chunks",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    c AS (
+      SELECT doc_id, CAST(g.i AS INT) AS chunk_idx,
+             array_to_string(t[g.i * 16 + 1 : g.i * 16 + 16], ' ') AS chunk,
+             CAST(LEAST(16, len(t) - g.i * 16) AS INT) AS n_tokens
+      FROM toks,
+           UNNEST(generate_series(0, CAST(ceil(len(t) / 16.0) AS INT) - 1)) g(i)
+    )
+    SELECT doc_id, chunk_idx, chunk, n_tokens FROM c
+    """,
+)
+def text_udtf_chunks(spark, sf_dir):
+    """Document → fixed-16-token chunks via a Python UDTF (lateral join) —
+    the variable-fan-out row-multiplying extensibility surface (§2.10),
+    oracle-checked against an arithmetic reconstruction of the chunking."""
+    from ..operators.text import make_chunker_udtf
+
+    spark.udtf.register("chunk_document", make_chunker_udtf(16))
+    d = _docs(spark, sf_dir, fan_out=True)
+    d.createOrReplaceTempView("__docs_for_chunks")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_tokens "
+        "FROM __docs_for_chunks d, LATERAL chunk_document(d.text) c"
+    )
+
+
+@ext_query(
+    "c7b_variant_extract",
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k
+    FROM events
+    """,
+)
+def c7b_variant_extract(spark, sf_dir):
+    """Semi-structured access via Spark 4 VariantType: parse_json once into
+    a variant and extract typed fields — the modern engine path for the
+    reference's JSON-document columns (C7), cheaper than schema-on-read
+    from_json for sparse access patterns."""
+    ev = catalog.table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+    )

@@ -202,3 +202,19 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     a = sorted(map(tuple, plain.select("event_id", "n_user_events").collect()))
     b = sorted(map(tuple, salted.select("event_id", "n_user_events").collect()))
     assert a == b
+
+
+def test_spread_is_noop_on_well_split_input(spark, sf_dir):
+    """spread() must add NO shuffle when the scan already has >= session
+    parallelism splits (the 100 TB case), and must fan out a single-split
+    scan (the local-fixture case)."""
+    from forgottenlandapp_etl_spark import catalog
+
+    single = catalog.table(spark, sf_dir, "documents")
+    assert single.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    assert (
+        catalog.spread(single).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    wide = single.repartition(spark.sparkContext.defaultParallelism * 2)
+    assert catalog.spread(wide) is wide  # untouched, no extra exchange
