@@ -398,3 +398,41 @@ def test_retention_preserves_partition_layout(spark, tmp_path):
     )
     got = {r["date"] for r in spark.read.parquet(p).select("date").collect()}
     assert got == {"d2", "d3"}
+
+
+def test_snapshot_diff_duplicate_names_first_match(spark):
+    """SURVEY §7.3 hard part 1 (etl.dart:234 firstWhere): on duplicate
+    names in the build side, only the FIRST entry (lowest rank = list
+    position) matches — a plain relational join would multiply rows AND
+    use both values."""
+    from forgottenlandapp_etl_spark.operators import joins as J
+
+    yesterday = spark.createDataFrame(
+        [("alice", 100, 1), ("alice", 50, 2), ("bob", 40, 3)],
+        "name string, value long, rank int",
+    )
+    today = spark.createDataFrame(
+        [("alice", 150, 1), ("bob", 45, 2)], "name string, value long, rank int"
+    )
+    out = J.snapshot_diff(
+        today, yesterday, key="name", value="value", gain_name="gain",
+        dedupe_order="rank",
+    ).collect()
+    got = {r["name"]: r["gain"] for r in out}
+    assert len(out) == 2  # exactly one row per today entry, no multiplicity
+    assert got == {"alice": 50, "bob": 5}  # vs first match (100), not second (50)
+
+
+def test_snapshot_diff_null_values_dropped(spark):
+    """F5 validity (etl.dart:243-247): null values on either side drop the
+    pair entirely instead of coalescing to 0."""
+    from forgottenlandapp_etl_spark.operators import joins as J
+
+    yesterday = spark.createDataFrame(
+        [("alice", None, 1), ("bob", 40, 2)], "name string, value long, rank int"
+    )
+    today = spark.createDataFrame(
+        [("alice", 150, 1), ("bob", None, 2)], "name string, value long, rank int"
+    )
+    out = J.snapshot_diff(today, yesterday, dedupe_order="rank").collect()
+    assert out == []
