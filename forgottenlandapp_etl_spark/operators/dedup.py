@@ -253,3 +253,72 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     for j in range(bits):
         sig = sig + F.when(F.col(f"w{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return w.select(F.col(id_col), sig.alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster assembly: connected components over near-dup pairs.
+
+    Returns (id, component) where component = min id reachable through the
+    pair graph — the canonical keeper for each duplicate cluster. This is
+    the iterative step after any pair tier (exact, LSH, SimHash bucket,
+    embedding cosine): pairs only relate two docs, clusters need closure.
+
+    Algorithm: alternating large-star rounds of min-label propagation.
+    Each iteration is one groupBy (map-side-combinable MIN) + one join —
+    both hash-partitioned on id, no driver-side graph. Converges in
+    O(log n) rounds for typical near-dup graphs (short chains); the
+    iteration cap bounds worst-case path graphs, and convergence is checked
+    with a count of changed labels per round (one lightweight action each —
+    an iterative algorithm is the one place per-round actions are the
+    design, not a smell).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    # initial label: min neighbor (including self)
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("component"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("component")).alias("component"),
+        )
+    )
+    for _ in range(max_iterations):
+        # propagate: my next label = min(my label, labels of my neighbors)
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "dst"), on="dst")
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min.withColumnRenamed("src", "id"), on="id", how="left"
+            )
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -235,3 +235,25 @@ def near_dup_pairs_bucketed(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "bucket", "cos")
     )
+
+
+def kmeans_centroids(
+    corpus: DataFrame, k: int = 8, vec_col: str = "v", seed: int = 42
+) -> DataFrame:
+    """Learn IVF centroids with Spark MLlib k-means (distributed Lloyd's —
+    the real coarse quantizer, vs. the take-first-k placeholder that
+    oracle-paired queries use for determinism). Returns (centroid_id,
+    centv) shaped exactly like the centroid relations ivf_topk /
+    near_dup_pairs_bucketed consume. Training is one cached scan + a few
+    aggregate rounds; at 100 TB train on a sample (KMeans handles that
+    upstream via df.sample)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=20).fit(feats)
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        centers, f"centroid_id int, centv array<double>"
+    ).select(F.col("centroid_id").alias("vec_id"), F.col("centv").alias(vec_col))

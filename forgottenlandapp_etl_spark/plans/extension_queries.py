@@ -598,3 +598,85 @@ def c7b_variant_extract(spark, sf_dir):
         "event_id",
         F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
     )
+
+
+def _components_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_SQL_SHINGLES.strip()}, {_minhash_sig_sql().strip()},
+    {_lsh_candidates_sql()}, {_SQL_JACCARD_PAIRS.strip()},
+    verified AS (
+      SELECT jp.id_a, jp.id_b
+      FROM jp JOIN cand ON jp.id_a = cand.id_a AND jp.id_b = cand.id_b
+      WHERE jp.jaccard >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION
+      SELECT id_b, id_a FROM verified
+    ),
+    reach(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    )
+    SELECT a AS id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+    """
+
+
+@ext_query("dedup_components", _components_oracle())
+def dedup_components(spark, sf_dir):
+    """Duplicate-cluster assembly: connected components (iterative min-label
+    propagation, one groupBy+join per round) over the MinHash-LSH verified
+    pairs — the closure step that turns pairwise near-dups into keeper
+    clusters. Oracle: recursive-CTE transitive closure over the same pairs
+    (feasible at oracle scale; the Spark form is the one that scales)."""
+    d = _docs(spark, sf_dir, fan_out=True)
+    pairs = dedup.minhash_lsh_dedup(d, "doc_id", "text", threshold=0.8)
+    return dedup.connected_components(pairs, "id_a", "id_b")
+
+
+@ext_query(
+    "pipeline_clean_corpus",
+    f"""
+    WITH keepers AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents GROUP BY {_FP_SQL}
+    )
+    SELECT d.doc_id, d.lang,
+      CAST(len(string_split(d.text, ' ')) AS INT) AS n_toks,
+      CAST(0.4 AS DOUBLE) * LEAST(CAST(len(string_split(d.text,' ')) AS DOUBLE) / 64, CAST(1 AS DOUBLE))
+      + CAST(0.3 AS DOUBLE) * (CAST(len(list_distinct(string_split(d.text,' '))) AS DOUBLE)
+                               / len(string_split(d.text,' ')))
+      + CAST(0.3 AS DOUBLE) * LEAST(
+          (CAST(len(list_filter(string_split(d.text,' '), x -> x = 'the'))
+               + len(list_filter(string_split(d.text,' '), x -> x = 'a'))
+               + len(list_filter(string_split(d.text,' '), x -> x = 'of'))
+               + len(list_filter(string_split(d.text,' '), x -> x = 'and'))
+               + len(list_filter(string_split(d.text,' '), x -> x = 'to')) AS DOUBLE)
+           / len(string_split(d.text,' '))) * 8, CAST(1 AS DOUBLE)) AS quality
+    FROM documents d
+    JOIN keepers k ON d.doc_id = k.doc_id
+    WHERE CAST(len(string_split(d.text, ' ')) AS INT) >= 8
+    """,
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    """End-to-end LLM-data cleaning pipeline in ONE composed plan: exact
+    dedup (keep lowest doc_id per fingerprint, a left-semi join against the
+    keeper set) → minimum-length filter → quality scoring + token
+    accounting. The shape every preprocessing run takes before training:
+    one scan feeds dedup and scoring, no intermediate materialization."""
+    d = _docs(spark, sf_dir)
+    keepers = dedup.exact_dedup(d, "doc_id", text.fingerprint(F.col("text"))).select(
+        F.col("keeper").alias("doc_id")
+    )
+    t = F.col("text")
+    return (
+        d.join(keepers, "doc_id", "left_semi")
+        .where(text.n_tokens(t) >= 8)
+        .select(
+            "doc_id",
+            "lang",
+            text.n_tokens(t).alias("n_toks"),
+            text.quality_score(t).alias("quality"),
+        )
+    )

@@ -153,3 +153,42 @@ def test_approx_percentile_within_bound(spark, sf_dir):
         spread90 = max(1.0, abs(e90)) * 0.1
         assert abs(a50 - e50) <= spread50, (k, a50, e50)
         assert abs(a90 - e90) <= spread90, (k, a90, e90)
+
+
+def test_connected_components_path_and_star(spark):
+    """Multi-round convergence: a 9-node path (needs several label-
+    propagation rounds) plus a star and a singleton pair all collapse to
+    min-id components."""
+    pairs = [(i, i + 1) for i in range(1, 9)]          # path 1-…-9
+    pairs += [(100, j) for j in (101, 102, 103)]       # star
+    pairs += [(200, 201)]                              # pair
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in dedup.connected_components(df).collect()}
+    assert {got[i] for i in range(1, 10)} == {1}
+    assert {got[i] for i in (100, 101, 102, 103)} == {100}
+    assert {got[i] for i in (200, 201)} == {200}
+
+
+def test_kmeans_centroids_contract(spark, sf_dir):
+    """MLlib-learned IVF centroids: k centroids of the right width, a
+    complete bucket assignment of the corpus, and seed-determinism. (On
+    this synthetic near-uniform embedding fixture single-probe recall is
+    centroid-agnostic noise, so quality is NOT asserted — the operator's
+    contract is shape + determinism; quantizer quality is data-dependent.)"""
+    from forgottenlandapp_etl_spark.operators import similarity
+
+    e = catalog.table(spark, sf_dir, "embeddings").select(
+        "vec_id", similarity.as_double(F.col("embedding")).alias("v")
+    )
+    dim = len(e.first()["v"])
+    cent = similarity.kmeans_centroids(e, k=8)
+    rows = cent.collect()
+    assert len(rows) == 8
+    assert all(len(r["v"]) == dim for r in rows)
+    # complete partition: every corpus vector lands in exactly one bucket
+    assigned = similarity.assign_buckets(e, cent)
+    assert assigned.count() == e.count()
+    assert assigned.select("bucket").distinct().count() <= 8
+    # deterministic under a fixed seed
+    again = similarity.kmeans_centroids(e, k=8).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
