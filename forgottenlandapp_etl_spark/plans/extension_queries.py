@@ -680,3 +680,28 @@ def pipeline_clean_corpus(spark, sf_dir):
             text.quality_score(t).alias("quality"),
         )
     )
+
+
+@ext_query(
+    "pipeline_train_val_split",
+    f"""
+    SELECT doc_id,
+           CASE WHEN CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 100 < 90
+                THEN 'train' ELSE 'val' END AS split
+    FROM documents
+    """,
+)
+def pipeline_train_val_split(spark, sf_dir):
+    """Deterministic 90/10 train/val split by content-independent id hash —
+    the reproducible alternative to seeded df.sample (whose output depends
+    on partitioning and engine). Same md5-fold hash as the dedup tiers, so
+    the split is identical in any engine, any run, any cluster layout —
+    the property a training-data pipeline actually needs."""
+    d = _docs(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    ) % 100
+    return d.select(
+        "doc_id", F.when(h < 90, "train").otherwise("val").alias("split")
+    )
