@@ -348,3 +348,46 @@ def wx_range_frame(spark, sf_dir):
         .cast("double")
         .alias("trailing_1h"),
     )
+
+
+@query(
+    "agg_session_windows",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT CAST(MIN(ts) AS VARCHAR) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS session_end,
+           user_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def agg_session_windows(spark, sf_dir):
+    """Sessionization — F.session_window with a 30-minute inactivity gap:
+    events merge while each arrives within the gap of the session's end
+    (session end = last event + gap). The oracle reconstructs identical
+    sessions with the gaps-and-islands idiom (lag → boundary flag →
+    running-sum session id). In batch this is one shuffle on user_id; the
+    same expression runs under Structured Streaming for live sessions."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("string").alias("session_start"),
+            F.col("w.end").cast("string").alias("session_end"),
+            "user_id",
+            "n",
+        )
+    )

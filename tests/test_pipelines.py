@@ -436,3 +436,54 @@ def test_snapshot_diff_null_values_dropped(spark):
     )
     out = J.snapshot_diff(today, yesterday, dedupe_order="rank").collect()
     assert out == []
+
+
+def test_append_mode_emits_only_watermark_closed_windows(spark, tmp_path):
+    """Append output mode + watermark semantics: a day window is emitted
+    once the watermark (max event time − 1 day) passes its end — and never
+    re-emitted. Files arrive in two micro-batches; only day 1 closes."""
+    days = [
+        (1, "2024-01-01 01:00:00", 1),
+        (2, "2024-01-01 02:00:00", 1),
+        (3, "2024-01-02 01:00:00", 2),  # moves watermark past day-1 end? no: wm = 2024-01-01 01:00
+        (4, "2024-01-03 05:00:00", 1),  # wm = 2024-01-02 05:00 > day-1 end -> closes day 1
+    ]
+    src = str(tmp_path / "src")
+    import os as _os
+
+    _os.makedirs(src)
+    for i, row in enumerate(days):
+        spark.createDataFrame(
+            [row], "event_id long, ts string, user_id long"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.to_date("w.start").cast("string").alias("day"), "user_id", "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("append_wm")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["day"], r["user_id"]): r["n"]
+        for r in spark.sql("select * from append_wm").collect()
+    }
+    spark.catalog.dropTempView("append_wm")
+    # only day 1 is closed by the final watermark (2024-01-02 05:00);
+    # days 2 and 3 remain open state, not emitted
+    assert got == {("2024-01-01", 1): 2}
