@@ -71,7 +71,7 @@ def main() -> None:
     for name in names:
         materialize(QUERIES[name](spark, sf_dir))
         measured = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             materialize(QUERIES[name](spark, sf_dir))
             measured.append(time.perf_counter() - t0)
@@ -83,8 +83,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
-        "runs_per_query": 3,
-        "policy": "steady-state: 1 warmup run, min of 2 measured runs",
+        "runs_per_query": 4,
+        "policy": "steady-state: 1 warmup run, min of 3 measured runs",
     }
     print(json.dumps(out))
     sys.stdout.flush()
