@@ -391,3 +391,56 @@ def agg_session_windows(spark, sf_dir):
             "n",
         )
     )
+
+
+@query(
+    "agg_corr_stats",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sy,
+             CAST(SUM(CAST(value AS DECIMAL(38,2))
+                      * CAST(json_extract(props, '$.k') AS INT)) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(value AS DECIMAL(38,2)) * CAST(value AS DECIMAL(38,2)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)
+                      * CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS syy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             AS corr_vk
+    FROM s
+    """,
+)
+def agg_corr_stats(spark, sf_dir):
+    """Correlation per group, decimal-sum formulation: built-in F.corr
+    accumulates doubles in partition order (nondeterministic last bits), so
+    the moments are summed EXACTLY (decimal / integer) and the Pearson
+    formula applies once at the end — bit-stable across engines and runs,
+    still one map-side-combinable aggregate pass."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(38,2)")
+    y = F.get_json_object("props", "$.k").cast("int")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y.cast("long") * y.cast("long")).cast("long").alias("syy"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+            )
+        ).alias("corr_vk"),
+    )

@@ -34,6 +34,10 @@ def write_bucketed(
     ``path``, metadata in the session catalog) — warehouse.dir is a static
     conf, so tests and ad-hoc sessions pass an explicit location.
     """
+    # cluster rows by bucket before the write: without this every upstream
+    # task emits one file per bucket it holds (tasks x buckets small files
+    # at scale); after it, each bucket is written by one task
+    df = df.repartition(n_buckets, df[bucket_col])
     w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
         w = w.sortBy(sort_col)

@@ -38,10 +38,22 @@ ONLINE_SCHEMA = (
 
 def _read(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """PERMISSIVE read: malformed documents land in ``_corrupt`` instead of
-    failing the scan (the engine-side analog of etl.dart's is!-guards)."""
+    failing the scan (the engine-side analog of etl.dart's is!-guards).
+
+    ``multiLine=true``: one landed file per API page, pretty-printed or
+    compact — without it a pretty-printed payload parses line-by-line into
+    all-corrupt rows and the scan silently returns nothing.
+
+    Downstream filters deliberately test the payload STRUCT for null rather
+    than ``_corrupt``: PERMISSIVE populates _corrupt for ANY field-level
+    type mismatch while nulling only the bad field, so filtering on
+    _corrupt would throw away a whole 50-entry page over one bad field —
+    the reference's per-element guards (etl.dart:95-102) keep the rest.
+    """
     return (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")
+        .option("multiLine", "true")
         .option("columnNameOfCorruptRecord", "_corrupt")
         .json(path)
     )
@@ -52,8 +64,7 @@ def read_worlds(spark: SparkSession, path: str) -> DataFrame:
     ``worlds.regular_worlds``, explode, drop nulls/corrupt."""
     raw = _read(spark, path, WORLDS_SCHEMA)
     return (
-        raw.where(F.col("_corrupt").isNull())
-        .where(F.col("worlds.regular_worlds").isNotNull())
+        raw.where(F.col("worlds.regular_worlds").isNotNull())
         .select(F.explode("worlds.regular_worlds").alias("w"))
         .select("w.name", "w.location", "w.pvp_type")
         .where(F.col("name").isNotNull())
@@ -68,9 +79,7 @@ def read_highscores_pages(spark: SparkSession, path: str) -> DataFrame:
     entry row.
     """
     raw = _read(spark, path, HIGHSCORES_SCHEMA)
-    h = raw.where(F.col("_corrupt").isNull()).where(
-        F.col("highscores.list").isNotNull()
-    )
+    h = raw.where(F.col("highscores.list").isNotNull())
     return h.select(
         F.col("highscores.world").alias("world"),
         F.col("highscores.category").alias("category"),
@@ -91,9 +100,7 @@ def read_online(spark: SparkSession, path: str) -> DataFrame:
     player list and stamp each row with its world (the F.lit tag becomes a
     column carried from the document itself — no per-world loop needed)."""
     raw = _read(spark, path, ONLINE_SCHEMA)
-    w = raw.where(F.col("_corrupt").isNull()).where(
-        F.col("world.online_players").isNotNull()
-    )
+    w = raw.where(F.col("world.online_players").isNotNull())
     return w.select(
         F.col("world.name").alias("world"),
         F.explode("world.online_players").alias("p"),

@@ -55,7 +55,13 @@ def _merge_polls(
         n = len(pdf)
         n_polls += n
         minutes += n * minutes_per_poll
-        pdf = pdf.sort_values(["ts", "event_id"])
+        # null ts/event_id rows count toward minutes but can never win the
+        # latest-poll contest: pandas sorts NaT/NaN LAST, so without this
+        # dropna a null-ts row would be chosen as "latest" (clobbering the
+        # level) and int(NaN) would kill the query
+        pdf = pdf.dropna(subset=["ts", "event_id"]).sort_values(["ts", "event_id"])
+        if not len(pdf):
+            continue
         batch_last = pdf.iloc[-1]
         ts_us = int(batch_last["ts"].value // 1000)
         eid = int(batch_last["event_id"])

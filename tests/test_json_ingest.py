@@ -106,3 +106,44 @@ def test_read_online_tags_world_from_document(spark, tmp_path):
     df = json_ingest.read_online(spark, path)
     assert df.count() == 2
     assert set(r["world"] for r in df.collect()) == {"Antica"}
+
+
+def test_field_level_mismatch_keeps_rest_of_page(spark, tmp_path):
+    """One type-mismatched field must null that field only — not discard
+    the whole 2-entry page (etl.dart:95-102 element-level tolerance)."""
+    path = _land(
+        tmp_path,
+        "mixed",
+        [
+            {
+                "highscores": {
+                    "world": "Antica",
+                    "category": "experience",
+                    "page": 1,
+                    "list": [
+                        {"rank": 1, "name": "alice", "vocation": "Knight",
+                         "world": "Antica", "level": "not-a-number", "value": 5000},
+                        {"rank": 2, "name": "bob", "vocation": "Druid",
+                         "world": "Antica", "level": 80, "value": 4000},
+                    ],
+                }
+            }
+        ],
+    )
+    rows = {r["name"]: r for r in json_ingest.read_highscores_pages(spark, path).collect()}
+    assert set(rows) == {"alice", "bob"}
+    assert rows["alice"]["level"] is None  # bad field nulled, row kept
+    assert rows["bob"]["level"] == 80
+
+
+def test_pretty_printed_page_parses(spark, tmp_path):
+    """multiLine mode: a pretty-printed landed payload must parse, not
+    silently become all-corrupt rows."""
+    pretty = json.dumps(
+        {"worlds": {"regular_worlds": [
+            {"name": "Antica", "location": "EU", "pvp_type": "Open"}]}},
+        indent=2,
+    )
+    path = _land(tmp_path, "pretty", [pretty])
+    got = [r["name"] for r in json_ingest.read_worlds(spark, path).collect()]
+    assert got == ["Antica"]

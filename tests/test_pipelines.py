@@ -487,3 +487,36 @@ def test_append_mode_emits_only_watermark_closed_windows(spark, tmp_path):
     # only day 1 is closed by the final watermark (2024-01-02 05:00);
     # days 2 and 3 remain open state, not emitted
     assert got == {("2024-01-01", 1): 2}
+
+
+def test_stateful_accumulator_tolerates_null_rows(spark, tmp_path):
+    """A null-ts / null-event_id poll row counts toward minutes but must
+    neither win the latest-level contest nor crash the query."""
+    from forgottenlandapp_etl_spark.streaming import stateful
+
+    polls = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1, 50),
+            (None, None, 1, None),  # malformed poll row
+        ],
+        "event_id long, ts string, user_id long, level int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "polls")
+    polls.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, level int"
+    ).parquet(src)
+    q = (
+        stateful.accumulate_online_time(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("acc_null_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from acc_null_test").collect()
+    spark.catalog.dropTempView("acc_null_test")
+    last = {r["user_id"]: (r["minutes"], r["level"], r["n_polls"]) for r in rows}
+    assert last == {1: (10, 50, 2)}  # both rows counted; level from valid row
