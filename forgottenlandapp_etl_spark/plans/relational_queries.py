@@ -444,3 +444,84 @@ def agg_corr_stats(spark, sf_dir):
             )
         ).alias("corr_vk"),
     )
+
+
+@query(
+    "wx_percent_rank",
+    """
+    SELECT o_orderkey,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def wx_percent_rank(spark, sf_dir):
+    """PERCENT_RANK + CUME_DIST — relative-position statistics per status
+    partition; exact rationals of rank and count, so bit-equal across
+    engines given the deterministic tiebreaker."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@query(
+    "set_union",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def set_union(spark, sf_dir):
+    """UNION (distinct) — completes the set-op triple next to u1's
+    UNION ALL: union + distinct collapses duplicates in one hash shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select("user_id")
+    b = ev.where(F.col("event_type") == "error").select("user_id")
+    return a.union(b).distinct()
+
+
+@query(
+    "c9_posexplode_tokens",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    SELECT doc_id, CAST(g.i - 1 AS INT) AS pos, t[g.i] AS token
+    FROM toks, UNNEST(generate_series(1, len(t))) g(i)
+    WHERE doc_id < 50
+    """,
+)
+def c9_posexplode_tokens(spark, sf_dir):
+    """posexplode — lateral array expansion WITH ORDINALITY (position
+    preserved), the building block under every tokenization/shingling
+    stage; explicit here for §2 completeness."""
+    d = catalog.table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+
+
+@query(
+    "agg_array_agg_sorted",
+    """
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_array_agg_sorted(spark, sf_dir):
+    """Deterministic array aggregation: collect_set's arrival order is
+    nondeterministic, so the engine's discipline is sort_array before any
+    serialization — emitted as a joined string so the comparison is
+    order-exact."""
+    ev = catalog.table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types")
+    )
