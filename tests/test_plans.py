@@ -218,3 +218,23 @@ def test_spread_is_noop_on_well_split_input(spark, sf_dir):
     )
     wide = single.repartition(spark.sparkContext.defaultParallelism * 2)
     assert catalog.spread(wide) is wide  # untouched, no extra exchange
+
+
+def test_missing_sf_dir_raises_analysis_exception(spark):
+    """A query against a nonexistent data dir must fail with Spark's
+    AnalysisException (clean, actionable), not an opaque Py4J error."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        QUERIES["j1_snapshot_diff"](spark, "/root/testdata/sf-nope").collect()
+
+
+def test_rerun_determinism(spark, sf_dir):
+    """Two runs of the same query must produce identical canonical results —
+    the repartitions, distincts, and window specs are all pinned."""
+    from tests.oracle import canonicalize
+
+    for name in ("j1_snapshot_diff", "dedup_minhash_lsh", "agg_session_windows"):
+        a = canonicalize(QUERIES[name](spark, sf_dir).toPandas())
+        b = canonicalize(QUERIES[name](spark, sf_dir).toPandas())
+        assert a == b, name
