@@ -1,0 +1,48 @@
+"""Simulate the driver's t2 gate: vanilla SparkSession (none of the engine's
+tuned configs), every queries() entry vs its DuckDB oracle, order-insensitive
+value hash over name-sorted columns. Env GATE_SF overrides the scale dir
+(default sf0.01; run sf0.1 too before shipping — data-dependent divergences
+like frame-boundary ties only surface with more data)."""
+import sys, os, hashlib, math, datetime as dt
+sys.path.insert(0, "/root/repo")
+import duckdb
+import numpy as np, pandas as pd
+from pyspark.sql import SparkSession
+
+SF = os.environ.get("GATE_SF", "/root/testdata/sf0.01")
+spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+import __spark_entry__ as e
+qs, osql = e.queries(), e.oracle_sql()
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = []
+    for row in df.itertuples(index=False, name=None):
+        cells = []
+        for x in row:
+            if x is None or (isinstance(x, float) and math.isnan(x)): cells.append("∅")
+            elif isinstance(x, (np.floating, float)):
+                v = float(x); cells.append("∅" if math.isnan(v) else repr(v))
+            elif isinstance(x, (np.integer, int)): cells.append(str(int(x)))
+            elif isinstance(x, (np.bool_, bool)): cells.append(str(bool(x)))
+            elif isinstance(x, (pd.Timestamp, dt.datetime, dt.date)): cells.append(x.isoformat())
+            else: cells.append(str(x))
+        out.append("|".join(cells))
+    return hashlib.md5("\n".join(sorted(out)).encode()).hexdigest(), len(out)
+
+con = duckdb.connect()
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+fails = []
+for name in sorted(qs):
+    sdf = qs[name](spark, SF).toPandas()
+    if name not in osql:
+        print("ROWS-ONLY", name, f"rows={len(sdf)}")
+        continue
+    odf = con.execute(osql[name]).fetchdf()
+    hs, ns = canon(sdf); ho, no = canon(odf)
+    ok = hs == ho and ns == no
+    if not ok: fails.append(name)
+    print(("PASS" if ok else "FAIL"), name, f"rows={ns}/{no}")
+print("TOTAL", len(qs), "FAILS", fails)
