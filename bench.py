@@ -43,9 +43,13 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_components",
     "text_stats",
     "sim_bruteforce_topk",
     "mm_media_features",
+    "agg_session_windows",
+    "agg_corr_stats",
+    "pipeline_clean_corpus",
 ]
 
 

@@ -281,6 +281,10 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # materialize ONCE: every iteration joins against edges, and without
+        # this the whole upstream pair-generation pipeline (e.g. MinHash-LSH)
+        # would re-execute per round
+        .localCheckpoint(eager=True)
     )
     # initial label: min neighbor (including self)
     labels = (
