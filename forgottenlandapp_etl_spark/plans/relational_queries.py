@@ -525,3 +525,29 @@ def agg_array_agg_sorted(spark, sf_dir):
     return ev.groupBy("user_id").agg(
         F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types")
     )
+
+
+@query(
+    "wx_rank_vs_dense_rank",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(RANK() OVER w AS INT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INT) AS drnk
+    FROM lineitem
+    WHERE l_orderkey < 200
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_quantity DESC)
+    """,
+)
+def wx_rank_vs_dense_rank(spark, sf_dir):
+    """RANK vs DENSE_RANK under ties — the two tie-aware ranking semantics
+    next to W4's row_number (which the reference's list-position rank
+    required). Tie groups share a rank, so no tiebreaker column is needed
+    for the rank VALUES to be deterministic."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    w = Window.partitionBy("l_orderkey").orderBy(F.desc("l_quantity"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+    )
