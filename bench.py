@@ -68,7 +68,7 @@ def main() -> None:
 
     # Steady-state methodology: one warmup run pays JVM JIT + codegen
     # (one-time costs that amortize to zero at production scale), then the
-    # best of two measured runs is recorded — the min filters out transient
+    # min of three measured runs is recorded — the min filters out transient
     # host noise, which on a busy 32-thread box can inflate a single run
     # by 10x. Each run fully materializes through the noop sink.
     times: dict[str, float] = {}

@@ -219,9 +219,22 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Full MinHash-LSH near-dedup: shingle → signature → banded candidates
     → exact-Jaccard verification of candidates only (never the all-pairs
-    shingle join — candidate generation is linear in corpus size)."""
-    sh = shingles(df, id_col, text_col, n=3)
-    sig = minhash_signatures(sh, id_col)
+    shingle join — candidate generation is linear in corpus size).
+
+    The shingle relation feeds three consumers (the signature aggregate and
+    both sides of the verify join) and the signature relation two (both
+    sides of the band join); without materialization each consumer re-derives
+    its input from the source scan — 6 corpus passes, a full-table read each
+    at 100 TB. Both are persisted MEMORY_AND_DISK (spill-safe): the corpus
+    parquet is scanned ONCE to build ``sh``, once more nothing. Catalyst's
+    ReuseExchange does NOT reliably fold these branches on its own (observed:
+    0 reuses across the band/verify branches), so the materialization is
+    explicit.
+    """
+    from pyspark import StorageLevel
+
+    sh = shingles(df, id_col, text_col, n=3).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signatures(sh, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     cand = lsh_candidate_pairs(sig, id_col)
     return verify_candidate_pairs(cand, sh, sizes=sig, id_col=id_col, threshold=threshold).select(
         "id_a", "id_b", "jaccard"
@@ -268,14 +281,18 @@ def connected_components(
     the iterative step after any pair tier (exact, LSH, SimHash bucket,
     embedding cosine): pairs only relate two docs, clusters need closure.
 
-    Algorithm: alternating large-star rounds of min-label propagation.
-    Each iteration is one groupBy (map-side-combinable MIN) + one join —
-    both hash-partitioned on id, no driver-side graph. Converges in
-    O(log n) rounds for typical near-dup graphs (short chains); the
-    iteration cap bounds worst-case path graphs, and convergence is checked
-    with a count of changed labels per round (one lightweight action each —
-    an iterative algorithm is the one place per-round actions are the
-    design, not a smell).
+    Algorithm: min-label propagation with pointer-jumping. Each round
+    propagates the minimum label across edges (one groupBy with map-side-
+    combinable MIN + one join, both hash-partitioned on id) and then
+    SHORTCUTS each label to its label's label (one more self-join) — the
+    pointer-jumping step doubles the propagation distance per round, so a
+    path graph of length L converges in O(log L) rounds instead of O(L).
+    Convergence is checked with a changed-label probe per round (one
+    lightweight action each — an iterative algorithm is the one place
+    per-round actions are the design, not a smell). If the cap is hit
+    before convergence a RuntimeError is raised rather than silently
+    returning partial clusters (which would diverge from the transitive-
+    closure oracle).
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -295,6 +312,7 @@ def connected_components(
             F.least(F.col("src"), F.col("component")).alias("component"),
         )
     )
+    converged = False
     for _ in range(max_iterations):
         # propagate: my next label = min(my label, labels of my neighbors)
         neighbor_min = (
@@ -314,6 +332,20 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        # pointer jumping: component ← label of my component. Doubles the
+        # propagation distance per round → O(log diameter) total rounds.
+        parent = new_labels.select(
+            F.col("id").alias("component"), F.col("component").alias("gp")
+        )
+        new_labels = (
+            new_labels.join(parent, on="component", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("gp"), F.col("component"))
+                ).alias("component"),
+            )
+        )
         new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
         changed = (
             new_labels.alias("n")
@@ -324,5 +356,11 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "rounds — graph diameter exceeds 2^rounds; raise max_iterations"
+        )
     return labels

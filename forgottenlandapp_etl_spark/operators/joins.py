@@ -260,7 +260,17 @@ def salted_join(
     Replication factor applies to the right side only; keep it the smaller
     relation. Deterministic (hash-derived salt, no rand()), so plans stay
     reusable and re-runs identical.
+
+    ``how`` is restricted to the left-preserving families: the right side is
+    replicated per salt, so right/full outer joins would emit each unmatched
+    right row ``salt_buckets`` times — a correctness bug, not a perf one.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the replicated right side "
+            f"would duplicate unmatched right rows; use one of {sorted(allowed)}"
+        )
     salt = (F.xxhash64(*[F.col(c) for c in left.columns]) % salt_buckets + salt_buckets) % salt_buckets
     lt = left.withColumn("__salt", salt.cast("int"))
     rt = right.withColumn(

@@ -49,7 +49,9 @@ def retention_keep_only(
     """K4 — retention delete (etl.dart:270,:282,:394): keep only rows
     matching ``predicate`` (e.g. date == latest). Implemented as an
     anti-predicate rewrite; on a partitioned store this prunes to partition
-    drops. Two-phase (write aside, swap) for crash safety.
+    drops. Three-phase swap (write aside → rename old aside → move new in →
+    drop old): a crash at any step leaves either the old or the new table
+    readable at ``path``-adjacent names — never zero copies.
 
     ``partition_cols`` MUST name the table's partition layout: rewriting a
     partitioned table without partitionBy would flatten it, and the next
@@ -57,6 +59,7 @@ def retention_keep_only(
     files — a layout Spark only reads via fragile duplicate-column
     resolution, with every eq() partition prune lost.
     """
+    import os
     import shutil
 
     kept = spark.read.parquet(path).where(predicate)
@@ -65,8 +68,16 @@ def retention_keep_only(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    old = path.rstrip("/") + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)  # old table survives until the new one is in place
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)  # roll back: restore the original table
+        raise
+    shutil.rmtree(old)
 
 
 def encode_nested_document(
