@@ -50,6 +50,10 @@ HEADLINE = [
     "agg_session_windows",
     "agg_corr_stats",
     "pipeline_clean_corpus",
+    # round 2 additions (compare per-query across rounds; the total grows
+    # with the list, so round-over-round totals are NOT comparable raw)
+    "wx_partitioned_rank",
+    "sim_ivf_kmeans_topk",
 ]
 
 

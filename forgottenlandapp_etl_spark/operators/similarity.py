@@ -100,15 +100,33 @@ def ivf_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF top-k: rank candidates only within the query's probe bucket.
+    """IVF top-k: rank candidates only within the query's probe buckets.
 
-    Recall < exact by construction (single-probe); the candidate join is an
-    equi-join on bucket instead of a cross join — the piece that scales.
+    Recall < exact by construction; ``nprobe`` > 1 probes the query's
+    nearest ``nprobe`` centroid buckets (the standard recall/cost dial —
+    candidates grow linearly with nprobe, never quadratically). The
+    candidate join stays an equi-join on bucket instead of a cross join —
+    the piece that scales. Corpus vectors live in exactly one bucket, so
+    multi-probe never duplicates a candidate.
     """
     cb = assign_buckets(corpus, centroids, id_col, vec_col)
-    qb = assign_buckets(queries, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+    cent = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv")
+    )
+    qs = queries.crossJoin(F.broadcast(cent)).withColumn(
+        "cs", cosine(F.col(vec_col), F.col("centv"))
+    )
+    wq = Window.partitionBy(id_col).orderBy(F.desc("cs"), F.asc("centroid_id"))
+    qb = (
+        qs.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col("centroid_id").alias("bucket"),
+        )
     )
     cand = cb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
@@ -151,6 +169,7 @@ def brute_force_topk_vectorized(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    max_queries: int = 4096,
 ) -> DataFrame:
     """Arrow-batched NumPy top-k: the high-throughput path for wide
     embeddings.
@@ -170,6 +189,17 @@ def brute_force_topk_vectorized(
     import pandas as pd
     from collections.abc import Iterator
 
+    # The query matrix rides in the UDF closure (pickled to every task), so
+    # it must stay bounded: at (nq, d) float64, 4096×4096 is already 128 MB
+    # of broadcast per executor. Callers with bigger query sets should chunk
+    # them or flip to the distributed JVM form (brute_force_topk).
+    if len(queries_pdf) > max_queries:
+        raise ValueError(
+            f"brute_force_topk_vectorized: query set has {len(queries_pdf)} "
+            f"rows > max_queries={max_queries}; the closure-captured query "
+            "matrix would bottleneck task serialization — chunk the queries "
+            "or use brute_force_topk"
+        )
     qids = queries_pdf["query_id"].to_numpy()
     qm = np.stack(queries_pdf["qv"].to_list()).astype("float64")  # (nq, d)
     qn = np.linalg.norm(qm, axis=1)

@@ -496,8 +496,12 @@ def sim_bruteforce_topk_vectorized(spark, sf_dir):
     property-tested for neighbor-set equality with the bit-stable JVM form
     (tests/test_extensions.py::test_vectorized_topk_matches_jvm_path)."""
     e = _emb(spark, sf_dir, fan_out=True)
+    # deterministic driver-hop bound: the toPandas capture is O(nq·d) in the
+    # UDF closure, so the query set is capped by id range (4096 sampled ids)
+    # rather than growing linearly with corpus size; the operator itself
+    # re-asserts the bound (similarity.brute_force_topk_vectorized).
     q_pdf = (
-        e.where(F.col("vec_id") % 50 == 0)
+        e.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 50 * 4096))
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
         .toPandas()
     )
@@ -527,6 +531,32 @@ p AS (
 )
 SELECT id_a, id_b, bucket, cos FROM p WHERE cos >= CAST(0.4 AS DOUBLE)
 """
+
+
+@ext_query("sim_ivf_kmeans_topk")
+def sim_ivf_kmeans_topk(spark, sf_dir):
+    """IVF top-5 with LEARNED centroids: MLlib k-means (k=8, fixed seed,
+    distributed Lloyd's) replaces the deterministic first-8-vectors
+    placeholder that the oracle-paired sim_ivf_topk uses, and nprobe=2
+    probes the two nearest buckets per query — the production ANN shape.
+    No SQL oracle (MLlib training isn't expressible in DuckDB); instead the
+    recall against the exact brute-force baseline is property-bounded in
+    tests/test_extensions.py::test_kmeans_ivf_recall."""
+    e = _emb(spark, sf_dir, fan_out=True)
+    cent = similarity.kmeans_centroids(e, k=8, vec_col="v", seed=42)
+    q = e.where(F.col("vec_id") % 50 == 0)
+    return similarity.ivf_topk(e, q, cent, k=5, nprobe=2)
+
+
+@ext_query("emb_near_dup_kmeans")
+def emb_near_dup_kmeans(spark, sf_dir):
+    """Bucketed embedding near-dup over LEARNED k-means buckets (fixed
+    seed) — the production form of emb_near_dup_bucketed. Rows-only for the
+    same reason as sim_ivf_kmeans_topk; pair recall vs the exact all-pairs
+    form is property-bounded in tests/test_extensions.py."""
+    e = _emb(spark, sf_dir, fan_out=True)
+    cent = similarity.kmeans_centroids(e, k=8, vec_col="v", seed=42)
+    return similarity.near_dup_pairs_bucketed(e, cent, threshold=0.4)
 
 
 @ext_query("emb_near_dup_bucketed", _BUCKETED_NEAR_DUP_ORACLE)

@@ -173,6 +173,26 @@ def f2_conjunctive_filter(spark, sf_dir):
 
 
 @query(
+    "f3_min_level_online",
+    """
+    WITH b AS (SELECT MAX(CAST(ts AS DATE)) AS dmax FROM events)
+    SELECT event_id, user_id, value FROM events, b
+    WHERE CAST(ts AS DATE) = b.dmax AND COALESCE(value, 0) >= 100
+    """,
+)
+def f3_min_level_online(spark, sf_dir):
+    """F3 — min-level filter over the ONLINE snapshot (etl.dart:361): the
+    same threshold primitive as F1 applied to the latest-day partition —
+    named separately so the §2 id has its own driver-verified row. The
+    date equality prunes to one partition on a date-partitioned store."""
+    ev = _with_max_date(_events_dated(spark, sf_dir))
+    online = ev.where(F.col("d") == F.col("dmax"))
+    return filters.min_value(online, "value", 100).select(
+        "event_id", "user_id", "value"
+    )
+
+
+@query(
     "f6_typeguard_projection",
     """
     SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -512,6 +532,56 @@ def w1_rank_desc(spark, sf_dir):
     :249-255): row_number (ties get distinct sequential ranks)."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     return windows.add_rank(o, [F.desc("o_totalprice"), F.asc("o_orderkey")], "rnk")
+
+
+@query(
+    "w2_level_rank",
+    """
+    WITH lvl AS (
+      SELECT user_id, CAST(FLOOR(MAX_BY(value, event_id)) AS INT) AS level
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, level,
+           CAST(ROW_NUMBER() OVER (ORDER BY level DESC, user_id) AS INT) AS rnk
+    FROM lvl
+    """,
+)
+def w2_level_rank(spark, sf_dir):
+    """W2 — sort by level desc (etl.dart:88 ordering variant): per-user
+    last-seen level (A3's max_by) ranked descending — named separately so
+    the §2 id has its own driver-verified row."""
+    ev = _t(spark, sf_dir, "events")
+    lvl = ev.groupBy("user_id").agg(
+        F.floor(F.max_by("value", "event_id")).cast("int").alias("level")
+    )
+    return windows.add_rank(lvl, [F.desc("level"), F.asc("user_id")], "rnk")
+
+
+@query(
+    "wx_partitioned_rank",
+    """
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_orderstatus, o_orderpriority
+                                   ORDER BY o_totalprice DESC, o_orderkey)
+                AS INT) AS rnk
+    FROM orders
+    """,
+)
+def wx_partitioned_rank(spark, sf_dir):
+    """Distributed ranking — the 100 TB form of W1/W4: partition keys
+    (status, priority) keep every sort local to its hash partition, so the
+    plan carries ZERO Exchange SinglePartition however large the table
+    (the global-window form is only acceptable for ranking-table-sized
+    outputs; this is the shape for everything else)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    return windows.add_rank(
+        o,
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        "rnk",
+        partition_by=[F.col("o_orderstatus"), F.col("o_orderpriority")],
+    )
 
 
 @query(

@@ -38,6 +38,9 @@ CROSS_JOIN_OK = {
     "c1_skill_points",
     "sim_ivf_topk",
     "emb_near_dup_bucketed",  # same 8-row centroid broadcast as sim_ivf
+    "f3_min_level_online",  # 1-row max-date bounds broadcast (same as j3/j4)
+    "sim_ivf_kmeans_topk",  # 8-row learned-centroid broadcast
+    "emb_near_dup_kmeans",  # 8-row learned-centroid broadcast
 }
 
 
