@@ -79,16 +79,51 @@ def exact_dedup(df: DataFrame, id_col: str, key: Column) -> DataFrame:
     )
 
 
+def drop_frequent_shingles(
+    sh: DataFrame, max_doc_freq: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop shingles that occur in more than ``max_doc_freq`` documents.
+
+    The standard hot-key mitigation for shingle self-joins: a boilerplate
+    shingle present in d documents contributes d² candidate rows to the
+    join — one stop-phrase across 1% of a 10-billion-doc corpus is 10^16
+    pairs, which no skew-split saves. Dropping document-frequency outliers
+    caps per-key fan-out at max_doc_freq² while barely moving Jaccard
+    scores (a shingle shared by half the corpus carries no similarity
+    signal — same rationale as IDF). One extra groupBy + semi-join, both
+    on the shingle key.
+
+    NOTE: downstream sizes must be computed from the FILTERED relation
+    (jaccard_pairs recomputes them internally) so numerator and denominator
+    see the same shingle universe.
+    """
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_doc_freq)
+        .select("shingle")
+    )
+    return sh.join(keep, "shingle", "left_semi")
+
+
 def jaccard_pairs(
-    sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.8
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs from a shingle relation.
 
-    Self-equi-join on shingle (skew-prone: AQE skew-join handles hot
-    shingles; at extreme scale drop top-frequency shingles first), then
+    Self-equi-join on shingle (skew-prone: AQE skew-join splits oversized
+    partitions, but a single hot shingle's d² pair fan-out needs
+    ``max_doc_freq`` — see drop_frequent_shingles), then
     |A∩B| / (|A|+|B|−|A∩B|). All-integer math until the final division, so
-    the score is bit-stable cross-engine.
+    the score is bit-stable cross-engine. With ``max_doc_freq`` set, both
+    the intersection and the set sizes are computed over the filtered
+    shingle universe (scores stay internally consistent).
     """
+    if max_doc_freq is not None:
+        sh = drop_frequent_shingles(sh, max_doc_freq, id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

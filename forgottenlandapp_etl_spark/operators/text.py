@@ -8,6 +8,9 @@ is a narrow map — no shuffle until the caller aggregates.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve under
+# PEP-563 stringified annotations (get_type_hints evaluates in module globals)
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -99,6 +102,57 @@ def fingerprint(text: Column) -> Column:
     """Document fingerprint = md5 of the normalized text: the exact-dedup
     key and the anchor for incremental corpus diffing."""
     return F.md5(normalize(text))
+
+
+def make_lang_id_udf(
+    words: tuple[str, ...] = STOPWORDS_EN, threshold: float = 0.05
+):
+    """Pluggable Arrow-batched language-ID stage (pandas_udf).
+
+    If a real detector library is importable (``langdetect``, then
+    ``langid``), each Arrow batch is classified with it; otherwise the UDF
+    degrades to a vectorized pandas reimplementation of the stopword
+    heuristic, guaranteed to agree with the Column-expression
+    :func:`lang_guess` (property-tested in tests/test_extensions.py).
+    Either way the stage is one narrow mapInArrow-style pass — no shuffle,
+    no row-at-a-time Python. Swap-in point for fasttext-style models in a
+    container that has them.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    detect = None
+    try:  # pragma: no cover - library not present in this container
+        from langdetect import detect as _ld
+
+        def detect(s: str) -> str:
+            try:
+                return _ld(s) if s else "other"
+            except Exception:
+                return "other"
+
+    except ImportError:
+        try:  # pragma: no cover
+            import langid as _li
+
+            def detect(s: str) -> str:
+                return _li.classify(s)[0] if s else "other"
+
+        except ImportError:
+            detect = None
+
+    wordset = frozenset(words)
+
+    @pandas_udf("string")
+    def lang_id(texts: pd.Series) -> pd.Series:
+        filled = texts.fillna("")
+        if detect is not None:
+            return filled.map(detect)
+        toks = filled.str.split(" ")
+        n = toks.str.len().clip(lower=1)
+        sw = toks.map(lambda ts: sum(1 for t in ts if t in wordset))
+        return (sw / n >= threshold).map({True: "en", False: "other"})
+
+    return lang_id
 
 
 def make_chunker_udtf(chunk_tokens: int = 16):

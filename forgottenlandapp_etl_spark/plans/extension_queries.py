@@ -289,6 +289,21 @@ def text_lang_id(spark, sf_dir):
     )
 
 
+@ext_query("text_lang_id_udf")
+def text_lang_id_udf(spark, sf_dir):
+    """Pluggable Arrow-batched language-ID (pandas_udf): classifies with a
+    real detector library when the environment provides one (langdetect /
+    langid), else degrades to a vectorized reimplementation of the stopword
+    heuristic. Rows-only by design — the output depends on which backend
+    the environment ships; the dependency-absent fallback is property-
+    tested equal to the Column-expression heuristic
+    (tests/test_extensions.py::test_lang_id_udf_fallback_matches_heuristic)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", "lang", text.make_lang_id_udf()(F.col("text")).alias("lang_pred")
+    )
+
+
 @ext_query(
     "text_token_count",
     """

@@ -235,3 +235,53 @@ def test_kmeans_ivf_recall(spark, sf_dir):
     assert kp <= ep
     if ep:
         assert len(kp) / len(ep) >= 0.3, len(kp) / len(ep)
+
+
+def test_hot_shingle_skew_mitigation(spark):
+    """A boilerplate shingle shared by every document is the skew case AQE
+    cannot save (one hot key's d² pair fan-out lives in ONE hash bucket).
+    drop_frequent_shingles caps it: with the document-frequency filter the
+    candidate pair set collapses from ~all-pairs to exactly the truly
+    similar pairs, and their Jaccard over the filtered shingle universe is
+    still exact (1.0 for identical docs)."""
+    rows = []
+    for i in range(200):
+        tail = " ".join(f"u{i}t{j}" for j in range(6))
+        rows.append((i, f"the quick brown fox jumps over {tail}"))
+    for i in range(5):  # exact duplicates of docs 0..4 under new ids
+        tail = " ".join(f"u{i}t{j}" for j in range(6))
+        rows.append((1000 + i, f"the quick brown fox jumps over {tail}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.shingles(df, "doc_id", "text", n=3)
+    # without the cap the 4 boilerplate shingles relate every doc pair
+    assert dedup.jaccard_pairs(sh, threshold=0.0).count() >= 20000
+    capped = dedup.jaccard_pairs(sh, threshold=0.0, max_doc_freq=50)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    assert set(got) == {(i, 1000 + i) for i in range(5)}
+    assert all(j == 1.0 for j in got.values())
+
+
+def test_lang_id_udf_fallback_matches_heuristic(spark, sf_dir):
+    """The pandas_udf lang-id stage: with no detector library in the
+    environment the fallback must agree EXACTLY with the Column-expression
+    heuristic; with a library present it must still return a prediction
+    for every row."""
+    from forgottenlandapp_etl_spark.operators import text as T
+
+    d = catalog.table(spark, sf_dir, "documents").limit(500)
+    got = d.select(
+        T.make_lang_id_udf()(F.col("text")).alias("udf"),
+        T.lang_guess(F.col("text")).alias("col"),
+    ).collect()
+    assert got
+    has_lib = False
+    for lib in ("langdetect", "langid"):
+        try:
+            __import__(lib)
+            has_lib = True
+        except ImportError:
+            pass
+    if has_lib:
+        assert all(r["udf"] for r in got)
+    else:
+        assert all(r["udf"] == r["col"] for r in got)
