@@ -69,7 +69,9 @@ def spread(df: DataFrame, key: str | None = None) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # JVM-side split count: df.rdd would build a Python-serialization RDD
+    # (driver-side plan conversion per call) just to read a number
+    if df._jdf.rdd().getNumPartitions() < target:
         return df.repartition(target, F.col(key)) if key else df.repartition(target)
     return df
 
