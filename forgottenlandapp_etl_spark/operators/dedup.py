@@ -98,8 +98,11 @@ def drop_frequent_shingles(
     see the same shingle universe.
     """
     keep = (
+        # count_distinct, not count: the contract is DOCUMENT frequency, and
+        # callers may pass a non-deduped shingle relation (occurrence counts
+        # would over-drop shingles that merely repeat within documents)
         sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
         .where(F.col("df") <= max_doc_freq)
         .select("shingle")
     )
@@ -250,7 +253,11 @@ def verify_candidate_pairs(
 
 
 def minhash_lsh_dedup(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", threshold: float = 0.8
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dedup: shingle → signature → banded candidates
     → exact-Jaccard verification of candidates only (never the all-pairs
@@ -265,11 +272,22 @@ def minhash_lsh_dedup(
     ReuseExchange does NOT reliably fold these branches on its own (observed:
     0 reuses across the band/verify branches), so the materialization is
     explicit.
+
+    Cache lifetime contract: the persisted relations live in the session's
+    CacheManager until unpersisted (repeat calls over the SAME corpus dedupe
+    to one cache entry via plan canonicalization, so they don't grow the
+    cache; DIFFERENT corpora each pin their own). A long-lived session that
+    dedups many corpora should pass ``handles`` — the two persisted
+    DataFrames are appended to it so the caller can ``h.unpersist()`` each
+    after consuming the result (or ``spark.catalog.clearCache()`` wholesale,
+    as bench.py and tools/drive_gate.py do between queries).
     """
     from pyspark import StorageLevel
 
     sh = shingles(df, id_col, text_col, n=3).persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signatures(sh, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    if handles is not None:
+        handles.extend([sh, sig])
     cand = lsh_candidate_pairs(sig, id_col)
     return verify_candidate_pairs(cand, sh, sizes=sig, id_col=id_col, threshold=threshold).select(
         "id_a", "id_b", "jaccard"

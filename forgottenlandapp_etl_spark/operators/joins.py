@@ -265,7 +265,12 @@ def salted_join(
     replicated per salt, so right/full outer joins would emit each unmatched
     right row ``salt_buckets`` times — a correctness bug, not a perf one.
     """
-    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    allowed = {
+        "inner",
+        "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "semi",
+        "left_anti", "leftanti", "anti",
+    }
     if how not in allowed:
         raise ValueError(
             f"salted_join: how={how!r} unsupported — the replicated right side "

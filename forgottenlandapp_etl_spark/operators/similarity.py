@@ -72,9 +72,14 @@ def assign_buckets(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF coarse quantization: each vector → argmax-cosine centroid.
+    """IVF coarse quantization: each vector → its ``nprobe`` argmax-cosine
+    centroids (one row per assignment; default 1 = exactly-one-bucket).
 
+    The single source of truth for bucketing: both the corpus side
+    (nprobe=1) and the query side of :func:`ivf_topk` (nprobe=N) use this,
+    so the cosine/argmax/tie-break logic can never diverge between them.
     Centroids are broadcast (they're tiny by construction); assignment is a
     narrow map over the corpus — at 100 TB this is one scan, and writing the
     result bucketed by ``bucket`` makes every later probe a pruned read.
@@ -88,7 +93,7 @@ def assign_buckets(
     w = Window.partitionBy(id_col).orderBy(F.desc("cs"), F.asc("centroid_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .where(F.col("rn") <= nprobe)
         .select(F.col(id_col), F.col(vec_col), F.col("centroid_id").alias("bucket"))
     )
 
@@ -112,21 +117,8 @@ def ivf_topk(
     multi-probe never duplicates a candidate.
     """
     cb = assign_buckets(corpus, centroids, id_col, vec_col)
-    cent = centroids.select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv")
-    )
-    qs = queries.crossJoin(F.broadcast(cent)).withColumn(
-        "cs", cosine(F.col(vec_col), F.col("centv"))
-    )
-    wq = Window.partitionBy(id_col).orderBy(F.desc("cs"), F.asc("centroid_id"))
-    qb = (
-        qs.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= nprobe)
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            F.col("centroid_id").alias("bucket"),
-        )
+    qb = assign_buckets(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
     )
     cand = cb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"

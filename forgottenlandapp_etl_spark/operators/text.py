@@ -8,8 +8,14 @@ is a narrow map — no shuffle until the caller aggregates.
 
 from __future__ import annotations
 
-import pandas as pd  # module-level so pandas_udf type hints resolve under
-# PEP-563 stringified annotations (get_type_hints evaluates in module globals)
+try:
+    # module-level so pandas_udf type hints resolve under PEP-563 stringified
+    # annotations (get_type_hints evaluates in module globals); guarded so a
+    # pandas-free interpreter can still import the pure-Column operators —
+    # only make_lang_id_udf (which needs pandas at runtime anyway) requires it
+    import pandas as pd
+except ImportError:  # pragma: no cover - pandas ships in this container
+    pd = None
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -122,7 +128,13 @@ def make_lang_id_udf(
 
     detect = None
     try:  # pragma: no cover - library not present in this container
+        from langdetect import DetectorFactory
         from langdetect import detect as _ld
+
+        # langdetect samples n-grams probabilistically; pin the seed or two
+        # runs of the same query return different labels for ambiguous docs,
+        # breaking the repo's rerun-determinism discipline
+        DetectorFactory.seed = 0
 
         def detect(s: str) -> str:
             try:

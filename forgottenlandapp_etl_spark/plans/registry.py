@@ -91,6 +91,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
 _missing = [n for n in DRIVER_WINDOW if n not in _ALL_QUERIES]
 if _missing:
     raise RuntimeError(f"DRIVER_WINDOW names missing from registry: {_missing}")
+# Hard guard, not just the comment above: a 51st (or duplicate) name would
+# silently push a query out of the driver's gate window.
+if not (len(DRIVER_WINDOW) == len(set(DRIVER_WINDOW)) == 50):
+    raise RuntimeError(
+        f"DRIVER_WINDOW must hold exactly 50 unique names, got "
+        f"{len(DRIVER_WINDOW)} ({len(set(DRIVER_WINDOW))} unique)"
+    )
 
 QUERIES: dict = {n: _ALL_QUERIES[n] for n in DRIVER_WINDOW}
 QUERIES.update({n: f for n, f in _ALL_QUERIES.items() if n not in QUERIES})

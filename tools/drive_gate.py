@@ -37,6 +37,7 @@ for t in "region nation customer supplier part orders lineitem events documents 
 fails = []
 for name in sorted(qs):
     sdf = qs[name](spark, SF).toPandas()
+    spark.catalog.clearCache()  # bound cache growth across cache-building queries
     if name not in osql:
         print("ROWS-ONLY", name, f"rows={len(sdf)}")
         continue
