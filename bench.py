@@ -54,6 +54,9 @@ HEADLINE = [
     # with the list, so round-over-round totals are NOT comparable raw)
     "wx_partitioned_rank",
     "sim_ivf_kmeans_topk",
+    "tpch_q21_waiting_supplier",
+    "text_winnow_fingerprint",
+    "emb_near_dup_rhp",
 ]
 
 

@@ -67,6 +67,66 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     )
 
 
+# Polynomial rolling-hash base for winnowing k-grams: token values live in
+# the 31-bit domain, so base^2 * v < 2^16 * 2^31 * k stays far inside BIGINT.
+WINNOW_BASE = 257
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): polynomial rolling hash over token k-grams, then keep the
+    MINIMUM hash of every window of ``w`` consecutive k-grams. Guarantees
+    any shared run of w+k-1 tokens between two documents shares at least one
+    selected fingerprint — position-robust partial-overlap detection, which
+    md5-of-whole-document (text.fingerprint) cannot give.
+
+    Everything is array math inside one narrow projection (no shuffle until
+    the final distinct): token hash → k-gram polynomial hash
+    h = Σ v_j·B^(k-1-j) mod p → per-window array_min. Returns distinct
+    (id, fp) rows; the fingerprint SET is the document sketch that joins
+    documents to candidate sources at 100 TB (equi-join on fp — linear,
+    like every other LSH-family tier here).
+    """
+    toks = F.split(F.col(text_col), " ")
+    # Each array stage is its OWN projection: referencing an upstream array
+    # through element_at/slice inside a lambda re-evaluates the full child
+    # expression per element (no common-subexpression elimination across
+    # higher-order-function boundaries), which turns the rolling hash into
+    # O(m^2) md5 calls and the window mins into O(m^3). Aliased per-row
+    # columns are computed once; the multi-referenced aliases are expensive
+    # enough that CollapseProject keeps the boundaries.
+    staged = df.where(F.size(toks) >= k + w - 1).select(
+        F.col(id_col), F.transform(toks, lambda t: token_hash(t)).alias("_tv")
+    )
+
+    # k-gram polynomial rolling hash at each position i (1-based)
+    def kgram(i: Column) -> Column:
+        h = F.lit(0).cast("long")
+        for j in range(k):
+            h = (h * WINNOW_BASE + F.element_at(F.col("_tv"), i + j)) % F.lit(
+                MERSENNE_31
+            )
+        return h
+
+    staged = staged.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("_tv")) - (k - 1)), kgram
+        ).alias("_kg"),
+    )
+    fps = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_kg")) - (w - 1)),
+        lambda i: F.array_min(F.slice(F.col("_kg"), i, w)),
+    )
+    return staged.select(F.col(id_col), F.explode(fps).alias("fp")).distinct()
+
+
 def exact_dedup(df: DataFrame, id_col: str, key: Column) -> DataFrame:
     """Exact dedup: group by fingerprint, keep the lowest id, count copies.
 

@@ -259,6 +259,101 @@ def near_dup_pairs_bucketed(
     )
 
 
+def rhp_planes(dim: int, n_planes: int = 16, seed: int = 7) -> list[list[float]]:
+    """Deterministic Rademacher (±1) random hyperplanes for cosine LSH.
+
+    Module-level constants in spirit: generated from a fixed seed so the
+    Spark plan and the generated DuckDB oracle share one source of truth
+    (same pattern as dedup.MINHASH_COEFFS). ±1 entries keep the projection
+    a plain signed sum — and since :func:`dot` is bit-identical to DuckDB's
+    ``list_dot_product``, the SIGN of the projection (the signature bit) is
+    exactly reproducible cross-engine; no quantization needed.
+    """
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [float(rng.choice((-1, 1))) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def rhp_signature(
+    df: DataFrame, planes: list[list[float]], vec_col: str = "v"
+) -> DataFrame:
+    """Append random-hyperplane signature bits bit0..bitN (int 0/1).
+
+    One narrow map — each bit is sign(v · plane_j). 16 bits at 64 dims is
+    16 fused higher-order-function dot products inside whole-stage codegen;
+    no shuffle, no Python.
+    """
+    out = df
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        out = out.withColumn(
+            f"bit{j}", (dot(F.col(vec_col), p) > 0).cast("int")
+        )
+    return out
+
+
+def rhp_near_dup(
+    corpus: DataFrame,
+    threshold: float,
+    planes: list[list[float]] | None = None,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs: cosine's native LSH family.
+
+    The centroid-free alternative to :func:`near_dup_pairs_bucketed` — no
+    quantizer to train and no cross-bucket blind spots at bucket BOUNDARIES;
+    recall is tunable with (planes, bands) instead. Signature → banded
+    self-equi-join (one shuffle on the band key, linear candidate
+    generation, the same shape as dedup.lsh_candidate_pairs) → exact-cosine
+    verification of candidates only. Emitted pairs are therefore EXACT
+    (precision 1.0); only recall is approximate.
+    """
+    if planes is None:
+        planes = rhp_planes(dim)
+    n = len(planes)
+    rows = n // bands
+    sig = rhp_signature(
+        corpus.select(F.col(id_col), F.col(vec_col)), planes, vec_col
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                *[F.col(f"bit{b * rows + j}").alias(f"r{j}") for j in range(rows)],
+            )
+            for b in range(bands)
+        ]
+    )
+    long = sig.select(F.col(id_col), F.col(vec_col), F.explode(band_arr).alias("bk"))
+    a = long.alias("a")
+    b = long.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"a.{vec_col}").alias("va"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"b.{vec_col}").alias("vb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame, k: int = 8, vec_col: str = "v", seed: int = 42
 ) -> DataFrame:

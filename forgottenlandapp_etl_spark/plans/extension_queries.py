@@ -331,6 +331,47 @@ def text_fingerprint(spark, sf_dir):
     return d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
 
 
+def _winnow_oracle(k: int = 3, w: int = 4) -> str:
+    """Generate the winnowing oracle from the same constants the Spark plan
+    uses (dedup.WINNOW_BASE / MERSENNE_31) — mirrors the Horner-form rolling
+    hash mod-for-mod."""
+    p, b = MERSENNE_31, dedup.WINNOW_BASE
+    h = "tv[i]"
+    for j in range(1, k):
+        h = f"(({h} * {b} + tv[i+{j}]) % {p})"
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    hv AS (
+      SELECT doc_id, t,
+             list_transform(t, x ->
+               CAST('0x' || SUBSTR(md5(x), 1, 15) AS BIGINT) % {p}) AS tv
+      FROM toks WHERE len(t) >= {k + w - 1}
+    ),
+    kg AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(t) - {k - 1}), i -> {h}) AS g
+      FROM hv
+    ),
+    fp AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(g) - {w - 1}),
+                            i -> list_aggregate(g[i:i+{w - 1}], 'min')) AS f
+      FROM kg
+    )
+    SELECT DISTINCT doc_id, CAST(u.fp AS BIGINT) AS fp FROM fp, UNNEST(fp.f) AS u(fp)
+    """
+
+
+@ext_query("text_winnow_fingerprint", _winnow_oracle())
+def text_winnow_fingerprint(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints: rolling-hash token 3-grams, min-sampled
+    over windows of 4 — any shared 6-token run between documents shares a
+    fingerprint. The partial-overlap dedup sketch next to the whole-document
+    md5 (text_fingerprint): join documents on fp to find candidate sources."""
+    d = _docs(spark, sf_dir, fan_out=True)
+    return dedup.winnow_fingerprints(d, "doc_id", "text", k=3, w=4)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -431,6 +472,57 @@ def emb_near_dup_pairs(spark, sf_dir):
     the bucketed variant reuses assign_buckets to stay linear."""
     e = _emb(spark, sf_dir, fan_out=True)
     return similarity.near_dup_pairs(e, threshold=0.4)
+
+
+# Rademacher hyperplanes shared by the Spark plan and the generated oracle
+# (embeddings are 64-dim in the testdata).
+_RHP_PLANES = similarity.rhp_planes(dim=64, n_planes=16, seed=7)
+_RHP_BANDS = 4
+
+
+def _rhp_oracle(threshold: float = 0.4) -> str:
+    n = len(_RHP_PLANES)
+    rows = n // _RHP_BANDS
+    bits = ",\n         ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(f"{x:.1f}" for x in plane)
+        + f"]) > 0 THEN 1 ELSE 0 END AS bit{j}"
+        for j, plane in enumerate(_RHP_PLANES)
+    )
+    bands = []
+    for band in range(_RHP_BANDS):
+        conds = " AND ".join(
+            f"a.bit{i} = b.bit{i}"
+            for i in range(band * rows, (band + 1) * rows)
+        )
+        bands.append(
+            f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM sig a "
+            f"JOIN sig b ON a.vec_id < b.vec_id AND {conds}"
+        )
+    cand = "cand AS (\n  " + "\n  UNION\n  ".join(bands) + "\n)"
+    cos = _SQL_COS.format(a="ea.v", b="eb.v")
+    return f"""
+    WITH {_SQL_EMB},
+    sig AS (SELECT vec_id, v,
+         {bits}
+    FROM e),
+    {cand}
+    SELECT id_a, id_b, {cos} AS cos
+    FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+    WHERE {cos} >= CAST({threshold} AS DOUBLE)
+    """
+
+
+@ext_query("emb_near_dup_rhp", _rhp_oracle())
+def emb_near_dup_rhp(spark, sf_dir):
+    """Random-hyperplane LSH near-dup (cos ≥ 0.4): cosine's native LSH —
+    16 sign bits in 4 bands, banded self-join for candidates, exact-cosine
+    verify. The centroid-free linear-candidate scale path next to the
+    k-means-bucketed variant; precision is exact by construction, recall is
+    set by (planes, bands) and measured against emb_near_dup_pairs in
+    tests/test_extensions.py."""
+    e = _emb(spark, sf_dir, fan_out=True)
+    return similarity.rhp_near_dup(e, threshold=0.4, planes=_RHP_PLANES, bands=_RHP_BANDS)
 
 
 # ---------------------------------------------------------------------------

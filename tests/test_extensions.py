@@ -285,3 +285,75 @@ def test_lang_id_udf_fallback_matches_heuristic(spark, sf_dir):
         assert all(r["udf"] for r in got)
     else:
         assert all(r["udf"] == r["col"] for r in got)
+
+
+def test_rhp_near_dup_subset_and_recall(spark, sf_dir):
+    """RHP-LSH pairs ⊆ exact near-dup pairs at the same threshold (the
+    verify stage makes precision exact); recall is set by (16 planes, 4
+    bands) and must hold a floor on the fixture."""
+    from forgottenlandapp_etl_spark.operators import similarity
+
+    # bounded corpus: the property holds per-pair, so a slice is enough and
+    # keeps the brute-force exact side out of the suite's hot path
+    e = (
+        catalog.table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 300)
+        .select("vec_id", similarity.as_double(F.col("embedding")).alias("v"))
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.near_dup_pairs(e, 0.4).select("id_a", "id_b").collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.rhp_near_dup(e, threshold=0.4).select("id_a", "id_b").collect()
+    }
+    assert got <= exact
+    if exact:
+        assert len(got) / len(exact) >= 0.3, (len(got), len(exact))
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Winnowing's core guarantee: documents sharing a run of w+k-1 = 6
+    tokens share at least one selected fingerprint; token-disjoint documents
+    share none (fixed fixture — hash collisions would be deterministic)."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"seven eight {shared} nine ten eleven twelve"),
+            (3, "un deux trois quatre cinq sept huit neuf dix onze douze"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = dedup.winnow_fingerprints(docs, "doc_id", "text", k=3, w=4)
+    by_doc: dict[int, set] = {1: set(), 2: set(), 3: set()}
+    for r in fps.collect():
+        by_doc[r["doc_id"]].add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 6-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnow_density_bound(spark, sf_dir):
+    """Each document selects at most one fingerprint per window position and
+    at least one overall (docs ≥ 6 tokens); fingerprints are valid k-gram
+    hashes (31-bit domain)."""
+    d = catalog.table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    fps = dedup.winnow_fingerprints(d, "doc_id", "text", k=3, w=4)
+    from forgottenlandapp_etl_spark.operators.dedup import MERSENNE_31
+
+    stats = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("fp").alias("lo"),
+        F.max("fp").alias("hi"),
+    )
+    toks = d.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("m")
+    ).where(F.col("m") >= 6)
+    j = toks.join(stats, "doc_id", "left").collect()
+    assert j
+    for r in j:
+        n_windows = r["m"] - 2 - 3  # m - (k-1) kgrams, minus (w-1)
+        assert r["n"] is not None and 1 <= r["n"] <= n_windows
+        assert 0 <= r["lo"] and r["hi"] < MERSENNE_31

@@ -28,8 +28,10 @@ def plan_of(df) -> str:
 # the bucketed variant: sim_ivf_topk / dedup_minhash_lsh), plus plans whose
 # only nested-loop is a deliberate broadcast of a tiny relation: a 1-row
 # max-date/bounds scalar (j3/j4/e3 — the scalar-subquery pattern), the
-# 7-row skill-constants table (c1), and the 8-row centroid table (sim_ivf)
+# 7-row skill-constants table (c1), the 8-row centroid table (sim_ivf),
+# and q22's 1-row decimal-average scalar subquery
 CROSS_JOIN_OK = {
+    "tpch_q22_sales_opportunity",
     "sim_bruteforce_topk",
     "emb_near_dup_pairs",
     "j3_accumulating_merge",
