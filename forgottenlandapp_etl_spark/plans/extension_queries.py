@@ -595,6 +595,24 @@ def stream_daily_counts(spark, sf_dir):
     return stream_events_daily_counts(spark, sf_dir)
 
 
+@ext_query(
+    "stream_dedup_keys",
+    """
+    SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           user_id, event_type
+    FROM events
+    """,
+)
+def stream_dedup_keys(spark, sf_dir):
+    """Streaming ingestion-time dedup: dropDuplicatesWithinWatermark over
+    the events stream emits the first sighting of each (day, user, type)
+    key and EVICTS state as the watermark advances — bounded-state dedup
+    for continuous corpus ingestion, verified equal to batch DISTINCT."""
+    from ..streaming.dedup import stream_dedup_event_keys
+
+    return stream_dedup_event_keys(spark, sf_dir)
+
+
 @ext_query("sim_bruteforce_topk_vectorized")
 def sim_bruteforce_topk_vectorized(spark, sf_dir):
     """Arrow-batched NumPy GEMM top-k (the high-throughput path for wide
@@ -650,7 +668,9 @@ def sim_ivf_kmeans_topk(spark, sf_dir):
     recall against the exact brute-force baseline is property-bounded in
     tests/test_extensions.py::test_kmeans_ivf_recall."""
     e = _emb(spark, sf_dir, fan_out=True)
-    cent = similarity.kmeans_centroids(e, k=8, vec_col="v", seed=42)
+    cent = similarity.kmeans_centroids(
+        e, k=8, vec_col="v", seed=42, max_iter=8, init_mode="random"
+    )
     q = e.where(F.col("vec_id") % 50 == 0)
     return similarity.ivf_topk(e, q, cent, k=5, nprobe=2)
 
@@ -662,7 +682,9 @@ def emb_near_dup_kmeans(spark, sf_dir):
     same reason as sim_ivf_kmeans_topk; pair recall vs the exact all-pairs
     form is property-bounded in tests/test_extensions.py."""
     e = _emb(spark, sf_dir, fan_out=True)
-    cent = similarity.kmeans_centroids(e, k=8, vec_col="v", seed=42)
+    cent = similarity.kmeans_centroids(
+        e, k=8, vec_col="v", seed=42, max_iter=8, init_mode="random"
+    )
     return similarity.near_dup_pairs_bucketed(e, cent, threshold=0.4)
 
 

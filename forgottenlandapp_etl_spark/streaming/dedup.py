@@ -1,0 +1,96 @@
+"""Streaming deduplication (SURVEY.md §2.9 extension): the continuous-
+ingestion form of the batch dedup tiers in operators/dedup.py.
+
+The shape a 100 TB training-data pipeline actually runs: documents/events
+land continuously; exact duplicates must be dropped ON ARRIVAL (before the
+expensive downstream stages), not in a nightly batch pass. Structured
+Streaming's ``dropDuplicatesWithinWatermark`` keeps one state entry per key
+and — unlike plain ``dropDuplicates`` — EVICTS state once the watermark
+passes a key's event time, so state is bounded by the key-arrival rate ×
+watermark horizon instead of growing with corpus lifetime.
+
+Output determinism: only the KEY columns are emitted (never the arbitrary
+surviving row), so the result set equals the batch ``SELECT DISTINCT`` and
+is oracle-comparable even though which physical row survives a race is not.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def _drain_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """availableNow drain through the memory sink → standalone DataFrame.
+
+    Same lifecycle discipline as online.stream_events_daily_counts: the
+    memory-sink table and checkpoint dir are released after materializing,
+    so repeated invocations (gate, bench) don't accumulate session state.
+    """
+    spark = stream_df.sparkSession
+    qname = f"{name}_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    try:
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.createDataFrame(
+            spark.table(qname).collect(), schema=spark.table(qname).schema
+        )
+    finally:
+        spark.catalog.dropTempView(qname)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+def stream_dedup_event_keys(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming key-dedup over the events stream: first sighting of each
+    (day, user_id, event_type) key is emitted, repeats within the watermark
+    horizon are dropped, and state for days older than the watermark is
+    evicted as event time advances.
+
+    This is ingestion-time dedup (at-least-once delivery → effectively-once
+    downstream): the streaming equivalent of batch ``SELECT DISTINCT``,
+    which is exactly what the oracle checks. Emitting keys only keeps the
+    output deterministic under arrival races.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet")
+    )
+    try:
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+        keyed = (
+            stream.withColumn("ets", F.timestamp_micros(F.expr("ts div 1000")))
+            .withWatermark("ets", watermark)
+            .select(
+                F.to_date("ets").cast("string").alias("day"),
+                "user_id",
+                "event_type",
+                "ets",
+            )
+            .dropDuplicatesWithinWatermark(["day", "user_id", "event_type"])
+            .select("day", "user_id", "event_type")
+        )
+        return _drain_to_memory(keyed, "stream_dedup")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

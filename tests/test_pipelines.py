@@ -520,3 +520,67 @@ def test_stateful_accumulator_tolerates_null_rows(spark, tmp_path):
     spark.catalog.dropTempView("acc_null_test")
     last = {r["user_id"]: (r["minutes"], r["level"], r["n_polls"]) for r in rows}
     assert last == {1: (10, 50, 2)}  # both rows counted; level from valid row
+
+
+def test_stream_dedup_emits_each_key_once(spark, tmp_path):
+    """dropDuplicatesWithinWatermark ingestion dedup: duplicated deliveries
+    of the same (day, user, type) key must emit exactly one key row, and the
+    emitted key set must equal the batch DISTINCT."""
+    import uuid
+
+    from forgottenlandapp_etl_spark.streaming import dedup as sdedup
+
+    rows = []
+    for i in range(6):
+        # three deliveries of one logical key + three distinct keys
+        rows.append((i, "2024-03-01 10:00:00", 1, "click", 1.0, "{}"))
+    rows += [
+        (10, "2024-03-01 11:00:00", 2, "view", 1.0, "{}"),
+        (11, "2024-03-02 09:00:00", 1, "click", 1.0, "{}"),
+    ]
+    src = str(tmp_path / "events")
+    (
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        )
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(src)
+    keyed = (
+        stream.withWatermark("ts", "1 day")
+        .select(
+            F.to_date("ts").cast("string").alias("day"),
+            "user_id",
+            "event_type",
+            "ts",
+        )
+        .dropDuplicatesWithinWatermark(["day", "user_id", "event_type"])
+        .select("day", "user_id", "event_type")
+    )
+    qname = f"sd_{uuid.uuid4().hex[:8]}"
+    q = (
+        keyed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["day"], r["user_id"], r["event_type"])
+        for r in spark.table(qname).collect()
+    )
+    spark.catalog.dropTempView(qname)
+    assert got == [
+        ("2024-03-01", 1, "click"),
+        ("2024-03-01", 2, "view"),
+        ("2024-03-02", 1, "click"),
+    ]
