@@ -238,12 +238,25 @@ def near_dup_pairs_bucketed(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Bucketed embedding near-dup: coarse-quantize once, then compare only
     within buckets — the linear-candidate scale path for near_dup_pairs
     (pairs crossing a bucket boundary are missed; recall is bounded by the
-    quantizer, which tests measure against the exact form)."""
-    cb = assign_buckets(corpus, centroids, id_col, vec_col)
+    quantizer, which tests measure against the exact form).
+
+    The bucket assignment feeds BOTH sides of the within-bucket self-join;
+    without materialization each side re-derives it from the corpus scan
+    (full corpus pass + argmax window, twice). Persisted MEMORY_AND_DISK —
+    same single-scan discipline and ``handles`` lifetime contract as
+    dedup.minhash_lsh_dedup."""
+    from pyspark import StorageLevel
+
+    cb = assign_buckets(corpus, centroids, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if handles is not None:
+        handles.append(cb)
     a = cb.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
     )
@@ -313,6 +326,14 @@ def rhp_near_dup(
     generation, the same shape as dedup.lsh_candidate_pairs) → exact-cosine
     verification of candidates only. Emitted pairs are therefore EXACT
     (precision 1.0); only recall is approximate.
+
+    Sizing at scale: expected bucket size is n / 2^(planes/bands), so the
+    default 16 planes / 4 bands (4-bit bands, 16 buckets) only suits small
+    corpora or deliberately low thresholds where heavy verification is the
+    point. For a real near-dup bar (cos >= 0.9, per-bit agreement p ~ 0.86)
+    size bands to the corpus: 64 planes in 4x16-bit bands keeps buckets
+    ~n/65536 at ~4 x 0.86^16 ~ 36% recall per pass; union 2-3 passes with
+    fresh plane seeds to push recall up, still linear end to end.
     """
     if planes is None:
         planes = rhp_planes(dim)
@@ -333,7 +354,7 @@ def rhp_near_dup(
     long = sig.select(F.col(id_col), F.col(vec_col), F.explode(band_arr).alias("bk"))
     a = long.alias("a")
     b = long.alias("b")
-    cand = (
+    scored = (
         a.join(
             b,
             (F.col("a.bk") == F.col("b.bk"))
@@ -341,17 +362,19 @@ def rhp_near_dup(
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"a.{vec_col}").alias("va"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"b.{vec_col}").alias("vb"),
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos"),
         )
-        .distinct()
-    )
-    return (
-        cand.withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .where(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
     )
+    # A pair colliding in several bands appears up to ``bands`` times; dedupe
+    # AFTER scoring+filtering so the exchange carries (long, long, double)
+    # rows, not two embedding vectors per candidate (the pre-scoring
+    # ``distinct`` form shuffles 2×dim doubles per row — at 4096-dim that is
+    # 64 KB/row of pure dedup traffic). Recomputing the cosine per collision
+    # is a narrow map; MIN is a no-op on the identical values and keeps the
+    # aggregate deterministic and map-side combinable.
+    return scored.groupBy("id_a", "id_b").agg(F.min("cos").alias("cos"))
 
 
 def kmeans_centroids(

@@ -149,9 +149,15 @@ def dedup_exact(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard near-dup pairs via shingle self-join (the
-    ground-truth tier; quadratic only within shingle buckets)."""
+    ground-truth tier; quadratic only within shingle buckets). The shingle
+    relation feeds three consumers (sizes + both join sides), so it is
+    persisted — one corpus scan, same discipline as the LSH tier."""
+    from pyspark import StorageLevel
+
     d = _docs(spark, sf_dir, fan_out=True)
-    sh = dedup.shingles(d, "doc_id", "text", n=3)
+    sh = dedup.shingles(d, "doc_id", "text", n=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     return dedup.jaccard_pairs(sh, "doc_id", threshold=0.8).select(
         "id_a",
         "id_b",
@@ -596,6 +602,38 @@ def stream_daily_counts(spark, sf_dir):
 
 
 @ext_query(
+    "text_vocab_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    a AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM tok GROUP BY 1
+    )
+    SELECT token, n_occurrences, n_docs FROM a
+    ORDER BY n_occurrences DESC, token LIMIT 100
+    """,
+)
+def text_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary statistics: top-100 tokens by occurrence count with
+    document frequency — the vocab-building / stopword-discovery primitive.
+    Explode → one hash aggregate (count + count-distinct partial-aggregated
+    map-side) → TakeOrderedAndProject; the full vocabulary never sorts
+    globally."""
+    from ..operators import windows
+
+    d = _docs(spark, sf_dir, fan_out=True)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    agg = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    return windows.top_k(agg, [F.desc("n_occurrences"), F.asc("token")], 100)
+
+
+@ext_query(
     "stream_dedup_keys",
     """
     SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
@@ -611,6 +649,27 @@ def stream_dedup_keys(spark, sf_dir):
     from ..streaming.dedup import stream_dedup_event_keys
 
     return stream_dedup_event_keys(spark, sf_dir)
+
+
+@ext_query(
+    "stream_stream_join",
+    """
+    SELECT l.event_id AS error_id, r.event_id AS click_id, l.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'error') l
+    JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 2 HOUR
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (the streaming form of j8):
+    error and click branches of one event stream, each with its own
+    watermark, joined on user within a 2-hour band — state bounded by
+    watermark + band on both sides, drained availableNow and verified equal
+    to the batch range join."""
+    from ..streaming.joins import clicks_after_errors
+
+    return clicks_after_errors(spark, sf_dir)
 
 
 @ext_query("sim_bruteforce_topk_vectorized")

@@ -1,0 +1,75 @@
+"""Watermarked stream-stream joins (SURVEY.md §2.9 extension).
+
+The streaming form of the batch interval join (operators.joins.range_join /
+j8): two unbounded streams joined on an equi-key plus an event-time band.
+Spark buffers BOTH sides in state and uses the watermarks + the time-range
+condition to compute exactly how long each side must be retained — state is
+bounded by (arrival rate × (watermark + band)), the textbook condition for
+an unbounded deployment. Emitted pairs are keys only, so the availableNow
+drain is deterministic and equals the batch range join the oracle runs.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import EVENTS_SCHEMA, _drain_to_memory
+
+
+def clicks_after_errors(
+    spark: SparkSession,
+    sf_dir: str,
+    band: str = "2 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each error joined to the same user's clicks
+    within ``band`` after it.
+
+    Both sides are branches of ONE file-source stream (a self-join — Spark
+    plans them as two stateful join sides); each carries its own watermark,
+    and the join condition's time band lets the engine evict error state
+    once the click-side watermark passes error_ts + band, and click state
+    once the error-side watermark passes the click's own event time.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet")
+    )
+    try:
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+        base = stream.withColumn("ets", F.timestamp_micros(F.expr("ts div 1000")))
+        errors = (
+            base.where(F.col("event_type") == "error")
+            .select(
+                F.col("event_id").alias("error_id"),
+                F.col("user_id"),
+                F.col("ets").alias("error_ts"),
+            )
+            .withWatermark("error_ts", watermark)
+        )
+        clicks = (
+            base.where(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user_id"),
+                F.col("ets").alias("click_ts"),
+            )
+            .withWatermark("click_ts", watermark)
+        )
+        joined = errors.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("click_ts") >= F.col("error_ts"))
+            & (F.col("click_ts") <= F.col("error_ts") + F.expr(f"INTERVAL {band}")),
+            "inner",
+        ).select("error_id", "click_id", "user_id")
+        return _drain_to_memory(joined, "stream_join")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
