@@ -874,6 +874,68 @@ def tpch_q22_sales_opportunity(spark, sf_dir):
 
 
 @query(
+    "k5_row_merge",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice * 2 AS o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+             o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey < 100
+    ),
+    t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                 o_orderpriority FROM orders)
+    SELECT
+      CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderkey
+           ELSE t.o_orderkey END AS o_orderkey,
+      CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey
+           ELSE t.o_custkey END AS o_custkey,
+      CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+           ELSE t.o_orderstatus END AS o_orderstatus,
+      CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+           ELSE t.o_totalprice END AS o_totalprice,
+      CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority
+           ELSE t.o_orderpriority END AS o_orderpriority
+    FROM t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+    WHERE NOT (s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL
+               AND s.o_totalprice < 1000)
+    """,
+)
+def k5_row_merge(spark, sf_dir):
+    """Row-level MERGE semantics (sinks.merge_rows — the Delta-less MERGE
+    INTO): urgent orders arrive as corrections (source wins), re-keyed
+    clones arrive as inserts, cheap corrections are deleted on match,
+    untouched orders survive. One full-outer join on the key; the oracle is
+    an independent CASE-WHEN formulation of the same contract."""
+    from ..sources import sinks
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+    corrections = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    inserts = o.where(F.col("o_orderkey") < 100).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    src = corrections.unionByName(inserts)
+    return sinks.merge_rows(
+        o, src, keys=("o_orderkey",), delete_condition=F.col("s.o_totalprice") < 1000
+    )
+
+
+@query(
     "wx_rank_vs_dense_rank",
     """
     SELECT l_orderkey, l_linenumber,

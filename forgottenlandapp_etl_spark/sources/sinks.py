@@ -80,6 +80,65 @@ def retention_keep_only(
     shutil.rmtree(old)
 
 
+def merge_rows(
+    target: DataFrame,
+    source: DataFrame,
+    keys: tuple[str, ...],
+    delete_condition: F.Column | None = None,
+) -> DataFrame:
+    """Row-level MERGE semantics on plain DataFrames (the Delta-less form of
+    ``MERGE INTO``, which this environment's parquet-only store lacks):
+
+    - matched rows take the SOURCE version (whole-row update),
+    - unmatched source rows are inserted,
+    - unmatched target rows are kept,
+    - matched rows satisfying ``delete_condition`` (evaluated on the source
+      row) are dropped.
+
+    One full-outer join on the keys — the same single shuffle a storage-
+    layer MERGE performs for its find-touched-files phase, minus the
+    transactional commit. Pair with :func:`upsert_partitions` to write the
+    result back rewriting only touched partitions: compute
+    ``merge_rows(...)`` restricted to the partitions present in ``source``
+    (prune the target scan first) and dynamic-overwrite those partitions —
+    at 100 TB the merge then reads and writes only the touched slice, never
+    the whole table. For concurrent writers use a real table format; this
+    operator covers the reference's single-writer cron model
+    (etl.dart:271,:357).
+    """
+    src_cols = source.columns
+    if set(src_cols) != set(target.columns):
+        raise ValueError(
+            f"merge_rows: source/target schemas differ: {sorted(src_cols)} "
+            f"vs {sorted(target.columns)}"
+        )
+    # explicit presence markers: detecting side-presence via key-column
+    # nullness would misclassify rows whose KEY is legitimately null (the
+    # null-safe join condition lets those match)
+    t = target.withColumn("__t_present", F.lit(True)).alias("t")
+    s = source.withColumn("__s_present", F.lit(True)).alias("s")
+    cond = None
+    for k in keys:
+        c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        cond = c if cond is None else cond & c
+    j = t.join(s, cond, "full_outer")
+    matched = (
+        F.col("s.__s_present").isNotNull() & F.col("t.__t_present").isNotNull()
+    )
+    take_source = F.col("s.__s_present").isNotNull()
+    out = j.select(
+        *[
+            F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in src_cols
+        ],
+        matched.alias("__matched"),
+        (F.lit(False) if delete_condition is None else (matched & delete_condition)).alias(
+            "__delete"
+        ),
+    )
+    return out.where(~F.col("__delete")).drop("__matched", "__delete")
+
+
 def encode_nested_document(
     df: DataFrame, keys: tuple[str, ...], entry_cols: tuple[str, ...], doc_col: str = "data"
 ) -> DataFrame:

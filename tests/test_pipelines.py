@@ -584,3 +584,72 @@ def test_stream_dedup_emits_each_key_once(spark, tmp_path):
         ("2024-03-01", 2, "view"),
         ("2024-03-02", 1, "click"),
     ]
+
+
+def test_transform_with_state_user_stats(spark, sf_dir):
+    """transformWithStateInPandas user stats must equal the batch aggregate.
+    Skips where google.protobuf (the API's Python<->JVM state protocol
+    dependency) is unavailable — the processor itself is environment-
+    independent."""
+    import pytest
+
+    from forgottenlandapp_etl_spark import catalog
+    from forgottenlandapp_etl_spark.streaming import transform_state
+
+    if not transform_state.transform_state_available():
+        with pytest.raises(NotImplementedError):
+            transform_state.stream_user_stats(spark, sf_dir)
+        pytest.skip("google.protobuf unavailable in this environment")
+    got = {
+        r["user_id"]: (r["n_events"], r["n_clicks"])
+        for r in transform_state.stream_user_stats(spark, sf_dir).collect()
+    }
+    ev = catalog.table(spark, sf_dir, "events")
+    batch = {
+        r["user_id"]: (r["n"], r["c"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("c"),
+        )
+        .collect()
+    }
+    assert got == batch
+
+
+def test_merge_rows_update_insert_keep_delete(spark):
+    """merge_rows: matched rows take the source version, unmatched source
+    rows insert, unmatched target rows survive, delete_condition drops
+    matched rows — and a null join key matches null-safely."""
+    from forgottenlandapp_etl_spark.sources import sinks
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (None, "n", 99)],
+        "id long, name string, v long",
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 200), (3, "c-del", -1), (4, "d", 40), (None, "N", 100)],
+        "id long, name string, v long",
+    )
+    out = sinks.merge_rows(
+        target, source, keys=("id",), delete_condition=F.col("s.v") < 0
+    )
+    got = {r["id"]: (r["name"], r["v"]) for r in out.collect()}
+    assert got == {
+        1: ("a", 10),      # target-only: kept
+        2: ("B", 200),     # matched: source wins
+        4: ("d", 40),      # source-only: inserted
+        None: ("N", 100),  # null key matches null-safely, source wins
+    }
+    assert 3 not in got    # matched + delete_condition: dropped
+
+
+def test_merge_rows_schema_mismatch_raises(spark):
+    from forgottenlandapp_etl_spark.sources import sinks
+
+    a = spark.createDataFrame([(1, "x")], "id long, name string")
+    b = spark.createDataFrame([(1,)], "id long")
+    import pytest
+
+    with pytest.raises(ValueError, match="schemas differ"):
+        sinks.merge_rows(a, b, keys=("id",))
