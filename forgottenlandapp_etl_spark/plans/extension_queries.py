@@ -923,3 +923,298 @@ def pipeline_train_val_split(spark, sf_dir):
     return d.select(
         "doc_id", F.when(h < 90, "train").otherwise("val").alias("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus hygiene: decontamination, repetition quality, PII redaction, sampling
+# ---------------------------------------------------------------------------
+
+@ext_query(
+    "decontaminate",
+    f"""
+    WITH {_SQL_SHINGLES.strip()},
+    bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    csh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(b.shingle) AS BIGINT) AS n_contaminated,
+           CAST(COUNT(b.shingle) AS DOUBLE) / COUNT(*) AS contaminated_frac,
+           CAST(CASE WHEN CAST(COUNT(b.shingle) AS DOUBLE) / COUNT(*) >= 0.2
+                     THEN 1 ELSE 0 END AS INT) AS is_contaminated
+    FROM csh c LEFT JOIN bsh b ON c.shingle = b.shingle
+    GROUP BY c.doc_id
+    """,
+)
+def decontaminate(spark, sf_dir):
+    """Benchmark decontamination: every 97th document plays the held-out
+    eval set; the rest of the corpus is scored for shingle overlap against
+    it. The benchmark shingle set is broadcast (eval sets are tiny next to
+    a training corpus), so the corpus is scanned once — narrow shingle
+    explode, broadcast hit-test, one keyed aggregation. The cheapest
+    possible 100 TB shape: no corpus self-join, no second scan."""
+    from ..operators import contamination
+
+    d = _docs(spark, sf_dir, fan_out=True)
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    return contamination.contamination_overlap(
+        corpus, bench, "doc_id", "text", n=3, flag_threshold=0.2
+    )
+
+
+@ext_query(
+    "text_repetition",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    pc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac,
+           CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c) AS dup_bigram_frac
+    FROM pc GROUP BY doc_id
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals per document: the fraction
+    of bigram positions taken by the single most frequent bigram, and the
+    fraction of bigram occurrences that are repeats. High values flag the
+    boilerplate/spam a quality filter drops before training.
+
+    Shape: narrow bigram explode (no distinct — counts matter here), one
+    shuffle keyed by (doc_id, gram) — doc_id in the key keeps hot grams
+    from concentrating — then a tiny per-doc rollup."""
+    d = _docs(spark, sf_dir, fan_out=True)
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    per = (
+        d.where(F.size(toks) >= 2)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.max("c").cast("long").alias("top_bigram_n"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac"),
+        (
+            (F.sum("c") - F.count(F.lit(1))).cast("double") / F.sum("c")
+        ).alias("dup_bigram_frac"),
+    )
+
+
+# PII patterns valid in BOTH regex dialects the engine pair uses (Java
+# java.util.regex in Spark, RE2 in DuckDB): no backreferences, no lookarounds.
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE_RE = r"\+\d{7,15}"
+
+
+@ext_query(
+    "pii_redact",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR)
+                  || '@example.com from 10.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.7 call +1555'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_IP_RE}')) AS INT) AS n_ips,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE_RE}')) AS INT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PII_IP_RE}', '<IP>', 'g'),
+               '{_PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
+    FROM aug
+    """,
+)
+def pii_redact(spark, sf_dir):
+    """PII redaction, the scrub step before a corpus ships: emails, IPv4
+    addresses and phone numbers are counted and replaced with typed
+    placeholders. Deterministic synthetic PII is appended per row (the
+    corpus itself is clean words) so the operator provably fires; the
+    oracle hashes the redacted text, so the redaction output — not just
+    the counts — is verified byte-for-byte cross-engine.
+
+    Pure Column regexps: narrow map, whole-stage codegen, zero shuffle.
+    The patterns avoid every construct where Java regex and RE2 diverge
+    (backreferences, lookarounds, possessive quantifiers)."""
+    d = _docs(spark, sf_dir)
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call +1555"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _PII_EMAIL_RE, "<EMAIL>"),
+            _PII_IP_RE,
+            "<IP>",
+        ),
+        _PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_PII_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_IP_RE), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_PHONE_RE), 0)).alias("n_phones"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+_SQL_ID_HASH = "CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+
+
+def _id_hash() -> F.Column:
+    """The engine-portable doc_id hash (same fold as the dedup tiers)."""
+    return F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+@ext_query(
+    "sample_stratified",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_SQL_ID_HASH} % 100 <
+          CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling: per-stratum rates (50% of 'en',
+    10% of the rest) decided by a content-independent id hash — unlike
+    seeded df.sample, the selection is identical across engines, runs and
+    cluster layouts, which is what makes a training mixture reproducible.
+    Narrow filter, no shuffle; the predicate pushes to the scan."""
+    d = _docs(spark, sf_dir)
+    rate = F.when(F.col("lang") == "en", 50).otherwise(10)
+    return d.where(_id_hash() % 100 < rate).select("doc_id", "lang")
+
+
+@ext_query(
+    "sample_per_key_topk",
+    f"""
+    SELECT doc_id, lang, rn FROM (
+      SELECT doc_id, lang,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_SQL_ID_HASH} % 1000000007, doc_id
+             ) AS BIGINT) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def sample_per_key_topk(spark, sf_dir):
+    """Reservoir-style k-per-stratum sample (k=5 per lang): rank by the
+    portable id hash inside each stratum and keep the first k — a
+    deterministic stand-in for per-key reservoir sampling. The window is
+    PARTITIONED (by lang), so at 100 TB each stratum ranks independently
+    after one hash-partitioned shuffle — no global sort, no single
+    partition."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy((_id_hash() % 1000000007).asc(), F.col("doc_id").asc())
+    )
+    return (
+        d.select(
+            "doc_id", "lang", F.row_number().over(w).cast("long").alias("rn")
+        )
+        .where(F.col("rn") <= 5)
+    )
+
+
+@ext_query(
+    "text_bm25_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT tok, COUNT(*) AS n_docs_with_tok FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, CAST(tf.tf AS BIGINT) AS tf,
+             CAST(dfreq.n_docs_with_tok AS BIGINT) AS n_docs_with_tok,
+             tf.tf * (n.n_docs - dfreq.n_docs_with_tok + 0.5)
+                   / (dfreq.n_docs_with_tok + 0.5) AS score
+      FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tf, n_docs_with_tok, score, rn FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, tok
+      ) AS BIGINT) AS rn
+      FROM scored WHERE doc_id < 200
+    ) WHERE rn <= 5
+    """,
+)
+def text_bm25_topk(spark, sf_dir):
+    """BM25-flavored salient-term extraction: per-document term frequency ×
+    a rational idf ((N - df + 0.5)/(df + 0.5) — the BM25 idf with the log
+    dropped, preserving order while staying bit-exact cross-engine), top-5
+    terms per document for an audited slice (doc_id < 200).
+
+    Shape at scale: token explode (narrow) → tf agg (shuffle on
+    (doc_id, tok)) → document-frequency agg (shuffle on tok) → tf⋈df
+    equi-join on tok (AQE handles hot-token skew) → corpus size joined as
+    a broadcast scalar (no driver-side count action) → PARTITIONED top-k
+    window per doc_id. df is corpus-wide, so only the final projection is
+    filtered to the audited slice."""
+    d = _docs(spark, sf_dir, fan_out=True)
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("n_docs_with_tok"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("n_docs_with_tok").cast("long").alias("n_docs_with_tok"),
+            (
+                F.col("tf")
+                * (F.col("n_docs") - F.col("n_docs_with_tok") + 0.5)
+                / (F.col("n_docs_with_tok") + 0.5)
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.where(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "n_docs_with_tok",
+            "score",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .where(F.col("rn") <= 5)
+    )

@@ -357,3 +357,80 @@ def test_winnow_density_bound(spark, sf_dir):
         n_windows = r["m"] - 2 - 3  # m - (k-1) kgrams, minus (w-1)
         assert r["n"] is not None and 1 <= r["n"] <= n_windows
         assert 0 <= r["lo"] and r["hi"] < MERSENNE_31
+
+
+def test_contamination_overlap_semantics(spark):
+    """A verbatim benchmark copy scores frac 1.0, a half-overlapping doc
+    scores the exact shared-shingle fraction, a disjoint doc scores 0."""
+    from forgottenlandapp_etl_spark.operators import contamination
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),   # verbatim copy
+            (2, "alpha beta gamma zeta eta theta"),  # shares 1 of 4 shingles
+            (3, "one two three four five"),          # disjoint
+            (4, "a b"),                              # < n tokens: no row
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in contamination.contamination_overlap(
+            corpus, bench, flag_threshold=0.2
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["contaminated_frac"] == 1.0 and out[1]["is_contaminated"] == 1
+    assert out[2]["n_shingles"] == 4 and out[2]["n_contaminated"] == 1
+    assert out[2]["is_contaminated"] == 1  # 0.25 >= 0.2
+    assert out[3]["n_contaminated"] == 0 and out[3]["is_contaminated"] == 0
+
+
+def test_repetition_flags_boilerplate(spark):
+    """A doc that repeats one bigram scores near 1.0 on both signals; a doc
+    of all-distinct bigrams scores 0.0 on both."""
+    docs = spark.createDataFrame(
+        [(1, "spam ham spam ham spam ham spam ham"),
+         (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    per = (
+        docs.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    out = {
+        r["doc_id"]: r
+        for r in per.groupBy("doc_id")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c")).alias("top_frac"),
+            ((F.sum("c") - F.count(F.lit(1))).cast("double") / F.sum("c")).alias(
+                "dup_frac"
+            ),
+        )
+        .collect()
+    }
+    # "spam ham" fills 4 of 7 bigram slots; only 2 distinct bigrams → dup 5/7
+    assert abs(out[1]["top_frac"] - 4 / 7) < 1e-12
+    assert abs(out[1]["dup_frac"] - 5 / 7) < 1e-12
+    assert out[2]["top_frac"] == 1 / 5 and out[2]["dup_frac"] == 0.0
+
+
+def test_pii_redaction_scrubs_all_patterns(spark):
+    """Redacted text retains no email/IP/phone match for any row."""
+    from forgottenlandapp_etl_spark.plans import QUERIES
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    out = QUERIES["pii_redact"](spark, sf)
+    assert out.where(
+        (F.col("n_emails") < 1) | (F.col("n_ips") < 1) | (F.col("n_phones") < 1)
+    ).count() == 0

@@ -34,8 +34,11 @@ con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
+only = {n for n in os.environ.get("GATE_ONLY", "").split(",") if n}
 fails = []
 for name in sorted(qs):
+    if only and name not in only:
+        continue
     sdf = qs[name](spark, SF).toPandas()
     spark.catalog.clearCache()  # bound cache growth across cache-building queries
     if name not in osql:
@@ -46,4 +49,4 @@ for name in sorted(qs):
     ok = hs == ho and ns == no
     if not ok: fails.append(name)
     print(("PASS" if ok else "FAIL"), name, f"rows={ns}/{no}")
-print("TOTAL", len(qs), "FAILS", fails)
+print("TOTAL", len(only) if only else len(qs), "FAILS", fails)
