@@ -602,6 +602,34 @@ def stream_daily_counts(spark, sf_dir):
 
 
 @ext_query(
+    "stream_sliding_counts",
+    """
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ets, event_type FROM events),
+    x AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ets)
+               - k * INTERVAL '30 minutes' AS ws,
+             event_type
+      FROM e, UNNEST([0, 1]) AS u(k)
+    )
+    SELECT CAST(ws AS VARCHAR) AS window_start,
+           CAST(ws + INTERVAL '60 minutes' AS VARCHAR) AS window_end,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM x GROUP BY 1, 2, 3
+    """,
+)
+def stream_sliding_counts(spark, sf_dir):
+    """Watermarked HOPPING-window streaming aggregation (1 h window / 30 min
+    hop — each event counted in exactly 2 overlapping windows), drained
+    availableNow. The oracle expands the overlap arithmetically: bucket to
+    the hop grid, emit the bucket and its predecessor window start. The
+    tumbling form is stream_daily_counts; this is the sliding form the
+    reference's cron model cannot express at all."""
+    from ..streaming.online import stream_events_sliding_counts
+
+    return stream_events_sliding_counts(spark, sf_dir)
+
+
+@ext_query(
     "text_vocab_topk",
     """
     WITH tok AS (

@@ -84,45 +84,39 @@ def run_stream(
     q.awaitTermination()
 
 
-def stream_events_daily_counts(
-    spark: SparkSession, sf_dir: str, name: str = "stream_daily_counts"
-) -> DataFrame:
-    """Structured-Streaming drain of the events table: file-source stream →
-    1-day tumbling window count per (day, user) → in-memory sink.
+EVENTS_STREAM_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
 
-    ``availableNow`` processes the whole backlog as micro-batches and stops,
-    so the result is deterministic and equals the batch aggregate — which is
-    exactly what the DuckDB oracle checks. The parquet carries
-    TIMESTAMP(NANOS) (TESTDATA.md), so the stream schema takes nanos as LONG
-    and converts, same as the batch catalog.
+
+def drain_events_stream(spark: SparkSession, sf_dir: str, transform, name: str) -> DataFrame:
+    """Drain the events table through a streaming transformation and return
+    the final result as a standalone batch DataFrame.
+
+    ``transform(stream) -> DataFrame`` receives the raw file-source stream
+    (EVENTS_STREAM_SCHEMA — the parquet carries TIMESTAMP(NANOS) per
+    TESTDATA.md, so ts arrives as LONG nanos). The drain runs availableNow
+    (whole backlog as micro-batches, then stop — deterministic, equal to
+    the batch aggregate the DuckDB oracle computes), complete mode into a
+    memory sink, then materializes the (small, aggregate-sized) result so
+    the sink table / checkpoint / staging dirs can be released instead of
+    accumulating across invocations.
     """
     import os
+    import shutil
     import tempfile
     import uuid
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
-        "value DOUBLE, props STRING"
-    )
     # the file-stream source requires a directory; stage the single-file
     # table behind a symlink dir (a real deployment streams a landing dir)
     src = tempfile.mkdtemp(prefix="stream_src_")
     os.symlink(
         os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet")
     )
-    stream = spark.readStream.schema(schema).parquet(src)
-    agg = (
-        stream.withColumn("ets", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ets", "1 day")
-        .groupBy(F.window("ets", "1 day").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            F.to_date(F.col("w.start")).cast("string").alias("day"),
-            "user_id",
-            "n_events",
-        )
-    )
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+    agg = transform(stream)
     qname = f"{name}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
     try:
@@ -135,16 +129,66 @@ def stream_events_daily_counts(
             .start()
         )
         q.awaitTermination()
-        # materialize the (small: days × users) result into a standalone
-        # DataFrame so the memory-sink table and temp dirs can be released
-        # instead of accumulating across repeated invocations
         out = spark.createDataFrame(
             spark.table(qname).collect(), schema=spark.table(qname).schema
         )
     finally:
-        import shutil
-
         spark.catalog.dropTempView(qname)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(src, ignore_errors=True)
     return out
+
+
+def stream_events_daily_counts(
+    spark: SparkSession, sf_dir: str, name: str = "stream_daily_counts"
+) -> DataFrame:
+    """Structured-Streaming drain of the events table: file-source stream →
+    1-day tumbling window count per (day, user) → in-memory sink."""
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withColumn("ets", F.timestamp_micros(F.expr("ts div 1000")))
+            .withWatermark("ets", "1 day")
+            .groupBy(F.window("ets", "1 day").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.to_date(F.col("w.start")).cast("string").alias("day"),
+                "user_id",
+                "n_events",
+            )
+        )
+
+    return drain_events_stream(spark, sf_dir, transform, name)
+
+
+def stream_events_sliding_counts(
+    spark: SparkSession, sf_dir: str, name: str = "stream_sliding_counts"
+) -> DataFrame:
+    """Hopping-window (1 h window, 30 min hop) event counts per event type.
+
+    Every event lands in exactly window_size/hop = 2 overlapping windows;
+    the watermark (2 h) bounds open-window state in an unbounded deployment
+    (under the availableNow drain it simply closes everything). Window
+    bounds are emitted as strings — Spark's timestamp→string cast and
+    DuckDB's VARCHAR cast agree on the 'YYYY-MM-DD HH:MM:SS' form the
+    oracle compares.
+    """
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withColumn("ets", F.timestamp_micros(F.expr("ts div 1000")))
+            .withWatermark("ets", "2 hours")
+            .groupBy(
+                F.window("ets", "60 minutes", "30 minutes").alias("w"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("w.start").cast("string").alias("window_start"),
+                F.col("w.end").cast("string").alias("window_end"),
+                "event_type",
+                "n_events",
+            )
+        )
+
+    return drain_events_stream(spark, sf_dir, transform, name)
