@@ -43,6 +43,7 @@ CROSS_JOIN_OK = {
     "f3_min_level_online",  # 1-row max-date bounds broadcast (same as j3/j4)
     "sim_ivf_kmeans_topk",  # 8-row learned-centroid broadcast
     "emb_near_dup_kmeans",  # 8-row learned-centroid broadcast
+    "text_bm25_topk",  # 1-row corpus-size scalar broadcast (N for the idf)
 }
 
 
@@ -243,3 +244,65 @@ def test_rerun_determinism(spark, sf_dir):
         a = canonicalize(QUERIES[name](spark, sf_dir).toPandas())
         b = canonicalize(QUERIES[name](spark, sf_dir).toPandas())
         assert a == b, name
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Star-schema join on the partition key with a selective dim filter
+    must inject a dynamic-partition-pruning subquery: at 100 TB the fact
+    scan reads only the partitions the filtered dimension names, instead
+    of the whole table. (Static pruning is the sibling gate above; this is
+    the runtime form Catalyst uses when the partition set is only known
+    after filtering the dim.)"""
+    fact = spark.range(0, 10000).select(
+        F.col("id"), (F.col("id") % 50).cast("string").alias("part_key")
+    )
+    fact.write.partitionBy("part_key").mode("overwrite").parquet(
+        str(tmp_path / "fact")
+    )
+    spark.range(0, 50).select(
+        F.col("id").cast("string").alias("part_key"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"),
+    ).write.mode("overwrite").parquet(str(tmp_path / "dim"))
+
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    d = spark.read.parquet(str(tmp_path / "dim")).where(F.col("name") == "n7")
+    j = f.join(d, "part_key")
+    assert "dynamicpruning" in plan_of(j).lower(), plan_of(j)[:2000]
+    assert j.count() == 200
+
+
+def test_runtime_bloom_filter_join(spark, tmp_path):
+    """With broadcast off (the 100 TB big-big shape), a selective dim
+    filter must inject a runtime bloom filter on the fact side so shuffle
+    input shrinks before the exchange. Thresholds are lowered to make the
+    toy fixture eligible — production keeps Spark's defaults (app side
+    > 10 GB), which a real 100 TB fact table clears."""
+    spark.range(0, 10000).select(
+        F.col("id"), (F.col("id") % 50).alias("k")
+    ).write.mode("overwrite").parquet(str(tmp_path / "fact"))
+    spark.range(0, 50).select(
+        F.col("id").alias("k2"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    ).write.mode("overwrite").parquet(str(tmp_path / "dim"))
+
+    old_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        f = spark.read.parquet(str(tmp_path / "fact"))
+        d = spark.read.parquet(str(tmp_path / "dim")).where(F.col("name") == "n7")
+        j = f.join(d, f["k"] == d["k2"])
+        opt = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "might_contain" in opt or "bloomfilter" in opt, opt[:2000]
+        assert j.count() == 200
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thresh,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
