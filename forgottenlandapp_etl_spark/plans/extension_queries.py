@@ -1246,3 +1246,103 @@ def text_bm25_topk(spark, sf_dir):
         )
         .where(F.col("rn") <= 5)
     )
+
+
+@ext_query(
+    "emb_centroid_per_label",
+    """
+    WITH ev AS (
+      SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) g(i)
+    )
+    SELECT CAST(label AS INT) AS label, CAST(pos AS INT) AS pos,
+           CAST(SUM(CAST(val AS DECIMAL(38,7))) AS DOUBLE) / COUNT(*)
+             AS centroid
+    FROM ev GROUP BY 1, 2
+    """,
+)
+def emb_centroid_per_label(spark, sf_dir):
+    """Per-class embedding centroid (the building block for class
+    prototypes, cluster drift monitoring, and IVF re-training): posexplode
+    to (label, dim) and average with the decimal-sum discipline, so the
+    centroid is bit-identical however 1000 executors order the partial
+    sums. Output is long-form (label, pos, centroid) — array reassembly is
+    a presentation concern, and long-form rows hash-compare exactly."""
+    e = catalog.table(spark, sf_dir, "embeddings")
+    from ..functions import num
+
+    ev = e.select(
+        F.col("label").cast("int").alias("label"),
+        F.posexplode(F.col("embedding")).alias("pos", "val"),
+    )
+    return ev.groupBy("label", "pos").agg(
+        (num.dsum(F.col("val").cast("double"), scale=7) / F.count(F.lit(1))).alias(
+            "centroid"
+        )
+    )
+
+
+@ext_query(
+    "dedup_incremental",
+    f"""
+    WITH fp AS (SELECT doc_id, {_FP_SQL} AS fp FROM documents),
+    old_fp AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 <> 9),
+    new_docs AS (SELECT doc_id, fp FROM fp WHERE doc_id % 10 = 9)
+    SELECT n.doc_id, n.fp,
+           CAST(CASE WHEN o.fp IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup
+    FROM new_docs n LEFT JOIN old_fp o ON n.fp = o.fp
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental-ingest dedup: a new batch (every 10th doc plays the
+    arriving slice) is checked against the EXISTING corpus's fingerprint
+    set — the batch form of streaming ingestion dedup, and the shape a
+    daily corpus append actually runs (new slice ⋈ historical fingerprint
+    index, never corpus × corpus). Equi-join on the fingerprint: linear,
+    AQE-skew-safe, and the historical side can be a pre-bucketed
+    fingerprint table so the join is shuffle-free on the big side."""
+    d = _docs(spark, sf_dir)
+    fp = d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+    old_fp = fp.where(F.col("doc_id") % 10 != 9).select("fp").distinct()
+    new_docs = fp.where(F.col("doc_id") % 10 == 9)
+    return new_docs.join(
+        old_fp.withColumn("__dup", F.lit(1)), "fp", "left"
+    ).select(
+        "doc_id",
+        "fp",
+        F.coalesce(F.col("__dup"), F.lit(0)).cast("int").alias("is_dup"),
+    )
+
+
+@ext_query(
+    "text_length_histogram",
+    """
+    WITH b AS (
+      SELECT LEAST(CAST(len(string_split(text, ' ')) // 16 AS BIGINT), 15)
+               AS bucket,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n) AS INT) AS min_toks, CAST(MAX(n) AS INT) AS max_toks
+    FROM b GROUP BY 1
+    """,
+)
+def text_length_histogram(spark, sf_dir):
+    """Token-length histogram (16-token buckets, clamped tail) — the
+    curriculum/packing statistic a training pipeline computes corpus-wide.
+    Narrow bucket projection + one tiny aggregation; the histogram never
+    materializes per-document state."""
+    d = _docs(spark, sf_dir)
+    n = text.n_tokens(F.col("text"))
+    bucket = F.least(F.floor(n / 16), F.lit(15)).cast("long")
+    return (
+        d.select(bucket.alias("bucket"), n.alias("n"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n").cast("int").alias("min_toks"),
+            F.max("n").cast("int").alias("max_toks"),
+        )
+    )
