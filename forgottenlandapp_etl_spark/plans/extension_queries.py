@@ -1346,3 +1346,79 @@ def text_length_histogram(spark, sf_dir):
             F.max("n").cast("int").alias("max_toks"),
         )
     )
+
+
+@ext_query(
+    "pipeline_pack_sequences",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 32 AS shard,
+             len(string_split(text, ' ')) AS n_toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_toks,
+             SUM(n_toks) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM d
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(n_toks AS INT) AS n_toks,
+           CAST((cum - n_toks) // 512 AS BIGINT) AS start_chunk,
+           CAST((cum - 1) // 512 AS BIGINT) AS end_chunk,
+           CAST((cum - n_toks) % 512 AS BIGINT) AS chunk_offset
+    FROM c
+    """,
+)
+def pipeline_pack_sequences(spark, sf_dir):
+    """Sequence packing, the concat-then-chunk step that turns a document
+    corpus into fixed 512-token training rows: documents are concatenated
+    in doc_id order within 32 hash shards and every doc is assigned the
+    chunk range [start_chunk, end_chunk] plus its byte offset into the
+    first chunk. A doc whose span crosses a boundary is split across
+    chunks — exactly the GPT-style packing contract.
+
+    One PARTITIONED running-sum window (shard in the partition key — no
+    global sort, no single partition), pure integer arithmetic after it.
+    At 100 TB each shard packs independently; shard count scales with the
+    cluster."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % 32).alias("shard"),
+        text.n_tokens(F.col("text")).alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_toks").over(w))
+    return c.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n_toks").cast("int").alias("n_toks"),
+        F.floor((F.col("cum") - F.col("n_toks")) / 512).alias("start_chunk"),
+        F.floor((F.col("cum") - 1) / 512).alias("end_chunk"),
+        ((F.col("cum") - F.col("n_toks")) % 512).cast("long").alias("chunk_offset"),
+    )
+
+
+@ext_query("pipeline_pack_ffd")
+def pipeline_pack_ffd(spark, sf_dir):
+    """No-split sequence packing: first-fit-decreasing bins per shard via
+    grouped-map applyInPandas (the §2.10 grouped-map surface — one Arrow
+    batch per shard, imperative bin state inside, nothing row-at-a-time).
+    Rows-only: FFD's loop-carried state is not SQL-expressible; the
+    invariants (each doc packed once, no bin over capacity, bin count
+    within the FFD bound of optimal, rerun determinism) are property-
+    tested in tests/test_extensions.py."""
+    from ..operators import packing
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", text.n_tokens(F.col("text")).alias("n_toks")
+    )
+    return packing.ffd_pack(d, capacity=512, n_shards=32)

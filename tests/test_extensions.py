@@ -434,3 +434,42 @@ def test_pii_redaction_scrubs_all_patterns(spark):
     assert out.where(
         (F.col("n_emails") < 1) | (F.col("n_ips") < 1) | (F.col("n_phones") < 1)
     ).count() == 0
+
+
+def test_ffd_pack_invariants(spark, sf_dir):
+    """FFD packing: every doc packed exactly once; no bin exceeds capacity
+    (oversize singletons exempt); per-shard bin count is within the FFD
+    guarantee (11/9·OPT + 1) of the volume lower bound; rerun identical."""
+    from forgottenlandapp_etl_spark.operators import packing, text as T
+
+    cap = 512
+    d = catalog.table(spark, sf_dir, "documents").select(
+        "doc_id", T.n_tokens(F.col("text")).alias("n_toks")
+    )
+    out = packing.ffd_pack(d, capacity=cap, n_shards=8).collect()
+    n_docs = d.count()
+    assert len(out) == n_docs
+    assert len({r["doc_id"] for r in out}) == n_docs
+
+    from collections import defaultdict
+
+    fill = defaultdict(int)
+    members = defaultdict(list)
+    for r in out:
+        fill[(r["shard"], r["bin_id"])] += r["n_toks"]
+        members[(r["shard"], r["bin_id"])].append(r)
+    shard_total = defaultdict(int)
+    for (shard, b), tot in fill.items():
+        ms = members[(shard, b)]
+        if any(m["oversize"] for m in ms):
+            assert len(ms) == 1, "oversize doc must sit alone"
+        else:
+            assert tot <= cap, (shard, b, tot)
+        shard_total[shard] += tot
+    for shard, tot in shard_total.items():
+        n_bins = len({b for (s, b) in fill if s == shard})
+        lower = -(-tot // cap)  # ceil: volume lower bound on OPT
+        assert n_bins <= (11 * lower) // 9 + 1, (shard, n_bins, lower)
+
+    again = packing.ffd_pack(d, capacity=cap, n_shards=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
