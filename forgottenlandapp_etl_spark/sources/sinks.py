@@ -20,6 +20,22 @@ def insert_snapshot(df: DataFrame, path: str, partition_cols: tuple[str, ...] = 
     df.write.mode("append").partitionBy(*partition_cols).parquet(path)
 
 
+def read_snapshots(spark: SparkSession, path: str, merge_schema: bool = True) -> DataFrame:
+    """Read a partitioned snapshot table whose schema EVOLVED across
+    appends (columns added in later snapshots — the normal fate of a table
+    fed by K1 for years). ``mergeSchema`` unions the per-file parquet
+    schemas; rows from pre-evolution files null-fill the newer columns.
+
+    Scale note: schema merging touches file footers, not data pages, and
+    Spark distributes the footer reads; still, on tables with millions of
+    files pin the canonical schema in a metastore and leave this off —
+    hence the flag."""
+    return (
+        spark.read.option("mergeSchema", "true" if merge_schema else "false")
+        .parquet(path)
+    )
+
+
 def overwrite_latest(df: DataFrame, path: str) -> None:
     """K2 — replace the single current-state row/table (etl.dart:113,:336).
     The match key is the whole table, so update == overwrite."""

@@ -653,3 +653,33 @@ def test_merge_rows_schema_mismatch_raises(spark):
 
     with pytest.raises(ValueError, match="schemas differ"):
         sinks.merge_rows(a, b, keys=("id",))
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """A column added by a later snapshot must surface via mergeSchema with
+    older rows null-filled — and partition pruning must survive the merged
+    schema."""
+    from forgottenlandapp_etl_spark.sources import sinks
+
+    p = str(tmp_path / "snap")
+    v1 = spark.createDataFrame(
+        [(1, 10, "2024-01-01")], "k long, v long, date string"
+    )
+    sinks.insert_snapshot(v1, p)
+    v2 = spark.createDataFrame(
+        [(2, 20, 0.9, "2024-01-02")], "k long, v long, quality double, date string"
+    )
+    sinks.insert_snapshot(v2, p)
+
+    out = sinks.read_snapshots(spark, p)
+    assert set(out.columns) == {"k", "v", "quality", "date"}
+    rows = {r["k"]: r for r in out.collect()}
+    assert rows[1]["quality"] is None and rows[2]["quality"] == 0.9
+
+    pruned = out.where(F.col("date") == "2024-01-02")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "date" in m.group(1), plan[:1500]
+    assert pruned.count() == 1
