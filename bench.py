@@ -57,6 +57,13 @@ HEADLINE = [
     "tpch_q21_waiting_supplier",
     "text_winnow_fingerprint",
     "emb_near_dup_rhp",
+    # round-2b corpus-hygiene additions
+    "decontaminate",
+    "text_repetition",
+    "text_bm25_topk",
+    "pipeline_pack_sequences",
+    "dedup_incremental",
+    "k5_row_merge",
 ]
 
 
