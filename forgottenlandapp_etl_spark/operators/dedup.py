@@ -354,6 +354,106 @@ def minhash_lsh_dedup(
     )
 
 
+def positional_window_hashes(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", length: int = 8
+) -> DataFrame:
+    """(id, pos, wh) — 60-bit hash of the ``length``-token window starting at
+    every position (1-based). Unlike :func:`shingles` this keeps EVERY
+    occurrence with its position — exact-substring dedup needs positional
+    coverage, not set semantics — and does NOT fold to the 31-bit domain:
+    window equality stands in for substring equality, so the full 60-bit
+    md5 prefix is kept (collision odds ~n²/2^61, negligible even at
+    100 TB-corpus window counts per partition-disjoint hash space).
+
+    Narrow (tokenize → per-position hash → posexplode): no shuffle. The
+    token array is staged as its own projection so the window lambda does
+    not re-evaluate ``split`` per element (no common-subexpression
+    elimination across higher-order-function boundaries).
+    """
+    toks = F.split(F.col(text_col), " ")
+    staged = df.where(F.size(toks) >= length).select(
+        F.col(id_col), toks.alias("_t")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_t")) - (length - 1)),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ", *[F.element_at(F.col("_t"), i + j) for j in range(length)]
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    return staged.select(
+        F.col(id_col), F.posexplode(grams).alias("pos0", "wh")
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), F.col("wh"))
+
+
+def exact_substring_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length: int = 8,
+    handles: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Cross-document exact-substring duplication profile — the distributed
+    re-expression of the ExactSubstr tier of Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better").
+
+    The paper's suffix-array formulation is inherently sequential; the
+    shuffle-native equivalent fingerprints the L-token window at every
+    position and marks a position duplicated iff its window hash occurs in
+    at least one OTHER document. Any shared span of ≥ L tokens is caught
+    (every window inside it collides); shorter overlaps are not — L is the
+    match-length threshold, exactly the paper's 50-BPE-token knob.
+    Within-document repetition is deliberately excluded (covered by
+    ``text.repetition_profile``); a window is cross-doc-repeated iff
+    min(doc) ≠ max(doc) among its occurrences.
+
+    Scale shape: the window relation is linear in corpus token count and
+    is persisted so the corpus parquet is scanned ONCE for its two
+    consumers (the repeated-hash aggregate and the mark join). Both
+    shuffles key on the 8-byte hash / doc id — never on strings — and the
+    min/max aggregate combines map-side. Returns one row per document with
+    ``total_windows``, ``dup_windows``, ``dup_ratio``; the drop/trim
+    decision is a downstream filter on ``dup_ratio``.
+
+    Cache lifetime contract matches :func:`minhash_lsh_dedup` — pass
+    ``handles`` to unpersist after consuming.
+    """
+    from pyspark import StorageLevel
+
+    win = positional_window_hashes(df, id_col, text_col, length).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if handles is not None:
+        handles.append(win)
+    rep = (
+        win.groupBy("wh")
+        .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+        .where(F.col("_lo") != F.col("_hi"))
+        .select("wh", F.lit(1).alias("_dup"))
+    )
+    marked = win.join(rep, "wh", "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_windows"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).cast("long").alias("dup_windows"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.col("dup_windows").cast("double") / F.col("total_windows"),
+        )
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash signature per document over distinct tokens.
 

@@ -187,6 +187,40 @@ def dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_dedup(d, "doc_id", "text", threshold=0.8)
 
 
+_SUBSTR_L = 8  # window length in tokens — the match-length threshold
+
+
+@ext_query(
+    "dedup_substring",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    win AS (
+      SELECT doc_id,
+             CAST('0x' || SUBSTR(md5(array_to_string(t[i:i+{_SUBSTR_L - 1}], ' ')), 1, 15)
+                  AS BIGINT) AS wh
+      FROM toks, UNNEST(generate_series(1, len(t) - {_SUBSTR_L - 1})) AS g(i)
+      WHERE len(t) >= {_SUBSTR_L}
+    ),
+    rep AS (
+      SELECT wh, 1 AS _dup FROM win GROUP BY wh HAVING MIN(doc_id) <> MAX(doc_id)
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS total_windows,
+           CAST(COALESCE(SUM(r._dup), 0) AS BIGINT) AS dup_windows,
+           CAST(COALESCE(SUM(r._dup), 0) AS DOUBLE) / COUNT(*) AS dup_ratio
+    FROM win w LEFT JOIN rep r USING (wh)
+    GROUP BY w.doc_id
+    """,
+)
+def dedup_substring(spark, sf_dir):
+    """Exact-substring duplication profile (Lee et al. 2021 ExactSubstr,
+    shuffle-native): every L=8-token window fingerprinted positionally; a
+    window is duplicated iff its hash occurs in another document. Two
+    hash-keyed shuffles, corpus scanned once (window relation persisted)."""
+    d = _docs(spark, sf_dir, fan_out=True)
+    return dedup.exact_substring_profile(d, "doc_id", "text", length=_SUBSTR_L)
+
+
 def _simhash_oracle() -> str:
     h = _SQL_TOKEN_HASH.format(col="tok")
     weights = ",\n         ".join(
