@@ -1173,6 +1173,43 @@ def sample_stratified(spark, sf_dir):
 
 
 @ext_query(
+    "mix_temperature_sample",
+    f"""
+    WITH counts AS (
+      SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(sqrt(n) AS DECIMAL(38,9))) AS DOUBLE) AS w,
+             CAST(SUM(n) AS BIGINT) AS n_total
+      FROM counts
+    ),
+    rates AS (
+      SELECT domain,
+             LEAST(1.0, ((0.5 * n_total) * (sqrt(n) / w)) / n) AS rate
+      FROM counts, tot
+    )
+    SELECT d.doc_id, r.domain, r.rate
+    FROM documents d JOIN rates r ON d.source = r.domain
+    WHERE CAST({_SQL_ID_HASH} AS DOUBLE) / 1152921504606846976.0 < r.rate
+    """,
+)
+def mix_temperature_sample(spark, sf_dir):
+    """Temperature-0.5 domain mixture (GPT-3-style resampling): per-domain
+    keep rates ∝ √n_d normalized to a 50% corpus budget, applied via the
+    portable id-hash threshold. sqrt (not pow) because IEEE requires it
+    correctly rounded — rates are bit-identical across engines; Σ√n uses
+    the decimal-sum discipline so rates don't depend on agg order. The
+    rate table is broadcast; the corpus pass is narrow."""
+    from ..operators import mixing
+
+    d = _docs(spark, sf_dir)
+    return mixing.temperature_sample(
+        d, id_col="doc_id", domain_col="source", target_frac=0.5
+    )
+
+
+@ext_query(
     "sample_per_key_topk",
     f"""
     SELECT doc_id, lang, rn FROM (
