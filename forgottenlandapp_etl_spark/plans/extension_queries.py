@@ -1172,6 +1172,34 @@ def sample_stratified(spark, sf_dir):
     return d.where(_id_hash() % 100 < rate).select("doc_id", "lang")
 
 
+_SQL_SHUFFLE_KEY = (
+    "CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':epoch0'), 1, 15) AS BIGINT)"
+)
+
+
+@ext_query(
+    "export_global_shuffle",
+    f"""
+    SELECT doc_id,
+           {_SQL_SHUFFLE_KEY} AS shuffle_key,
+           CAST({_SQL_SHUFFLE_KEY} % 16 AS INT) AS shard
+    FROM documents
+    """,
+)
+def export_global_shuffle(spark, sf_dir):
+    """Deterministic global shuffle for training export: salted 60-bit id
+    hash is the reproducible pseudo-random order, key % 16 the shard. One
+    hash shuffle on the shard id + in-partition sort — no global sort; the
+    order is layout/seed-independent (the oracle checks key and shard;
+    ordering determinism has its own test)."""
+    from ..sources import export
+
+    d = _docs(spark, sf_dir)
+    return export.deterministic_shuffle(d, "doc_id", "epoch0", 16).select(
+        "doc_id", "shuffle_key", "shard"
+    )
+
+
 @ext_query(
     "mix_temperature_sample",
     f"""

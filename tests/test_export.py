@@ -1,0 +1,139 @@
+"""Training-export path: deterministic shuffle order, shard layout, file
+sizing, and re-export reproducibility (the properties the oracle gate's
+order-insensitive hash can't certify)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from forgottenlandapp_etl_spark import catalog
+from forgottenlandapp_etl_spark.sources import export
+
+N_SHARDS = 4
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return catalog.table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+
+
+def test_shard_assignment_and_key_are_pure_id_math(docs):
+    out = export.deterministic_shuffle(docs, "doc_id", "epoch0", N_SHARDS)
+    rows = out.select("doc_id", "shuffle_key", "shard").collect()
+    import hashlib
+
+    for r in rows:
+        h = int(hashlib.md5(f"{r.doc_id}:epoch0".encode()).hexdigest()[:15], 16)
+        assert r.shuffle_key == h
+        assert r.shard == h % N_SHARDS
+
+
+def test_salt_reshuffles_order(docs):
+    a = export.deterministic_shuffle(docs, "doc_id", "epoch0", N_SHARDS)
+    b = export.deterministic_shuffle(docs, "doc_id", "epoch1", N_SHARDS)
+    ka = [r.doc_id for r in a.orderBy("shuffle_key", "doc_id").collect()]
+    kb = [r.doc_id for r in b.orderBy("shuffle_key", "doc_id").collect()]
+    assert sorted(ka) == sorted(kb)  # same corpus
+    assert ka != kb  # different epoch order
+
+
+def _shard_files(path: str, fmt: str) -> dict[int, list[str]]:
+    ext = {"parquet": "parquet", "json": "json"}[fmt]
+    out: dict[int, list[str]] = {}
+    for d in sorted(glob.glob(os.path.join(path, "shard=*"))):
+        shard = int(d.rsplit("=", 1)[1])
+        out[shard] = sorted(glob.glob(os.path.join(d, f"part-*.{ext}*")))
+    return out
+
+
+def test_write_one_sorted_file_per_shard(docs, spark, tmp_path):
+    path = str(tmp_path / "shards")
+    export.write_training_shards(
+        docs, path, id_col="doc_id", salt="epoch0", n_shards=N_SHARDS
+    )
+    files = _shard_files(path, "parquet")
+    assert sorted(files) == list(range(N_SHARDS))
+    assert all(len(fs) == 1 for fs in files.values())
+    # within each file the rows must be in shuffle-key order (file row order
+    # is preserved by the parquet reader for a single file)
+    for shard, fs in files.items():
+        got = spark.read.parquet(fs[0]).select("shuffle_key").collect()
+        keys = [r.shuffle_key for r in got]
+        assert keys == sorted(keys)
+        assert all(k % N_SHARDS == shard for k in keys)
+    # round-trip: nothing lost
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert sorted(r.doc_id for r in back.select("doc_id").collect()) == sorted(
+        r.doc_id for r in docs.select("doc_id").collect()
+    )
+
+
+def test_records_per_file_splits_without_reordering(docs, spark, tmp_path):
+    path = str(tmp_path / "small_shards")
+    per_file = 20
+    export.write_training_shards(
+        docs,
+        path,
+        id_col="doc_id",
+        salt="epoch0",
+        n_shards=N_SHARDS,
+        records_per_file=per_file,
+    )
+    files = _shard_files(path, "parquet")
+    total = 0
+    for shard, fs in files.items():
+        shard_keys: list[int] = []
+        for f in fs:
+            rows = spark.read.parquet(f).select("shuffle_key").collect()
+            assert len(rows) <= per_file
+            shard_keys.extend(r.shuffle_key for r in rows)
+        # consecutive files of one shard form one sorted run — read in
+        # filename order they must concatenate sorted
+        assert shard_keys == sorted(shard_keys)
+        total += len(shard_keys)
+    assert total == docs.count()
+
+
+def test_reexport_is_byte_identical_logical_content(docs, spark, tmp_path):
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    for p in (p1, p2):
+        export.write_training_shards(
+            docs, p, id_col="doc_id", salt="epoch0", n_shards=N_SHARDS
+        )
+    f1, f2 = _shard_files(p1, "parquet"), _shard_files(p2, "parquet")
+    for shard in range(N_SHARDS):
+        a = spark.read.parquet(*f1[shard]).collect()
+        b = spark.read.parquet(*f2[shard]).collect()
+        assert a == b
+
+
+def test_jsonl_export(docs, spark, tmp_path):
+    path = str(tmp_path / "jsonl")
+    export.write_training_shards(
+        docs.select("doc_id", "text"),
+        path,
+        id_col="doc_id",
+        salt="epoch0",
+        n_shards=N_SHARDS,
+        fmt="json",
+    )
+    files = _shard_files(path, "json")
+    assert sorted(files) == list(range(N_SHARDS))
+    first = files[0][0]
+    with open(first) as fh:
+        line = fh.readline()
+    assert line.startswith("{") and '"doc_id"' in line  # one JSON doc per line
+    back = spark.read.json(path)
+    assert back.count() == docs.count()
+
+
+def test_unsupported_format_raises(docs, tmp_path):
+    with pytest.raises(ValueError, match="unsupported fmt"):
+        export.write_training_shards(docs, str(tmp_path / "x"), fmt="csv")
