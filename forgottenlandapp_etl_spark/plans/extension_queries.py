@@ -695,6 +695,62 @@ def text_vocab_topk(spark, sf_dir):
     return windows.top_k(agg, [F.desc("n_occurrences"), F.asc("token")], 100)
 
 
+def _cms_oracle() -> str:
+    from ..operators.sketches import CMS_COEFFS, CMS_WIDTH
+
+    h_tok = _SQL_TOKEN_HASH.format(col="token")
+    build = "\n      UNION ALL\n      ".join(
+        f"SELECT {r} AS row, ((({a} * h + {b}) % {MERSENNE_31}) % {CMS_WIDTH}) AS bucket FROM hh"
+        for r, (a, b) in enumerate(CMS_COEFFS)
+    )
+    lookup = "\n      UNION ALL\n      ".join(
+        f"SELECT token, {r} AS row, ((({a} * ({h_tok}) + {b}) % {MERSENNE_31}) % {CMS_WIDTH}) AS bucket FROM top"
+        for r, (a, b) in enumerate(CMS_COEFFS)
+    )
+    return f"""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    hh AS (SELECT token, {h_tok} AS h FROM tok),
+    sk AS (
+      SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      {build}
+      ) GROUP BY row, bucket
+    ),
+    exact AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_true FROM tok GROUP BY token),
+    top AS (SELECT token, n_true FROM exact ORDER BY n_true DESC, token LIMIT 20),
+    lk AS (
+      {lookup}
+    ),
+    est AS (
+      SELECT l.token, MIN(s.cnt) AS n_est
+      FROM lk l JOIN sk s USING (row, bucket) GROUP BY l.token
+    )
+    SELECT t.token, t.n_true, est.n_est FROM top t JOIN est USING (token)
+    """
+
+
+@ext_query("sketch_count_min", _cms_oracle())
+def sketch_count_min(spark, sf_dir):
+    """Count-min sketch (4×1024) as engine-native column math: build is one
+    explode + hash aggregate (sketch ≤ DEPTH×WIDTH rows however big the
+    corpus), probe is a broadcast equi-join + MIN. The exact top-20 tokens
+    are probed and both true and estimated counts returned — the oracle
+    checks the sketch's integer math exactly, the CMS ≥-guarantee has a
+    property test."""
+    from pyspark import StorageLevel
+
+    from ..operators import sketches, windows
+
+    d = _docs(spark, sf_dir, fan_out=True)
+    tok = d.select(F.explode(F.split("text", " ")).alias("token")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_true"))
+    top = windows.top_k(exact, [F.desc("n_true"), F.asc("token")], 20)
+    sk = sketches.build_count_min(tok, "token")
+    est = sketches.probe_count_min(sk, top.select("token"), "token")
+    return top.join(est, "token").select("token", "n_true", "n_est")
+
+
 @ext_query(
     "stream_dedup_keys",
     """

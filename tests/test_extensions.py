@@ -473,3 +473,38 @@ def test_ffd_pack_invariants(spark, sf_dir):
 
     again = packing.ffd_pack(d, capacity=cap, n_shards=8).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_count_min_guarantee_and_merge(spark, sf_dir):
+    """CMS invariants the oracle's exact check can't express: every estimate
+    is ≥ the true count (one-sided error), within the ε·N bound for the
+    4×1024 geometry, and two half-corpus sketches merged via UNION ALL +
+    re-aggregate equal the whole-corpus sketch (mergeability)."""
+    from forgottenlandapp_etl_spark.operators import sketches
+
+    d = catalog.table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_true"))
+    sk = sketches.build_count_min(tok, "token")
+    est = sketches.probe_count_min(sk, exact.select("token"), "token")
+    joined = exact.join(est, "token").collect()
+    n_total = tok.count()
+    eps_bound = 2.0 * n_total / sketches.CMS_WIDTH
+    assert joined, "no tokens probed"
+    for r in joined:
+        assert r.n_est >= r.n_true, (r.token, r.n_true, r.n_est)
+        assert r.n_est - r.n_true <= eps_bound, (r.token, r.n_true, r.n_est)
+
+    # mergeability: sketch(A) ⊎ sketch(B) == sketch(A ∪ B)
+    a = sketches.build_count_min(tok.where(F.col("doc_id") % 2 == 0), "token")
+    b = sketches.build_count_min(tok.where(F.col("doc_id") % 2 == 1), "token")
+    merged = (
+        a.unionAll(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r.row, r.bucket): r.cnt for r in sk.collect()}
+    got = {(r.row, r.bucket): r.cnt for r in merged.collect()}
+    assert got == whole
