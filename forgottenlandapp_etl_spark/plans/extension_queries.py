@@ -695,6 +695,49 @@ def text_vocab_topk(spark, sf_dir):
     return windows.top_k(agg, [F.desc("n_occurrences"), F.asc("token")], 100)
 
 
+def _quality_linear_oracle() -> str:
+    from ..operators.classifier import (
+        KEEP_THRESHOLD,
+        N_BUCKETS,
+        WEIGHT_A,
+        WEIGHT_B,
+    )
+
+    h_tok = _SQL_TOKEN_HASH.format(col="tok")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             ({WEIGHT_A} * (({h_tok}) % {N_BUCKETS}) + {WEIGHT_B}) % {MERSENNE_31} AS w_int
+      FROM tok
+    ),
+    g AS (
+      SELECT doc_id, CAST(SUM(w_int) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_toks
+      FROM w GROUP BY doc_id
+    )
+    SELECT doc_id, n_toks,
+           (CAST(s AS DOUBLE) / n_toks) / {float(MERSENNE_31)!r} AS score,
+           ((CAST(s AS DOUBLE) / n_toks) / {float(MERSENNE_31)!r}) >= {KEEP_THRESHOLD} AS keep
+    FROM g
+    """
+
+
+@ext_query("quality_linear_score", _quality_linear_oracle())
+def quality_linear_score(spark, sf_dir):
+    """Hashed linear quality classifier (fastText-style serving shape):
+    token → weight bucket → mean weight per doc → threshold. Synthetic
+    seeded weights keep the oracle exact; the broadcast-join path for real
+    trained weights is pinned to this one by a test. One explode + one
+    map-side-combinable integer aggregate — no UDF, no join."""
+    from ..operators import classifier
+
+    d = _docs(spark, sf_dir, fan_out=True)
+    return classifier.hashed_score(d, "doc_id", "text")
+
+
 def _cms_oracle() -> str:
     from ..operators.sketches import CMS_COEFFS, CMS_WIDTH
 

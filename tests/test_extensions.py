@@ -508,3 +508,20 @@ def test_count_min_guarantee_and_merge(spark, sf_dir):
     whole = {(r.row, r.bucket): r.cnt for r in sk.collect()}
     got = {(r.row, r.bucket): r.cnt for r in merged.collect()}
     assert got == whole
+
+
+def test_classifier_joined_path_matches_inline(spark, sf_dir):
+    """The pluggable broadcast-join scoring path must agree exactly with the
+    inline column-math path when given the same (synthetic) weight table —
+    this is what certifies the real-trained-weights path."""
+    from forgottenlandapp_etl_spark.operators import classifier
+
+    d = catalog.table(spark, sf_dir, "documents")
+    inline = classifier.hashed_score(d).orderBy("doc_id").collect()
+    joined = (
+        classifier.hashed_score_joined(d, classifier.synthetic_weights(spark))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert inline == joined
+    assert any(r.keep for r in inline) and not all(r.keep for r in inline)
