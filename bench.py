@@ -64,6 +64,12 @@ HEADLINE = [
     "pipeline_pack_sequences",
     "dedup_incremental",
     "k5_row_merge",
+    # round-2c additions: substring dedup, mixing, export, sketches, classifier
+    "dedup_substring",
+    "mix_temperature_sample",
+    "export_global_shuffle",
+    "sketch_count_min",
+    "quality_linear_score",
 ]
 
 

@@ -44,6 +44,7 @@ CROSS_JOIN_OK = {
     "sim_ivf_kmeans_topk",  # 8-row learned-centroid broadcast
     "emb_near_dup_kmeans",  # 8-row learned-centroid broadcast
     "text_bm25_topk",  # 1-row corpus-size scalar broadcast (N for the idf)
+    "mix_temperature_sample",  # 1-row Σ√n/N totals broadcast into the rate table
 }
 
 
