@@ -454,6 +454,84 @@ def exact_substring_profile(
     )
 
 
+def exact_substring_trim(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length: int = 8,
+    handles: list[DataFrame] | None = None,
+) -> DataFrame:
+    """The transform half of ExactSubstr dedup: REMOVE every token covered
+    by a cross-document duplicated window and rebuild the document.
+
+    :func:`exact_substring_profile` measures; this excises. Overlapping
+    duplicated windows merge naturally — coverage is computed per token
+    index (a token is dropped iff ANY duplicated window spans it), which is
+    exactly interval union without interval arithmetic:
+
+      dup positions → explode [pos, pos+L) → distinct covered indexes
+      → anti-join the positional token stream → ordered re-concat.
+
+    The rebuild aggregates ``sort_array(collect_list(struct(idx, tok)))`` —
+    order restored deterministically after the shuffle, never relying on
+    collect_list's arrival order. Documents shorter than L tokens have no
+    windows and pass through verbatim; fully-duplicated documents come back
+    as empty text (the drop decision is the caller's filter on ``n_kept``).
+
+    Scale: the window relation is persisted (one corpus scan for its two
+    consumers); the token stream is a second pruned scan — at 100 TB
+    re-reading two columns beats caching exploded tokens. Every shuffle
+    keys on (doc, idx) or the window hash; nothing goes single-partition.
+    """
+    from pyspark import StorageLevel
+
+    win = positional_window_hashes(df, id_col, text_col, length).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if handles is not None:
+        handles.append(win)
+    rep = (
+        win.groupBy("wh")
+        .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+        .where(F.col("_lo") != F.col("_hi"))
+        .select("wh")
+    )
+    dup_pos = win.join(rep, "wh").select(id_col, "pos")
+    covered = (
+        dup_pos.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (length - 1))
+            ).alias("idx"),
+        )
+        .distinct()
+    )
+    toks = F.split(F.col(text_col), " ")
+    tokpos = df.select(F.col(id_col), F.posexplode(toks).alias("idx0", "tok")).select(
+        F.col(id_col), (F.col("idx0") + 1).alias("idx"), F.col("tok")
+    )
+    kept = tokpos.join(covered, [id_col, "idx"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("idx", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = df.select(F.col(id_col), F.size(toks).alias("_n_toks"))
+    return base.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("_n_toks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash signature per document over distinct tokens.
 

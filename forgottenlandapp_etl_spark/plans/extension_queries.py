@@ -221,6 +221,54 @@ def dedup_substring(spark, sf_dir):
     return dedup.exact_substring_profile(d, "doc_id", "text", length=_SUBSTR_L)
 
 
+@ext_query(
+    "dedup_substring_trim",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    win AS (
+      SELECT doc_id, i AS pos,
+             CAST('0x' || SUBSTR(md5(array_to_string(t[i:i+{_SUBSTR_L - 1}], ' ')), 1, 15)
+                  AS BIGINT) AS wh
+      FROM toks, UNNEST(generate_series(1, len(t) - {_SUBSTR_L - 1})) AS g(i)
+      WHERE len(t) >= {_SUBSTR_L}
+    ),
+    rep AS (SELECT wh FROM win GROUP BY wh HAVING MIN(doc_id) <> MAX(doc_id)),
+    dpos AS (SELECT w.doc_id, w.pos FROM win w JOIN rep USING (wh)),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + i AS idx
+      FROM dpos, UNNEST(generate_series(0, {_SUBSTR_L - 1})) AS g(i)
+    ),
+    tokpos AS (
+      SELECT doc_id, i AS idx, t[i] AS tok
+      FROM toks, UNNEST(generate_series(1, len(t))) AS g(i)
+    ),
+    kept AS (
+      SELECT tp.doc_id, tp.idx, tp.tok
+      FROM tokpos tp ANTI JOIN cov c ON tp.doc_id = c.doc_id AND tp.idx = c.idx
+    ),
+    reb AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(string_split(d.text, ' ')) - COALESCE(r.n_kept, 0) AS BIGINT)
+             AS n_dropped
+    FROM documents d LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def dedup_substring_trim(spark, sf_dir):
+    """ExactSubstr's transform half: excise every token covered by a
+    cross-doc duplicated window and rebuild the text (interval union done
+    as per-token coverage + anti-join; deterministic ordered re-concat via
+    sort_array(collect_list)). Short docs pass through; fully-duplicated
+    docs come back empty."""
+    d = _docs(spark, sf_dir, fan_out=True)
+    return dedup.exact_substring_trim(d, "doc_id", "text", length=_SUBSTR_L)
+
+
 def _simhash_oracle() -> str:
     h = _SQL_TOKEN_HASH.format(col="tok")
     weights = ",\n         ".join(
