@@ -959,3 +959,127 @@ def wx_rank_vs_dense_rank(spark, sf_dir):
         F.rank().over(w).cast("int").alias("rnk"),
         F.dense_rank().over(w).cast("int").alias("drnk"),
     )
+
+
+@query(
+    "scd2_intervals",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                       OR LAG(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT user_id, ts, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM o
+    )
+    SELECT user_id, event_type,
+           CAST(MIN(ts) AS VARCHAR) AS valid_from,
+           CAST(MAX(ts) AS VARCHAR) AS valid_to,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id, event_type, grp
+    """,
+)
+def scd2_intervals(spark, sf_dir):
+    """SCD-type-2 history compression (gaps-and-islands on VALUE change,
+    not time gap — the complement of agg_session_windows): consecutive
+    equal event_type runs per user collapse into [valid_from, valid_to]
+    interval rows. Both windows order by (ts, event_id) — the unique
+    tiebreaker keeps run boundaries deterministic under equal timestamps.
+    One user_id-partitioned shuffle; no global window."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    g = ev.select(
+        "user_id", "ts", "event_id", "event_type", chg.alias("chg")
+    ).withColumn(
+        "grp",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        g.groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.min("ts").cast("string").alias("valid_from"),
+            F.max("ts").cast("string").alias("valid_to"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "event_type", "valid_from", "valid_to", "n_events")
+    )
+
+
+@query(
+    "wx_last_nonnull",
+    """
+    SELECT event_id, user_id,
+           LAST_VALUE(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_click_value
+    FROM events
+    """,
+)
+def wx_last_nonnull(spark, sf_dir):
+    """Forward-fill via LAST_VALUE … IGNORE NULLS: carry each user's most
+    recent click value onto every subsequent event — the standard
+    last-observation-carried-forward idiom for sparse signals. A plain
+    column pick (no float aggregation), so values are engine-exact; the
+    (ts, event_id) order keys keep the carried value deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    v = F.when(F.col("event_type") == "click", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(v, ignorenulls=True).over(w).alias("last_click_value"),
+    )
+
+
+@query(
+    "reshape_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def reshape_unpivot(spark, sf_dir):
+    """UNPIVOT / melt — wide measures to long (measure, val) rows, the
+    inverse of agg_pivot. Spark's native unpivot is a narrow generator (no
+    shuffle, no union of re-scans — ONE pass emitting 4 rows per input);
+    the oracle's UNION ALL shows the relational equivalent."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        )
+    )
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
