@@ -1062,6 +1062,52 @@ def dedup_components(spark, sf_dir):
     return dedup.connected_components(pairs, "id_a", "id_b")
 
 
+def _dedup_corpus_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_SQL_SHINGLES.strip()}, {_minhash_sig_sql().strip()},
+    {_lsh_candidates_sql()}, {_SQL_JACCARD_PAIRS.strip()},
+    verified AS (
+      SELECT jp.id_a, jp.id_b
+      FROM jp JOIN cand ON jp.id_a = cand.id_a AND jp.id_b = cand.id_b
+      WHERE jp.jaccard >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION
+      SELECT id_b, id_a FROM verified
+    ),
+    reach(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a)
+    SELECT d.doc_id, d.lang, (c.id IS NOT NULL) AS had_near_dups
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    WHERE c.id IS NULL OR c.component = d.doc_id
+    """
+
+
+@ext_query("pipeline_dedup_corpus", _dedup_corpus_oracle())
+def pipeline_dedup_corpus(spark, sf_dir):
+    """The end-to-end near-dedup user story in ONE plan: MinHash-LSH
+    candidate pairs → exact-Jaccard verify → connected components →
+    keep only each cluster's min-id keeper (plus all untouched docs),
+    flagging survivors that had near-dups. This is the query a corpus
+    owner actually runs; the tiers it composes are each verified
+    separately. The components relation is tiny relative to the corpus
+    (only docs in near-dup pairs), so the final filter join broadcasts."""
+    d = _docs(spark, sf_dir, fan_out=True)
+    pairs = dedup.minhash_lsh_dedup(d, "doc_id", "text", threshold=0.8)
+    comp = dedup.connected_components(pairs, "id_a", "id_b")
+    joined = d.join(F.broadcast(comp), d["doc_id"] == comp["id"], "left")
+    return joined.where(
+        comp["id"].isNull() | (comp["component"] == d["doc_id"])
+    ).select(
+        d["doc_id"], d["lang"], comp["id"].isNotNull().alias("had_near_dups")
+    )
+
+
 @ext_query(
     "pipeline_clean_corpus",
     f"""
