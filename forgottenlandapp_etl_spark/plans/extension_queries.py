@@ -562,6 +562,40 @@ def emb_near_dup_pairs(spark, sf_dir):
     return similarity.near_dup_pairs(e, threshold=0.4)
 
 
+@ext_query(
+    "emb_quantize_int8",
+    f"""
+    WITH {_SQL_EMB},
+    s AS (
+      SELECT vec_id, v,
+             list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+      FROM e
+    )
+    SELECT vec_id,
+           array_to_string(
+             CASE WHEN scale = 0.0
+                  THEN list_transform(v, x -> 0)
+                  ELSE list_transform(v, x -> CAST(floor(x * 127.0 / scale + 0.5) AS INT))
+             END, ',') AS q,
+           scale
+    FROM s
+    """,
+)
+def emb_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding column —
+    4× storage cut for the ANN tiers. Explicit floor(x+0.5) rounding keeps
+    codes bit-identical cross-engine; reconstruction error bound has a
+    property test. The registry edge serializes the code array to a CSV
+    string (engines' array stringifications differ; same convention as
+    date→ISO) — ``similarity.quantize_int8`` itself returns the real
+    array<int> column."""
+    e = _emb(spark, sf_dir)
+    out = similarity.quantize_int8(e, "v", "vec_id")
+    return out.select(
+        "vec_id", F.concat_ws(",", F.col("q")).alias("q"), "scale"
+    )
+
+
 # Rademacher hyperplanes shared by the Spark plan and the generated oracle
 # (embeddings are 64-dim in the testdata).
 _RHP_PLANES = similarity.rhp_planes(dim=64, n_planes=16, seed=7)

@@ -525,3 +525,32 @@ def test_classifier_joined_path_matches_inline(spark, sf_dir):
     )
     assert inline == joined
     assert any(r.keep for r in inline) and not all(r.keep for r in inline)
+
+
+def test_int8_quantization_error_bound(spark, sf_dir):
+    """Reconstruction error of symmetric int8 quantization must stay within
+    half a quantization step (scale/254) per element, and codes within
+    [-127, 127]."""
+    from forgottenlandapp_etl_spark.operators import similarity as S
+
+    e = catalog.table(spark, sf_dir, "embeddings").select(
+        "vec_id", S.as_double(F.col("embedding")).alias("v")
+    )
+    q = S.quantize_int8(e, "v", "vec_id")
+    joined = e.join(q, "vec_id").select(
+        "vec_id",
+        "scale",
+        F.array_max(F.transform(F.col("q"), F.abs)).alias("max_code"),
+        F.array_max(
+            F.zip_with(
+                F.col("v"),
+                S.dequantize_int8(q, "q", "scale"),
+                lambda a, b: F.abs(a - b),
+            )
+        ).alias("max_err"),
+    )
+    rows = joined.collect()
+    assert rows
+    for r in rows:
+        assert r.max_code <= 127
+        assert r.max_err <= r.scale / 254.0 + 1e-12, (r.vec_id, r.max_err, r.scale)
