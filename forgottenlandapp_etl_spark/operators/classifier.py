@@ -74,17 +74,24 @@ def _finish(grouped: DataFrame, id_col: str) -> DataFrame:
 def hashed_score(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Inline-weight scoring: explode tokens, weight each bucket by the
-    synthetic hash, mean per document. One hash aggregate (map-side
-    combinable integer SUM/COUNT); no join, no UDF."""
-    tok = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    """Inline-weight scoring as a PER-ROW array fold: tokenize, weight each
+    token by the synthetic bucket hash, integer-sum inside the row. ZERO
+    shuffles — the score never leaves the scan's partition — and therefore
+    also STATELESS: the identical expression runs under Structured
+    Streaming (streaming/quality.py) with no watermark or state store.
+    The explode+groupBy shape is only needed when weights come from a
+    table (:func:`hashed_score_joined`)."""
+    toks = F.split(F.col(text_col), " ")
+    staged = df.select(
+        F.col(id_col),
+        F.aggregate(
+            F.transform(toks, lambda t: weight_int(bucket_of(t))),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("_s"),
+        F.size(toks).cast("long").alias("n_toks"),
     )
-    g = tok.groupBy(id_col).agg(
-        F.sum(weight_int(bucket_of(F.col("tok")))).alias("_s"),
-        F.count(F.lit(1)).alias("n_toks"),
-    )
-    return _finish(g, id_col)
+    return _finish(staged, id_col)
 
 
 def hashed_score_joined(

@@ -894,6 +894,48 @@ def stream_dedup_keys(spark, sf_dir):
     return stream_dedup_event_keys(spark, sf_dir)
 
 
+def _stream_quality_oracle() -> str:
+    from ..operators.classifier import (
+        KEEP_THRESHOLD,
+        N_BUCKETS,
+        WEIGHT_A,
+        WEIGHT_B,
+    )
+
+    h_tok = _SQL_TOKEN_HASH.format(col="tok")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             ({WEIGHT_A} * (({h_tok}) % {N_BUCKETS}) + {WEIGHT_B}) % {MERSENNE_31} AS w_int
+      FROM tok
+    ),
+    g AS (
+      SELECT doc_id, CAST(SUM(w_int) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_toks
+      FROM w GROUP BY doc_id
+    )
+    SELECT doc_id, n_toks,
+           (CAST(s AS DOUBLE) / n_toks) / {float(MERSENNE_31)!r} AS score
+    FROM g
+    WHERE (CAST(s AS DOUBLE) / n_toks) / {float(MERSENNE_31)!r} >= {KEEP_THRESHOLD}
+    """
+
+
+@ext_query("stream_quality_filter", _stream_quality_oracle())
+def stream_quality_filter(spark, sf_dir):
+    """Ingestion-time quality filtering: the hashed linear classifier run
+    over the documents STREAM (append mode, no state — the scorer is a
+    per-row fold) and drained availableNow; output equals the batch filter
+    the oracle computes. The shape a continuous pipeline runs before any
+    keyed stage."""
+    from ..streaming.quality import stream_quality_filter as _sqf
+
+    return _sqf(spark, sf_dir)
+
+
 @ext_query(
     "stream_stream_join",
     """

@@ -1083,3 +1083,43 @@ def reshape_unpivot(spark, sf_dir):
         variableColumnName="measure",
         valueColumnName="val",
     )
+
+
+@query(
+    "j9_not_in_null_aware",
+    """
+    SELECT
+      (SELECT COUNT(*) FROM orders
+       WHERE o_custkey NOT IN
+             (SELECT NULLIF(c_custkey, 7) FROM customer WHERE c_custkey < 100))
+        AS n_not_in,
+      (SELECT COUNT(*) FROM orders o
+       WHERE NOT EXISTS
+             (SELECT 1 FROM customer c
+              WHERE c_custkey < 100 AND NULLIF(c_custkey, 7) = o.o_custkey))
+        AS n_not_exists
+    """,
+)
+def j9_not_in_null_aware(spark, sf_dir):
+    """NOT IN vs NOT EXISTS under NULLs — the classic three-valued-logic
+    trap: one NULL in the NOT IN list makes every membership test UNKNOWN
+    (zero rows survive), while NOT EXISTS ignores the NULL row. Spark plans
+    the NOT IN as a null-aware anti join (broadcast) — both semantics in
+    one row so the divergence is visible, and the engine is proven to
+    implement the standard, not the intuitive, behavior."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT COUNT(*) FROM v_orders
+           WHERE o_custkey NOT IN
+                 (SELECT NULLIF(c_custkey, 7) FROM v_customer
+                  WHERE c_custkey < 100)) AS n_not_in,
+          (SELECT COUNT(*) FROM v_orders o
+           WHERE NOT EXISTS
+                 (SELECT 1 FROM v_customer c
+                  WHERE c_custkey < 100
+                    AND NULLIF(c_custkey, 7) = o.o_custkey)) AS n_not_exists
+        """
+    )
