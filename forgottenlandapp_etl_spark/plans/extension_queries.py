@@ -777,6 +777,59 @@ def text_vocab_topk(spark, sf_dir):
     return windows.top_k(agg, [F.desc("n_occurrences"), F.asc("token")], 100)
 
 
+@ext_query(
+    "bpe_pair_counts",
+    """
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    v AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM w WHERE word <> '' GROUP BY word),
+    s AS (SELECT freq, string_split(word, '') AS cs FROM v),
+    p AS (
+      SELECT cs[i] AS left_sym, cs[i+1] AS right_sym, freq
+      FROM s, UNNEST(generate_series(1, len(cs) - 1)) AS g(i)
+      WHERE len(cs) >= 2
+    )
+    SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS n
+    FROM p GROUP BY left_sym, right_sym
+    ORDER BY n DESC, left_sym, right_sym LIMIT 50
+    """,
+)
+def bpe_pair_counts(spark, sf_dir):
+    """Round-1 BPE statistics: adjacent-char pair totals over the WORD-
+    FREQUENCY table (the relation BPE actually trains on — vocab-sized, not
+    corpus-sized), top-50 with a total deterministic order. The iterative
+    trainer (bpe_train_merges) starts from exactly this aggregate."""
+    from ..operators import bpe, windows
+
+    d = _docs(spark, sf_dir, fan_out=True)
+    vocab = bpe.word_vocab(d, "text").select(
+        F.split(F.col("word"), "").alias("syms"), "freq"
+    )
+    pc = bpe.pair_counts(vocab)
+    return windows.top_k(
+        pc, [F.desc("n"), F.asc("left_sym"), F.asc("right_sym")], 50
+    )
+
+
+@ext_query("bpe_train_merges")  # iterative: rows-only, golden-tested
+def bpe_train_merges(spark, sf_dir):
+    """BPE tokenizer training, k=4 merge rounds: per round one vocab-sized
+    pair aggregate, a driver-side argmax scalar, and a JVM array-fold
+    rewrite of the vocab (localCheckpoint per round — the connected-
+    components iteration discipline). No SQL oracle (k chained greedy
+    rewrites aren't reasonably expressible in one DuckDB query); pinned
+    instead by a golden test against a pure-Python reference BPE
+    (tests/test_extensions.py::test_bpe_matches_reference)."""
+    from ..operators import bpe
+
+    d = _docs(spark, sf_dir, fan_out=True)
+    merges = bpe.train_merges(d, "text", n_merges=4)
+    return spark.createDataFrame(
+        [(it, l, r, n) for it, l, r, n in merges],
+        "iteration INT, left_sym STRING, right_sym STRING, n BIGINT",
+    )
+
+
 def _quality_linear_oracle() -> str:
     from ..operators.classifier import (
         KEEP_THRESHOLD,

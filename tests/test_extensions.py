@@ -554,3 +554,64 @@ def test_int8_quantization_error_bound(spark, sf_dir):
     for r in rows:
         assert r.max_code <= 127
         assert r.max_err <= r.scale / 254.0 + 1e-12, (r.vec_id, r.max_err, r.scale)
+
+
+def _reference_bpe(word_freq: dict, n_merges: int):
+    """Pure-Python reference BPE (Sennrich et al.) with the repo's
+    deterministic tiebreak: (max count, lexicographic left, right)."""
+    vocab = {tuple(w): f for w, f in word_freq.items()}
+    merges = []
+    for it in range(n_merges):
+        counts: dict = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (l, r), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((it, l, r, n))
+        new_vocab: dict = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_matches_reference(spark, sf_dir):
+    """The distributed trainer must learn the EXACT merge sequence the
+    sequential reference algorithm produces on the same corpus."""
+    from collections import Counter
+
+    from forgottenlandapp_etl_spark.operators import bpe
+
+    d = catalog.table(spark, sf_dir, "documents")
+    words = Counter(
+        w
+        for r in d.select("text").collect()
+        for w in r.text.split(" ")
+        if w != ""
+    )
+    expected = _reference_bpe(dict(words), n_merges=6)
+    got = bpe.train_merges(d, "text", n_merges=6)
+    assert got == expected
+
+    # applying the learned merges shrinks the token stream and never
+    # produces a symbol outside {chars} ∪ {merged pairs}
+    merged_syms = {l + r for _, l, r, _ in got}
+    out = bpe.apply_merges(d, got).collect()
+    n_chars = d.select(
+        F.sum(F.length(F.regexp_replace("text", " ", ""))).alias("n")
+    ).collect()[0].n
+    total_bpe = sum(r.n_bpe_tokens for r in out)
+    assert total_bpe < n_chars
+    sample_syms = {s for r in out[:50] for s in r.bpe_tokens}
+    assert all(len(s) == 1 or s in merged_syms for s in sample_syms)
