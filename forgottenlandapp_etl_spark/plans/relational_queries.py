@@ -1123,3 +1123,81 @@ def j9_not_in_null_aware(spark, sf_dir):
                     AND NULLIF(c_custkey, 7) = o.o_custkey)) AS n_not_exists
         """
     )
+
+
+@query(
+    "dq_profile_events",
+    """
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(COUNT(*) - COUNT(user_id) AS BIGINT) AS null_user_id,
+      CAST(COUNT(*) - COUNT(value) AS BIGINT) AS null_value,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
+      CAST(COUNT(DISTINCT event_type) AS BIGINT) AS distinct_types,
+      CAST(MIN(value) AS DOUBLE) AS min_value,
+      CAST(MAX(value) AS DOUBLE) AS max_value,
+      CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+      CAST(MIN(ts) AS VARCHAR) AS min_ts,
+      CAST(MAX(ts) AS VARCHAR) AS max_ts
+    FROM events
+    """,
+)
+def dq_profile_events(spark, sf_dir):
+    """Data-quality profile — the gate a pipeline runs before promoting a
+    partition: row count, per-column null counts, distinct cardinalities,
+    value ranges, constraint-violation counts, time bounds. One pass, all
+    aggregates map-side-combinable except the two exact count-distincts
+    (which Spark plans as expand + two-stage agg — still one shuffle
+    family, no collect). min/max are order-free so doubles are safe."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("user_id")).alias("null_user_id"),
+        (F.count(F.lit(1)) - F.count("value")).alias("null_value"),
+        F.count_distinct("user_id").alias("distinct_users"),
+        F.count_distinct("event_type").alias("distinct_types"),
+        F.min("value").cast("double").alias("min_value"),
+        F.max("value").cast("double").alias("max_value"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_negative"),
+        F.min("ts").cast("string").alias("min_ts"),
+        F.max("ts").cast("string").alias("max_ts"),
+    )
+
+
+@query(
+    "dq_referential_integrity",
+    """
+    SELECT 'orders->customer' AS fk, CAST(COUNT(*) AS BIGINT) AS n_orphans
+    FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem->orders', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l ANTI JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def dq_referential_integrity(spark, sf_dir):
+    """Referential-integrity audit: orphan-row counts for each foreign key,
+    one anti join per edge (broadcast where the parent is small, shuffled
+    otherwise — planner's choice), unioned into a single conformance
+    report. The zero counts ARE the assertion a pipeline gates on."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+
+    def orphans(child, parent, ck, pk, label):
+        return (
+            child.join(parent, child[ck] == parent[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    return (
+        orphans(o, c, "o_custkey", "c_custkey", "orders->customer")
+        .unionAll(orphans(li, o, "l_orderkey", "o_orderkey", "lineitem->orders"))
+        .unionAll(orphans(li, p, "l_partkey", "p_partkey", "lineitem->part"))
+    )
