@@ -70,6 +70,12 @@ HEADLINE = [
     "export_global_shuffle",
     "sketch_count_min",
     "quality_linear_score",
+    # round-2d additions: trim transform, dedup pipeline, BPE, DQ, SCD2
+    "dedup_substring_trim",
+    "pipeline_dedup_corpus",
+    "bpe_pair_counts",
+    "dq_profile_events",
+    "scd2_intervals",
 ]
 
 
