@@ -76,6 +76,8 @@ HEADLINE = [
     "bpe_pair_counts",
     "dq_profile_events",
     "scd2_intervals",
+    "pipeline_training_ready",
+    "sim_quantized_topk",
 ]
 
 

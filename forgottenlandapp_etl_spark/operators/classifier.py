@@ -71,6 +71,18 @@ def _finish(grouped: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def score_expr(text_col: str = "text") -> Column:
+    """The classifier as a single reusable per-row Column (what composed
+    pipelines embed): integer token-weight fold / token count / p."""
+    toks = F.split(F.col(text_col), " ")
+    s = F.aggregate(
+        F.transform(toks, lambda t: weight_int(bucket_of(t))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (s.cast("double") / F.size(toks)) / F.lit(float(MERSENNE_31))
+
+
 def hashed_score(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

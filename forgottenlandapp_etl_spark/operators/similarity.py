@@ -447,3 +447,47 @@ def dequantize_int8(df: DataFrame, q_col: str = "q", scale_col: str = "scale") -
     return F.transform(
         F.col(q_col), lambda x: x.cast("double") * F.col(scale_col) / 127.0
     )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Exact top-k by INT8-QUANTIZED dot product — the serving-path search:
+    both sides quantize (quantize_int8), the score is the integer code dot
+    product Σ qa_i·qb_i (exact, order-free — max |Σ| = d·127² ≪ 2^63, no
+    float accumulation at all), ranked per query with the id tiebreak.
+
+    The integer score ranks identically to the dequantized approximate
+    cosine numerator (the per-vector scales are positive constants per
+    pair), so this is what an int8 ANN index returns before optional
+    float re-ranking; recall vs the float path has a property test. Being
+    all-integer it is also exactly oracle-checkable — no float-order
+    caveat like the GEMM tier."""
+    qq = quantize_int8(queries, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"), F.col("q").alias("qa")
+    )
+    cq = quantize_int8(corpus, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("q").alias("qb")
+    )
+    dot_i = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cq.crossJoin(F.broadcast(qq))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("qdot", dot_i)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("qdot"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qdot", F.col("rank").cast("int").alias("rank"))
+    )

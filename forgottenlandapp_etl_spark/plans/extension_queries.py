@@ -69,6 +69,12 @@ _SQL_TOKEN_HASH = (
     f"CAST('0x' || SUBSTR(md5({{col}}), 1, 15) AS BIGINT) % {MERSENNE_31}"
 )
 
+_SQL_ID_HASH = "CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+
+_SQL_SHUFFLE_KEY = (
+    "CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':epoch0'), 1, 15) AS BIGINT)"
+)
+
 _SQL_JACCARD_PAIRS = f"""
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 common AS (
@@ -498,6 +504,51 @@ def sim_bruteforce_topk(spark, sf_dir):
     e = _emb(spark, sf_dir, fan_out=True)
     q = e.where(F.col("vec_id") % 50 == 0)
     return similarity.brute_force_topk(e, q, k=5)
+
+
+_SQL_QUANT = """
+qz AS (
+  SELECT vec_id,
+         CASE WHEN s = 0.0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(floor(x * 127.0 / s + 0.5) AS BIGINT))
+         END AS q
+  FROM (SELECT vec_id, v,
+               list_aggregate(list_transform(v, x -> abs(x)), 'max') AS s
+        FROM e)
+)
+"""
+
+
+@ext_query(
+    "sim_quantized_topk",
+    f"""
+    WITH {_SQL_EMB},
+    {_SQL_QUANT.strip()},
+    qs AS (SELECT vec_id AS query_id, q AS qa FROM qz WHERE vec_id % 50 = 0),
+    s AS (
+      SELECT qs.query_id, qz.vec_id AS neighbor_id,
+             CAST(list_dot_product(qs.qa, qz.q) AS BIGINT) AS qdot
+      FROM qz, qs WHERE qz.vec_id <> qs.query_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, qdot,
+             CAST(ROW_NUMBER() OVER
+                  (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS INT)
+               AS rank
+      FROM s
+    )
+    SELECT query_id, neighbor_id, qdot, rank FROM r WHERE rank <= 5
+    """,
+)
+def sim_quantized_topk(spark, sf_dir):
+    """Int8-quantized top-5 (the serving-path search): integer code dot
+    products — exact, no float accumulation — ranked per query. Same query
+    sample as the float baseline; recall vs the float path is property-
+    tested, and the all-integer scores make THIS approximate tier exactly
+    oracle-checkable (unlike float GEMM)."""
+    e = _emb(spark, sf_dir, fan_out=True)
+    q = e.where(F.col("vec_id") % 50 == 0)
+    return similarity.quantized_topk(e, q, k=5)
 
 
 _IVF_ORACLE = f"""
@@ -1237,6 +1288,103 @@ def pipeline_dedup_corpus(spark, sf_dir):
     )
 
 
+def _training_ready_oracle() -> str:
+    from ..operators.classifier import (
+        KEEP_THRESHOLD,
+        N_BUCKETS,
+        WEIGHT_A,
+        WEIGHT_B,
+    )
+
+    h_tok = _SQL_TOKEN_HASH.format(col="tok")
+    score = f"(CAST(s AS DOUBLE) / n_toks) / {float(MERSENNE_31)!r}"
+    return f"""
+    WITH keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY {_FP_SQL}
+    ),
+    surv AS (
+      SELECT d.doc_id, d.source, d.text
+      FROM documents d SEMI JOIN keepers k ON d.doc_id = k.doc_id
+    ),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM surv),
+    w AS (
+      SELECT doc_id,
+             ({WEIGHT_A} * (({h_tok}) % {N_BUCKETS}) + {WEIGHT_B}) % {MERSENNE_31} AS w_int
+      FROM tok
+    ),
+    g AS (
+      SELECT doc_id, CAST(SUM(w_int) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_toks
+      FROM w GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT sv.doc_id, sv.source, {score} AS score
+      FROM surv sv JOIN g USING (doc_id)
+      WHERE {score} >= {KEEP_THRESHOLD}
+    ),
+    counts AS (
+      SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n
+      FROM scored GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(sqrt(n) AS DECIMAL(38,9))) AS DOUBLE) AS w,
+             CAST(SUM(n) AS BIGINT) AS n_total
+      FROM counts
+    ),
+    rates AS (
+      SELECT domain, LEAST(1.0, ((0.5 * n_total) * (sqrt(n) / w)) / n) AS rate
+      FROM counts, tot
+    )
+    SELECT sc.doc_id, r.domain, sc.score, r.rate,
+           {_SQL_SHUFFLE_KEY} AS shuffle_key,
+           CAST({_SQL_SHUFFLE_KEY} % 16 AS INT) AS shard
+    FROM scored sc JOIN rates r ON sc.source = r.domain
+    WHERE CAST({_SQL_ID_HASH} AS DOUBLE) / 1152921504606846976.0 < r.rate
+    """
+
+
+@ext_query("pipeline_training_ready", _training_ready_oracle())
+def pipeline_training_ready(spark, sf_dir):
+    """The full training-data user story in ONE composed plan: exact dedup
+    (keep min-id per normalized fingerprint) → model-based quality filter
+    (hashed linear scorer, per-row fold) → temperature-0.5 domain mixture
+    (rates from SURVIVOR counts, bit-stable) → deterministic shard
+    assignment for export. Every stage is the same operator the standalone
+    queries verify; composing them here proves the stages agree on one
+    corpus pass + three domain/fingerprint-sized shuffles, with the rate
+    table broadcast. This is the query a corpus owner runs nightly."""
+    from ..operators import classifier, mixing, text
+    from ..sources import export as exp
+
+    d = _docs(spark, sf_dir, fan_out=True)
+    keepers = (
+        d.groupBy(text.fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv = d.join(keepers, "doc_id", "left_semi")
+    scored = surv.withColumn("score", classifier.score_expr("text")).where(
+        F.col("score") >= classifier.KEEP_THRESHOLD
+    )
+    rates = mixing.temperature_mix_rates(scored, "source", target_frac=0.5)
+    u = mixing.id_hash60(F.col("doc_id")).cast("double") / F.lit(
+        mixing.HASH_DOMAIN
+    )
+    key = exp.shuffle_key(F.col("doc_id"), "epoch0")
+    return (
+        scored.join(F.broadcast(rates), scored["source"] == rates["domain"])
+        .where(u < F.col("rate"))
+        .select(
+            "doc_id",
+            "domain",
+            "score",
+            "rate",
+            key.alias("shuffle_key"),
+            (key % 16).cast("int").alias("shard"),
+        )
+    )
+
+
 @ext_query(
     "pipeline_clean_corpus",
     f"""
@@ -1464,9 +1612,6 @@ def pii_redact(spark, sf_dir):
     )
 
 
-_SQL_ID_HASH = "CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
-
-
 def _id_hash() -> F.Column:
     """The engine-portable doc_id hash (same fold as the dedup tiers)."""
     return F.conv(
@@ -1492,11 +1637,6 @@ def sample_stratified(spark, sf_dir):
     d = _docs(spark, sf_dir)
     rate = F.when(F.col("lang") == "en", 50).otherwise(10)
     return d.where(_id_hash() % 100 < rate).select("doc_id", "lang")
-
-
-_SQL_SHUFFLE_KEY = (
-    "CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':epoch0'), 1, 15) AS BIGINT)"
-)
 
 
 @ext_query(

@@ -615,3 +615,27 @@ def test_bpe_matches_reference(spark, sf_dir):
     assert total_bpe < n_chars
     sample_syms = {s for r in out[:50] for s in r.bpe_tokens}
     assert all(len(s) == 1 or s in merged_syms for s in sample_syms)
+
+
+def test_quantized_topk_recall(spark, sf_dir):
+    """Int8-quantized search must recover most of the float-cosine top-5
+    (≥ 60% recall@5 on the fixture — int8 keeps ~2 decimal digits of the
+    dot product) and must deterministically return k rows per query."""
+    from forgottenlandapp_etl_spark.operators import similarity as S
+
+    e = catalog.table(spark, sf_dir, "embeddings").select(
+        "vec_id", S.as_double(F.col("embedding")).alias("v")
+    )
+    q = e.where(F.col("vec_id") % 50 == 0)
+    exact = S.brute_force_topk(e, q, k=5).collect()
+    quant = S.quantized_topk(e, q, k=5).collect()
+    by_q_exact: dict = {}
+    for r in exact:
+        by_q_exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    by_q_quant: dict = {}
+    for r in quant:
+        by_q_quant.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(by_q_quant) == set(by_q_exact)
+    hits = sum(len(by_q_exact[q] & by_q_quant[q]) for q in by_q_exact)
+    total = sum(len(v) for v in by_q_exact.values())
+    assert hits / total >= 0.6, f"recall@5 {hits}/{total}"

@@ -45,6 +45,8 @@ CROSS_JOIN_OK = {
     "emb_near_dup_kmeans",  # 8-row learned-centroid broadcast
     "text_bm25_topk",  # 1-row corpus-size scalar broadcast (N for the idf)
     "mix_temperature_sample",  # 1-row Σ√n/N totals broadcast into the rate table
+    "sim_quantized_topk",  # deliberate query-set broadcast (same as sim_bruteforce_topk)
+    "pipeline_training_ready",  # 1-row mixture-totals broadcast (same as mix_temperature_sample)
 }
 
 
