@@ -11,7 +11,9 @@ reference id plus the dedup / text / pipeline / streaming extension
 families sit inside the gate's window, and the remaining entries (TPC-H
 analytics, extra window/set-op/statistics surface, similarity variants)
 follow — those stay verified by the repo's own oracle gate
-(tools/drive_gate.py runs ALL entries at sf0.01 and sf0.1).
+(tools/drive_gate.py; per-query error isolation, full summary always
+printed — see the committed GATE_r{N}.txt for the latest full-registry
+run and its pass/fail/rows-only breakdown).
 """
 
 from __future__ import annotations
@@ -37,7 +39,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "f2_conjunctive_filter",
     "f3_min_level_online",
     "f6_typeguard_projection",
-    "f7_tag_projection",
+    # (f7_tag_projection / c5_try_int rotated out after two green rounds —
+    # r2 verdict item 8 — to buy driver rows for the quantization tier;
+    # both stay oracle-gated by tools/drive_gate.py)
     # §2.4 joins
     "j1_snapshot_diff",
     "j2_enrichment_join",
@@ -63,7 +67,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "u1_union_tagged",
     # §2.8 scalar functions
     "c1_skill_points",
-    "c5_try_int",
     "c6_date_functions",
     "c7_json_extract",
     "c7b_variant_extract",
@@ -86,6 +89,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pipeline_clean_corpus",
     "pipeline_train_val_split",
     "sim_bruteforce_topk",
+    # int8 quantization tier (promoted r3: new, exactly-oracle-checkable)
+    "emb_quantize_int8",
+    "sim_quantized_topk",
 )
 
 _missing = [n for n in DRIVER_WINDOW if n not in _ALL_QUERIES]

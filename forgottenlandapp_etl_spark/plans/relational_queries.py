@@ -330,14 +330,17 @@ def wx_range_frame(spark, sf_dir):
     time: a value-based frame (all rows within 3600s), not a row-count
     frame. Decimal sums keep it order-independent within the frame.
 
-    Ordering key is FRACTIONAL epoch seconds (cast ts to double), matching
-    DuckDB's epoch(); unix_timestamp() would truncate to whole seconds and
-    make sub-second events in the same second frame peers — a data-
-    dependent oracle divergence."""
+    Ordering key is FRACTIONAL epoch seconds — ``unix_micros / 1e6`` —
+    matching DuckDB's epoch(); unix_timestamp() would truncate to whole
+    seconds and make sub-second events in the same second frame peers — a
+    data-dependent oracle divergence. (A direct ts→double cast is
+    DATATYPE_MISMATCH on TIMESTAMP_NTZ in Spark 4; the NTZ→TIMESTAMP cast
+    is wall-clock-exact under the session's pinned UTC timezone.)"""
     ev = _t(spark, sf_dir, "events")
+    epoch_s = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000.0)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("double"))
+        .orderBy(epoch_s)
         .rangeBetween(-3600, 0)
     )
     return ev.select(

@@ -16,7 +16,6 @@ is oracle-comparable even though which physical row survives a race is not.
 
 from __future__ import annotations
 
-import os
 import shutil
 import tempfile
 import uuid
@@ -24,10 +23,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_SCHEMA = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
-    "value DOUBLE, props STRING"
-)
+from .ts import staged_events_stream
 
 
 def _drain_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
@@ -72,16 +68,9 @@ def stream_dedup_event_keys(
     which is exactly what the oracle checks. Emitting keys only keeps the
     output deterministic under arrival races.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = tempfile.mkdtemp(prefix="stream_src_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet")
-    )
-    try:
-        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    with staged_events_stream(spark, sf_dir) as stream:
         keyed = (
-            stream.withColumn("ets", F.timestamp_micros(F.expr("ts div 1000")))
-            .withWatermark("ets", watermark)
+            stream.withWatermark("ets", watermark)
             .select(
                 F.to_date("ets").cast("string").alias("day"),
                 "user_id",
@@ -92,5 +81,3 @@ def stream_dedup_event_keys(
             .select("day", "user_id", "event_type")
         )
         return _drain_to_memory(keyed, "stream_dedup")
-    finally:
-        shutil.rmtree(src, ignore_errors=True)

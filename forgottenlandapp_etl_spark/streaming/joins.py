@@ -11,15 +11,11 @@ drain is deterministic and equals the batch range join the oracle runs.
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import EVENTS_SCHEMA, _drain_to_memory
+from .dedup import _drain_to_memory
+from .ts import staged_events_stream
 
 
 def clicks_after_errors(
@@ -37,14 +33,7 @@ def clicks_after_errors(
     once the click-side watermark passes error_ts + band, and click state
     once the error-side watermark passes the click's own event time.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = tempfile.mkdtemp(prefix="stream_src_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet")
-    )
-    try:
-        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
-        base = stream.withColumn("ets", F.timestamp_micros(F.expr("ts div 1000")))
+    with staged_events_stream(spark, sf_dir) as base:
         errors = (
             base.where(F.col("event_type") == "error")
             .select(
@@ -71,5 +60,3 @@ def clicks_after_errors(
             "inner",
         ).select("error_id", "click_id", "user_id")
         return _drain_to_memory(joined, "stream_join")
-    finally:
-        shutil.rmtree(src, ignore_errors=True)

@@ -84,58 +84,46 @@ def run_stream(
     q.awaitTermination()
 
 
-EVENTS_STREAM_SCHEMA = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
-    "value DOUBLE, props STRING"
-)
-
-
 def drain_events_stream(spark: SparkSession, sf_dir: str, transform, name: str) -> DataFrame:
     """Drain the events table through a streaming transformation and return
     the final result as a standalone batch DataFrame.
 
-    ``transform(stream) -> DataFrame`` receives the raw file-source stream
-    (EVENTS_STREAM_SCHEMA — the parquet carries TIMESTAMP(NANOS) per
-    TESTDATA.md, so ts arrives as LONG nanos). The drain runs availableNow
+    ``transform(stream) -> DataFrame`` receives the file-source stream with
+    the decoded event-time column ``ets`` already attached (streaming/ts.py
+    probes the parquet footer and guards the decode by dtype — the round-2
+    fix for the nanos-vs-micros collapse). The drain runs availableNow
     (whole backlog as micro-batches, then stop — deterministic, equal to
     the batch aggregate the DuckDB oracle computes), complete mode into a
     memory sink, then materializes the (small, aggregate-sized) result so
     the sink table / checkpoint / staging dirs can be released instead of
     accumulating across invocations.
     """
-    import os
     import shutil
     import tempfile
     import uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the file-stream source requires a directory; stage the single-file
-    # table behind a symlink dir (a real deployment streams a landing dir)
-    src = tempfile.mkdtemp(prefix="stream_src_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet")
-    )
-    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
-    agg = transform(stream)
-    qname = f"{name}_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
-    try:
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(qname)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        out = spark.createDataFrame(
-            spark.table(qname).collect(), schema=spark.table(qname).schema
-        )
-    finally:
-        spark.catalog.dropTempView(qname)
-        shutil.rmtree(ckpt, ignore_errors=True)
-        shutil.rmtree(src, ignore_errors=True)
+    from .ts import staged_events_stream
+
+    with staged_events_stream(spark, sf_dir) as stream:
+        agg = transform(stream)
+        qname = f"{name}_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+        try:
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(qname)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            out = spark.createDataFrame(
+                spark.table(qname).collect(), schema=spark.table(qname).schema
+            )
+        finally:
+            spark.catalog.dropTempView(qname)
+            shutil.rmtree(ckpt, ignore_errors=True)
     return out
 
 
@@ -147,8 +135,7 @@ def stream_events_daily_counts(
 
     def transform(stream: DataFrame) -> DataFrame:
         return (
-            stream.withColumn("ets", F.timestamp_micros(F.expr("ts div 1000")))
-            .withWatermark("ets", "1 day")
+            stream.withWatermark("ets", "1 day")
             .groupBy(F.window("ets", "1 day").alias("w"), "user_id")
             .agg(F.count(F.lit(1)).alias("n_events"))
             .select(
@@ -176,8 +163,7 @@ def stream_events_sliding_counts(
 
     def transform(stream: DataFrame) -> DataFrame:
         return (
-            stream.withColumn("ets", F.timestamp_micros(F.expr("ts div 1000")))
-            .withWatermark("ets", "2 hours")
+            stream.withWatermark("ets", "2 hours")
             .groupBy(
                 F.window("ets", "60 minutes", "30 minutes").alias("w"),
                 "event_type",

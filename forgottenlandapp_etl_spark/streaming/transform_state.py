@@ -17,14 +17,13 @@ bit-deterministic regardless of row arrival order.
 
 from __future__ import annotations
 
-import os
 import shutil
 import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .dedup import EVENTS_SCHEMA
+from .ts import staged_events_stream
 
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -95,38 +94,32 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(applyInPandasWithState) instead"
         )
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = tempfile.mkdtemp(prefix="tws_src_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet")
-    )
     qname = f"tws_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="tws_ckpt_")
     try:
-        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
-        out = stream.groupBy("user_id").transformWithStateInPandas(
-            make_user_stats_processor(),
-            outputStructType="user_id BIGINT, n_events BIGINT, n_clicks BIGINT",
-            outputMode="Update",
-            timeMode="None",
-        )
-        q = (
-            out.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(qname)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        final = spark.createDataFrame(
-            spark.table(qname).collect(), schema=spark.table(qname).schema
-        )
+        with staged_events_stream(spark, sf_dir) as stream:
+            out = stream.groupBy("user_id").transformWithStateInPandas(
+                make_user_stats_processor(),
+                outputStructType="user_id BIGINT, n_events BIGINT, n_clicks BIGINT",
+                outputMode="Update",
+                timeMode="None",
+            )
+            q = (
+                out.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(qname)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            final = spark.createDataFrame(
+                spark.table(qname).collect(), schema=spark.table(qname).schema
+            )
     finally:
         try:
             spark.catalog.dropTempView(qname)
         except Exception:
             pass
         shutil.rmtree(ckpt, ignore_errors=True)
-        shutil.rmtree(src, ignore_errors=True)
     return final

@@ -1,0 +1,111 @@
+"""Shared event-time decode for every streaming file source.
+
+Round-2 post-mortem: each streaming module independently forced the events
+stream schema to ``ts BIGINT`` and decoded with ``ts div 1000`` — correct
+only for the legacy INT64(NANOS) parquet encoding. The driver's testdata
+carries ``ts`` as TIMESTAMP(MICROS, isAdjustedToUTC=false), so the int64
+micros were mis-divided and every event collapsed onto 1970-01-20: one day
+window swallowed the whole table (stream_daily_counts 150 vs 4006 rows).
+The batch path was immune because catalog.table() guards the conversion
+with a dtype check (catalog.py:48-51); the streaming paths didn't.
+
+This module is the single place streaming readers get their schema and
+event-time column from, with the same probe-then-decode discipline:
+
+- :func:`events_stream_schema` inspects the parquet FOOTER (pyarrow, no
+  Spark job) and emits ``ts BIGINT`` only when the file really is int64;
+  otherwise ``ts TIMESTAMP``. Watermarks require TimestampType —
+  TIMESTAMP_NTZ is rejected by EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE — and
+  with the session timezone pinned to UTC (session.py) the TIMESTAMP read
+  of NTZ micros is wall-clock-identical to the batch/DuckDB view.
+- :func:`event_time` converts whatever arrived into a TimestampType column,
+  guarded by the actual stream dtype, mirroring catalog.table().
+- :func:`staged_events_stream` is the one context manager every drain uses:
+  stage the single-file table behind a symlink dir (the file source needs a
+  directory; a real deployment streams a landing dir), read with the probed
+  schema, and expose the decoded event time as ``ets``.
+
+Equivalence tests in tests/test_streaming.py assert the decoded days fall
+inside the data's real date range so a decode regression can never again
+"pass" by comparing two identically-wrong pipelines.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import shutil
+import tempfile
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: non-ts columns of the events table, shared by every reader
+_EVENTS_REST = (
+    "user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def ts_is_int64(parquet_path: str, col: str = "ts") -> bool:
+    """True when the parquet file physically stores ``col`` as an integer
+    (the legacy INT64 nanos encoding). Footer-only read — no Spark job."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    field = pq.read_schema(parquet_path).field(col)
+    return pa.types.is_integer(field.type)
+
+
+def events_stream_schema(parquet_path: str) -> str:
+    """readStream schema for the events table, probed from the file footer.
+
+    int64 files keep ``ts BIGINT`` (decoded by :func:`event_time`);
+    timestamp files read straight into TIMESTAMP so watermarks apply
+    directly.
+    """
+    ts_type = "BIGINT" if ts_is_int64(parquet_path) else "TIMESTAMP"
+    return f"event_id BIGINT, ts {ts_type}, {_EVENTS_REST}"
+
+
+def event_time(stream: DataFrame, col: str = "ts") -> Column:
+    """TimestampType event-time column, decoded per the ACTUAL dtype.
+
+    Same guard as catalog.table(): only a bigint column gets the
+    nanos→micros division; a timestamp column passes through untouched.
+    """
+    dtype = dict(stream.dtypes).get(col)
+    if dtype == "bigint":
+        return F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+    if dtype in ("timestamp", "timestamp_ntz"):
+        return F.col(col).cast("timestamp")
+    raise TypeError(
+        f"column {col!r} has dtype {dtype!r}; expected bigint or timestamp"
+    )
+
+
+@contextlib.contextmanager
+def staged_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> Iterator[DataFrame]:
+    """File-source stream over the events table with decoded ``ets``.
+
+    Yields the streaming DataFrame (original columns + ``ets`` TIMESTAMP);
+    the symlink staging dir lives for the duration of the with-block — run
+    the (blocking) availableNow drain inside it.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = events_stream_schema(path)
+    if "ts BIGINT" in schema:
+        # legacy nanos files need the session-level reader escape hatch
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(path, os.path.join(src, "events.parquet"))
+    try:
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(src)
+        yield stream.withColumn("ets", event_time(stream))
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

@@ -1,0 +1,96 @@
+"""Streaming event-time decode regression guards (round-2 post-mortem).
+
+Round 2's streaming readers forced ``ts BIGINT`` + ``div 1000`` on a
+TIMESTAMP(MICROS) parquet column, collapsing every event onto 1970-01-20.
+The old batch↔stream equivalence tests still passed because BOTH sides went
+through the same wrong decode — only the DuckDB oracles caught it. These
+tests close that hole two ways:
+
+1. equivalence is asserted against the BATCH catalog path (catalog.table,
+   which was always correct), not against a second streaming decode;
+2. the decoded days are asserted to fall inside the data's REAL date range
+   (TESTDATA.md: January 2024), so any future decode regression that shifts
+   or collapses timestamps fails loudly instead of cancelling out.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from forgottenlandapp_etl_spark import catalog
+from forgottenlandapp_etl_spark.streaming import online, ts
+from forgottenlandapp_etl_spark.streaming.dedup import stream_dedup_event_keys
+
+
+def test_events_schema_probe_matches_file(sf_dir):
+    # the driver testdata carries ts as TIMESTAMP(MICROS); the probe must
+    # NOT emit the legacy BIGINT decode path for it
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    assert not ts.ts_is_int64(path)
+    assert "ts TIMESTAMP" in ts.events_stream_schema(path)
+
+
+def test_event_time_decodes_both_encodings(spark, tmp_path):
+    """int64-nanos and timestamp-micros files must decode to the SAME
+    event time — the dtype guard, unit-level."""
+    rows = [(1, "2024-01-05 12:30:00",), (2, "2024-03-01 00:00:01",)]
+    base = spark.createDataFrame(rows, "event_id long, s string").select(
+        "event_id", F.col("s").cast("timestamp").alias("tsv")
+    )
+    tsdir = str(tmp_path / "as_ts")
+    base.select("event_id", F.col("tsv").alias("ts")).write.parquet(tsdir)
+    nanodir = str(tmp_path / "as_int64")
+    base.select(
+        "event_id", (F.unix_micros("tsv") * 1000).alias("ts")
+    ).write.parquet(nanodir)
+
+    got = {}
+    for d in (tsdir, nanodir):
+        df = spark.read.parquet(d)
+        decoded = df.select(
+            "event_id", ts.event_time(df).cast("string").alias("ets")
+        )
+        got[d] = {r["event_id"]: r["ets"] for r in decoded.collect()}
+    assert got[tsdir] == got[nanodir]
+    assert got[tsdir][1] == "2024-01-05 12:30:00"
+
+
+def test_stream_daily_counts_matches_batch_catalog(spark, sf_dir):
+    """availableNow drain == the BATCH aggregate through catalog.table —
+    the independent reference path that never had the decode bug."""
+    streamed = online.stream_events_daily_counts(spark, sf_dir)
+    got = {
+        (r["day"], r["user_id"]): r["n_events"] for r in streamed.collect()
+    }
+
+    ev = catalog.table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(
+            F.to_date("ts").cast("string").alias("day"), "user_id"
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    want = {(r["day"], r["user_id"]): r["n_events"] for r in batch.collect()}
+    assert got == want
+
+    # the collapse signature: everything lands on one 1970 day. Real data
+    # spans January 2024 (TESTDATA.md) — assert the decoded calendar agrees.
+    days = sorted({d for d, _ in got})
+    assert len(days) > 1
+    assert days[0] >= "2024-01-01"
+    assert days[-1] <= "2024-12-31"
+
+
+def test_stream_dedup_days_in_real_range(spark, sf_dir):
+    keys = stream_dedup_event_keys(spark, sf_dir)
+    days = sorted({r["day"] for r in keys.select("day").distinct().collect()})
+    assert len(days) > 1
+    assert days[0] >= "2024-01-01" and days[-1] <= "2024-12-31"
+
+
+def test_event_time_rejects_unknown_dtype(spark):
+    df = spark.createDataFrame([(1, "x")], "event_id long, ts string")
+    with pytest.raises(TypeError):
+        ts.event_time(df)

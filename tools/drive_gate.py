@@ -35,18 +35,31 @@ for t in "region nation customer supplier part orders lineitem events documents 
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 only = {n for n in os.environ.get("GATE_ONLY", "").split(",") if n}
-fails = []
+fails, errs, n_pass, n_rows_only = [], [], 0, 0
 for name in sorted(qs):
     if only and name not in only:
         continue
-    sdf = qs[name](spark, SF).toPandas()
-    spark.catalog.clearCache()  # bound cache growth across cache-building queries
-    if name not in osql:
-        print("ROWS-ONLY", name, f"rows={len(sdf)}")
-        continue
-    odf = con.execute(osql[name]).fetchdf()
-    hs, ns = canon(sdf); ho, no = canon(odf)
-    ok = hs == ho and ns == no
-    if not ok: fails.append(name)
-    print(("PASS" if ok else "FAIL"), name, f"rows={ns}/{no}")
-print("TOTAL", len(only) if only else len(qs), "FAILS", fails)
+    # per-query isolation: one crashing plan must not abort the run and
+    # silently leave everything after it unchecked (round-2 post-mortem:
+    # wx_range_frame's AnalysisException hid 4 real streaming failures)
+    try:
+        sdf = qs[name](spark, SF).toPandas()
+        spark.catalog.clearCache()  # bound cache growth across cache-building queries
+        if name not in osql:
+            n_rows_only += 1
+            print("ROWS-ONLY", name, f"rows={len(sdf)}", flush=True)
+            continue
+        odf = con.execute(osql[name]).fetchdf()
+        hs, ns = canon(sdf); ho, no = canon(odf)
+        ok = hs == ho and ns == no
+        if ok: n_pass += 1
+        else: fails.append(name)
+        print(("PASS" if ok else "FAIL"), name, f"rows={ns}/{no}", flush=True)
+    except Exception as exc:
+        errs.append(name)
+        msg = str(exc).splitlines()[0][:200] if str(exc) else type(exc).__name__
+        print("ERR ", name, f"err={type(exc).__name__}: {msg}", flush=True)
+n_run = len(only) if only else len(qs)
+print("TOTAL", n_run, "PASS", n_pass, "ROWS-ONLY", n_rows_only,
+      "FAILS", fails, "ERRS", errs)
+sys.exit(1 if (fails or errs) else 0)
