@@ -78,6 +78,10 @@ HEADLINE = [
     "scd2_intervals",
     "pipeline_training_ready",
     "sim_quantized_topk",
+    # round 3 additions
+    "dedup_levenshtein",
+    "graph_pagerank",
+    "stream_daily_counts",
 ]
 
 

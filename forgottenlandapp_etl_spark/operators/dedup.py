@@ -127,6 +127,56 @@ def winnow_fingerprints(
     return staged.select(F.col(id_col), F.explode(fps).alias("fp")).distinct()
 
 
+# Edit-distance near-dup tier: block key = first LEV_PREFIX chars. The
+# module constants feed both the Spark plan and the generated DuckDB oracle.
+LEV_PREFIX = 16
+LEV_MAX_DIST = 32
+
+
+def levenshtein_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = LEV_MAX_DIST,
+    prefix: int = LEV_PREFIX,
+) -> DataFrame:
+    """Blocked edit-distance near-dup pairs: (id_a, id_b, dist) for every
+    same-block pair with levenshtein ≤ ``max_dist``.
+
+    Edit distance is O(L₁·L₂) per pair — all-pairs is unrunnable at corpus
+    scale, so candidates are blocked twice before any distance is computed:
+
+    1. equi-join on the first ``prefix`` characters — one hash shuffle,
+       linear candidate generation (the same banded-join discipline as the
+       MinHash tier; a true edit within the first ``prefix`` chars escapes
+       the block, the documented recall trade of every blocking scheme);
+    2. length pre-filter |len(a) − len(b)| ≤ ``max_dist`` — a length gap
+       is a lower bound on edit distance, so this drops no true pair
+       WITHIN a block and skips the quadratic-cost comparison for free.
+
+    The surviving pairs get Spark's thresholded ``levenshtein(l, r, k)``
+    (early-exits its DP band above ``k``, returning −1) — cost is
+    O(k·min(L)) per candidate, not O(L²). Output values are the exact
+    distances, hash-comparable against DuckDB's un-thresholded function.
+    """
+    sel = lambda a, b, c: df.select(  # noqa: E731 - tiny projection helper
+        F.col(id_col).alias(a),
+        F.col(text_col).alias(b),
+        F.substring(F.col(text_col), 1, prefix).alias("blk"),
+        F.length(F.col(text_col)).alias(c),
+    )
+    left, right = sel("id_a", "t_a", "len_a"), sel("id_b", "t_b", "len_b")
+    pairs = left.join(right, on="blk").where(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
+    )
+    dist = F.levenshtein(F.col("t_a"), F.col("t_b"), max_dist)
+    return (
+        pairs.select("id_a", "id_b", dist.cast("long").alias("dist"))
+        .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+    )
+
+
 def exact_dedup(df: DataFrame, id_col: str, key: Column) -> DataFrame:
     """Exact dedup: group by fingerprint, keep the lowest id, count copies.
 

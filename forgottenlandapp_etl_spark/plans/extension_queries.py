@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..operators import dedup, multimodal, similarity, text
+from ..operators import dedup, graph, multimodal, similarity, text
 from ..operators.dedup import LSH_BANDS, MERSENNE_31, MINHASH_COEFFS, SIMHASH_BITS
 from ..session import tune
 
@@ -172,6 +172,108 @@ def dedup_ngram_jaccard(spark, sf_dir):
         F.col("nb").cast("long").alias("nb"),
         "jaccard",
     )
+
+
+@ext_query(
+    "dedup_levenshtein",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS L,
+             substr(text, 1, {dedup.LEV_PREFIX}) AS blk
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+    FROM d a JOIN d b
+      ON a.blk = b.blk AND a.doc_id < b.doc_id
+     AND abs(a.L - b.L) <= {dedup.LEV_MAX_DIST}
+    WHERE levenshtein(a.text, b.text) <= {dedup.LEV_MAX_DIST}
+    """,
+)
+def dedup_levenshtein(spark, sf_dir):
+    """Blocked edit-distance near-dup pairs: prefix-block equi-join (one
+    shuffle, linear candidates), length lower-bound pre-filter, thresholded
+    levenshtein only on survivors. The character-level complement to the
+    token-level Jaccard/MinHash tiers — catches small in-place edits that
+    shift every following shingle. Oracle shares the blocking constants
+    (operators.dedup.LEV_PREFIX / LEV_MAX_DIST)."""
+    d = _docs(spark, sf_dir, fan_out=True)
+    return dedup.levenshtein_pairs(d, "doc_id", "text")
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-point PageRank in SQL, generated from the SAME
+    constants the Spark operator uses (operators.graph.PR_*): integer
+    arithmetic end-to-end, so the hash compare is exact, not approximate.
+    Edge source: the exact n-gram Jaccard near-dup graph (threshold 0.8),
+    symmetrized."""
+    base = (100 - graph.PR_DAMPING_PCT) * graph.PR_SCALE // 100
+    d = graph.PR_DAMPING_PCT
+    its = []
+    prev = "r0"
+    for i in range(1, graph.PR_ITERATIONS + 1):
+        its.append(
+            f"""r{i} AS (
+      SELECT n.id,
+             CAST({base} + {d} * COALESCE(s.s, 0) // 100 AS BIGINT) AS rank_fp
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst, SUM(p.rank_fp // e.deg) AS s
+        FROM e JOIN {prev} p ON e.src = p.id GROUP BY e.dst
+      ) s ON n.id = s.dst
+    )"""
+        )
+        prev = f"r{i}"
+    iter_sql = ",\n    ".join(its)
+    return f"""
+    WITH {_SQL_SHINGLES.strip()}, {_SQL_JACCARD_PAIRS.strip()},
+    ed AS (
+      SELECT id_a AS src, id_b AS dst FROM jp WHERE jaccard >= 0.8
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM jp WHERE jaccard >= 0.8
+    ),
+    e AS (
+      SELECT src, dst, COUNT(*) OVER (PARTITION BY src) AS deg FROM ed
+    ),
+    nodes AS (SELECT doc_id AS id FROM documents),
+    r0 AS (SELECT id, CAST({graph.PR_SCALE} AS BIGINT) AS rank_fp FROM nodes),
+    {iter_sql}
+    SELECT id, rank_fp FROM {prev}
+    """
+
+
+@ext_query("graph_pagerank", _pagerank_oracle())
+def graph_pagerank(spark, sf_dir):
+    """Fixed-point integer PageRank over the exact near-dup graph
+    (n-gram Jaccard ≥ 0.8, symmetrized): centrality for duplicate-cluster
+    canonicalization — the highest-rank doc per component is the natural
+    keeper. All-BIGINT arithmetic makes the 10-iteration distributed run
+    hash-identical to the oracle's unrolled SQL (see operators/graph.py
+    for why floating-point PageRank can never be)."""
+    from pyspark import StorageLevel
+
+    docs = _docs(spark, sf_dir, fan_out=True)
+    sh = dedup.shingles(docs, "doc_id", "text", n=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # the pair list feeds FOUR consumers (two union branches × the degree
+    # and edge sides) — persist and materialize once so the shingle
+    # self-join runs exactly once, not per consumer
+    jp = (
+        dedup.jaccard_pairs(sh, "doc_id", threshold=0.8)
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    jp.count()
+    edges = jp.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(jp.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    out = graph.pagerank_fixed_point(nodes, edges, id_col="id")
+    # the iteration loop has materialized everything derived from the
+    # shingle/pair builds (eager per-round checkpoints), so they release now
+    sh.unpersist()
+    jp.unpersist()
+    return out
 
 
 def _minhash_oracle() -> str:

@@ -639,3 +639,92 @@ def test_quantized_topk_recall(spark, sf_dir):
     hits = sum(len(by_q_exact[q] & by_q_quant[q]) for q in by_q_exact)
     total = sum(len(v) for v in by_q_exact.values())
     assert hits / total >= 0.6, f"recall@5 {hits}/{total}"
+
+
+# ---------------------------------------------------------------------------
+# edit-distance dedup tier
+# ---------------------------------------------------------------------------
+
+
+def test_levenshtein_pairs_known_distances(spark):
+    """Hand-built corpus with known edit distances; the block + length
+    pre-filter must keep true near-dups and the emitted dist is exact."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # dist 3 vs 1
+        (3, "the quick brown fox leaps over a lazy dog"),    # small edits vs 1
+        (4, "completely unrelated text about spark plans"),
+        (5, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in dedup.levenshtein_pairs(df, "doc_id", "text", max_dist=10).collect()
+    }
+    assert got[(1, 5)] == 0
+    assert got[(1, 2)] == 3
+    assert (1, 4) not in got  # different block, far anyway
+    # every emitted dist respects the threshold and the length lower bound
+    assert all(0 <= d <= 10 for d in got.values())
+
+
+def test_levenshtein_blocking_is_documented_recall_trade(spark):
+    """An edit inside the first LEV_PREFIX chars moves the doc to another
+    block — the pair is (by design) not emitted. Guards against anyone
+    'fixing' the blocking into an accidental all-pairs cross join."""
+    rows = [
+        (1, "aaaaaaaaaaaaaaaa tail is identical here"),
+        (2, "bbbbbbbbbbbbbbbb tail is identical here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.levenshtein_pairs(df, "doc_id", "text").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# fixed-point integer PageRank
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_reference(n_nodes, edges, iterations):
+    """Sequential mirror of the exact integer recurrence."""
+    from collections import defaultdict
+
+    from forgottenlandapp_etl_spark.operators.graph import (
+        PR_DAMPING_PCT,
+        PR_SCALE,
+    )
+
+    base = (100 - PR_DAMPING_PCT) * PR_SCALE // 100
+    out = defaultdict(list)
+    for s, d in edges:
+        out[s].append(d)
+    rank = {i: PR_SCALE for i in range(n_nodes)}
+    for _ in range(iterations):
+        recv = defaultdict(int)
+        for s, dsts in out.items():
+            c = rank[s] // len(dsts)
+            for d in dsts:
+                recv[d] += c
+        rank = {i: base + PR_DAMPING_PCT * recv[i] // 100 for i in range(n_nodes)}
+    return rank
+
+
+def test_pagerank_matches_sequential_reference(spark):
+    """Distributed integer PageRank == the sequential recurrence, bit-exact
+    (the property that makes the DuckDB oracle an exact check)."""
+    from forgottenlandapp_etl_spark.operators import graph as g
+
+    # star (0 center) + one isolated node (5) + a 2-cycle (6,7)
+    e = [(0, 1), (1, 0), (0, 2), (2, 0), (0, 3), (3, 0), (0, 4), (4, 0),
+         (6, 7), (7, 6)]
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    edges = spark.createDataFrame(e, "src long, dst long")
+    got = {
+        r["id"]: r["rank_fp"]
+        for r in g.pagerank_fixed_point(nodes, edges, iterations=6).collect()
+    }
+    want = _pagerank_reference(8, e, 6)
+    assert got == want
+    # structural sanity: hub outranks leaves, isolated node sits at (1-d)
+    assert got[0] > got[1] == got[2] == got[3] == got[4]
+    assert got[5] == (100 - g.PR_DAMPING_PCT) * g.PR_SCALE // 100
