@@ -82,6 +82,11 @@ HEADLINE = [
     "dedup_levenshtein",
     "graph_pagerank",
     "stream_daily_counts",
+    "tpch_q8_market_share",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "agg_mode",
+    "sketch_hll_daily_merge",
 ]
 
 

@@ -85,7 +85,12 @@ def pagerank_fixed_point(
     )
     active.count()
     ranks = active.select("id", F.lit(PR_SCALE).cast("long").alias("rank_fp"))
-    for _ in range(iterations):
+    # checkpoint cadence: every round costs one scheduled job (~0.6 s of
+    # pure scheduling latency on a small active set); every 2nd round
+    # halves that while keeping lineage depth bounded at two join-agg
+    # rounds. The final round ALWAYS checkpoints so the builds can release.
+    ckpt_every = 2
+    for it in range(iterations):
         contrib = (
             esrc.join(ranks, on=(F.col("src") == F.col("id")))
             .select("dst", F.expr("rank_fp div deg").alias("c"))
@@ -103,11 +108,11 @@ def pagerank_fixed_point(
                 ).cast("long").alias("rank_fp"),
             )
         )
-        # eager lineage cut per round (same discipline as
-        # connected_components): each round is one small scheduled job, and
-        # after the loop `ranks` is materialized rows — so releasing the
-        # builds below can never trigger recompute
-        ranks = ranks.localCheckpoint(eager=True)
+        # eager lineage cut (same discipline as connected_components); after
+        # the loop `ranks` is materialized rows — so releasing the builds
+        # below can never trigger recompute
+        if (it + 1) % ckpt_every == 0 or it == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     esrc.unpersist()
     active.unpersist()
     # isolated vertices hold the constant base rank; attach without iterating

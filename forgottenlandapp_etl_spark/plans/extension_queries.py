@@ -1082,6 +1082,33 @@ def sketch_count_min(spark, sf_dir):
     return top.join(est, "token").select("token", "n_true", "n_est")
 
 
+@ext_query("sketch_hll_daily_merge")
+def sketch_hll_daily_merge(spark, sf_dir):
+    """Re-aggregatable distinct counts via Apache DataSketches HLL
+    (Spark-native hll_sketch_agg / hll_union_agg): one binary sketch per
+    day, then ONE union row merging every daily sketch into the period's
+    distinct-user estimate WITHOUT rescanning the events — the pattern that
+    replaces COUNT(DISTINCT) at 100 TB, where pre-aggregated daily sketches
+    make any date-range distinct query a metadata-sized merge.
+
+    Rows-only by necessity (DuckDB cannot evaluate DataSketches binaries);
+    the accuracy and merge-consistency guarantees are property-tested
+    against exact distinct counts in tests/test_extensions.py."""
+    ev = catalog.table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").cast("string").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .persist()
+    )
+    per_day = daily.select(
+        "day", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    ).select(F.lit("ALL").alias("day"), "approx_users")
+    return per_day.unionAll(merged)
+
+
 @ext_query(
     "stream_dedup_keys",
     """

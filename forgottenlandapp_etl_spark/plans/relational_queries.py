@@ -450,6 +450,37 @@ def agg_corr_stats(spark, sf_dir):
 
 
 @query(
+    "agg_mode",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    r AS (
+      SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type ASC) AS rn
+      FROM c
+    )
+    SELECT user_id, event_type AS mode_event, n FROM r WHERE rn = 1
+    """,
+)
+def agg_mode(spark, sf_dir):
+    """Deterministic per-group mode: most frequent event type per user,
+    ties broken lexicographically (a bare MODE() is engine-defined under
+    ties — unusable against an oracle). Count pass + rank pass share the
+    user_id partitioning, so the second window reuses the first shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event"), "n")
+    )
+
+
+@query(
     "wx_percent_rank",
     """
     SELECT o_orderkey,
@@ -873,6 +904,184 @@ def tpch_q22_sales_opportunity(spark, sf_dir):
     return cand.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("numcust"),
         dsum("c_acctbal").alias("totacctbal"),
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    """
+    WITH flat AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_0' THEN volume
+                         ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM flat GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8-shaped: NATION_0 suppliers' share of AMERICA's STANDARD-part
+    order volume per year. Plan shape: ONE big-big shuffle (lineitem ⋈
+    orders on the order key); part / supplier / customer / both nation roles
+    / region all broadcast — at 100 TB the fact-fact join is the only data
+    movement, and the year-grouped ratio is two decimal sums divided once in
+    double (bit-stable, q14 discipline)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD").select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA").select(
+        "r_regionkey"
+    )
+    n1 = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+        F.col("n_nationkey").alias("c_nkey")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    zero = F.lit(0).cast("decimal(38,6)")
+    flat = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), c["c_nationkey"] == F.col("c_nkey"))
+        .join(F.broadcast(n2), s["s_nationkey"] == F.col("s_nkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return flat.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_0", F.col("volume")).otherwise(
+                    zero
+                )
+            ).cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+               AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15-shaped: the quarter's top-revenue supplier(s). The scalar
+    MAX subquery becomes a 1-row broadcast cross join against the SAME
+    persisted revenue relation (scanned once, consumed twice); the equality
+    compares EXACT DECIMALS — comparing after a double cast could fake or
+    miss ties, the classic Q15 trap."""
+    from pyspark import StorageLevel
+
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    # scale 6, not 2: the double product sits on .005
+                    # boundaries often enough that HALF_UP (Spark) vs
+                    # round-half-even (DuckDB) drifts the scale-2 sum by
+                    # cents at sf0.1; at scale 6 boundary hits vanish
+                    "decimal(38,6)"
+                )
+            ).alias("total_rev")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .where(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    """
+    WITH pq AS (
+      SELECT l_partkey AS agg_pkey,
+             SUM(CAST(l_quantity AS DECIMAL(38,2))) AS sum_qty,
+             COUNT(l_quantity) AS cnt_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pq ON agg_pkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND CAST(l_quantity AS DECIMAL(38,2)) * 5 * cnt_qty < sum_qty
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17-shaped: revenue lost to sub-20%-of-average-quantity orders
+    of one brand. The correlated AVG subquery becomes one per-part
+    aggregate joined back to lineitem (both sides partitioned by the part
+    key — Catalyst reuses the exchange). The 0.2·avg comparison is CROSS-
+    MULTIPLIED into exact integers/decimals (5·qty·cnt < sum) — an actual
+    decimal division would round differently in each engine and flip
+    boundary rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    qd = F.col("l_quantity").cast("decimal(38,2)")
+    pq = li.groupBy(F.col("l_partkey").alias("agg_pkey")).agg(
+        F.sum(qd).alias("sum_qty"), F.count("l_quantity").alias("cnt_qty")
+    )
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(pq, li["l_partkey"] == pq["agg_pkey"])
+        .where(qd * 5 * F.col("cnt_qty") < F.col("sum_qty"))
+    )
+    return j.agg(
+        (dsum("l_extendedprice") / F.lit(7.0)).cast("double").alias("avg_yearly")
     )
 
 

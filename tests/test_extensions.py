@@ -728,3 +728,34 @@ def test_pagerank_matches_sequential_reference(spark):
     # structural sanity: hub outranks leaves, isolated node sits at (1-d)
     assert got[0] > got[1] == got[2] == got[3] == got[4]
     assert got[5] == (100 - g.PR_DAMPING_PCT) * g.PR_SCALE // 100
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch merge (re-aggregatable distinct)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_daily_merge_accuracy_and_consistency(spark, sf_dir):
+    """Each day's HLL estimate lands within 5% of the exact distinct count,
+    and the merged-union estimate matches a direct single-pass sketch over
+    the whole table (re-aggregatability — the property that lets daily
+    sketches answer any date-range distinct query without a rescan)."""
+    got = {
+        r["day"]: r["approx_users"]
+        for r in QUERIES["sketch_hll_daily_merge"](spark, sf_dir).collect()
+    }
+    ev = catalog.table(spark, sf_dir, "events")
+    exact_daily = {
+        r["day"]: r["n"]
+        for r in ev.groupBy(F.to_date("ts").cast("string").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for day, n in exact_daily.items():
+        assert abs(got[day] - n) <= max(2, 0.05 * n), (day, got[day], n)
+    exact_all = ev.agg(F.countDistinct("user_id").alias("n")).collect()[0]["n"]
+    assert abs(got["ALL"] - exact_all) <= max(2, 0.05 * exact_all)
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
+    ).collect()[0]["e"]
+    assert got["ALL"] == direct  # union of dailies == direct sketch
