@@ -87,6 +87,8 @@ HEADLINE = [
     "tpch_q17_small_quantity_revenue",
     "agg_mode",
     "sketch_hll_daily_merge",
+    "stream_session_windows",
+    "emb_random_projection",
 ]
 
 

@@ -13,6 +13,8 @@ list_dot_product). Two tiers:
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -491,3 +493,47 @@ def quantized_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "qdot", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# Sparse sign random projection (Achlioptas): dimensionality reduction for
+# the quantized tier. Seeded module constants so the Spark plan and the
+# generated DuckDB oracle share the one sign matrix.
+RP_DIM_IN = 64
+RP_DIM_OUT = 16
+_rp_rng = random.Random(7)
+RP_SIGNS: list[list[int]] = [
+    [_rp_rng.choice((-1, 1)) for _ in range(RP_DIM_OUT)] for _ in range(RP_DIM_IN)
+]
+
+
+def random_project_int(
+    quantized: DataFrame, q_col: str = "q", id_col: str = "vec_id"
+) -> DataFrame:
+    """±1 sign random projection over int8-quantized embeddings, all-integer:
+    (id, j, comp BIGINT) with comp_j = Σ_i q_i · sign[i][j].
+
+    The Johnson-Lindenstrauss workhorse for shrinking embeddings before
+    LSH/ANN at scale — and because codes and signs are integers the result
+    is EXACT (order-free sums), hash-comparable cross-engine, unlike any
+    float projection. Pure per-row column math (zip_with + aggregate per
+    output dim — JVM, zero shuffles, no UDF); posexplode emits the narrow
+    (id, dim, value) layout downstream consumers bucket on.
+
+    |comp| ≤ 64 · 127 per output dim — nowhere near BIGINT, and the narrow
+    layout keeps any later exchange rows small.
+    """
+    comps = []
+    for j in range(RP_DIM_OUT):
+        sj = F.array(*[F.lit(RP_SIGNS[i][j]) for i in range(RP_DIM_IN)])
+        comps.append(
+            F.aggregate(
+                F.zip_with(
+                    F.col(q_col), sj, lambda a, b: (a * b).cast("long")
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        )
+    return quantized.select(
+        F.col(id_col), F.posexplode(F.array(*comps)).alias("j", "comp")
+    ).select(F.col(id_col), F.col("j").cast("int").alias("j"), "comp")

@@ -983,6 +983,28 @@ def bpe_train_merges(spark, sf_dir):
     )
 
 
+@ext_query("bpe_encode_corpus")  # downstream of iterative training: rows-only
+def bpe_encode_corpus(spark, sf_dir):
+    """The user-facing tokenize-at-scale path: train the k=4 merge table
+    (tiny, driver-held), then encode EVERY document with it — the merge
+    rules bake into the plan as chained JVM array folds, so encoding is
+    pure per-row column math, zero shuffles, no UDF. Token arrays are
+    emitted CSV-serialized (array stringification differs per engine; same
+    convention as the quantization entry). Inherits bpe_train_merges'
+    rows-only status (iterative upstream); apply-side correctness is pinned
+    by the golden reference test."""
+    from ..operators import bpe
+
+    d = _docs(spark, sf_dir, fan_out=True)
+    merges = bpe.train_merges(d, "text", n_merges=4)
+    enc = bpe.apply_merges(d, merges)
+    return enc.select(
+        "doc_id",
+        F.array_join("bpe_tokens", ",").alias("tokens_csv"),
+        "n_bpe_tokens",
+    )
+
+
 def _quality_linear_oracle() -> str:
     from ..operators.classifier import (
         KEEP_THRESHOLD,
@@ -1188,6 +1210,93 @@ def stream_stream_join(spark, sf_dir):
     from ..streaming.joins import clicks_after_errors
 
     return clicks_after_errors(spark, sf_dir)
+
+
+@ext_query(
+    "stream_session_windows",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ),
+    s AS (
+      SELECT CAST(MIN(ts) AS VARCHAR) AS session_start,
+             CAST(MAX(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS session_end,
+             MAX(ts) + INTERVAL 30 MINUTE AS end_ts,
+             user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM g GROUP BY user_id, sid
+    )
+    SELECT session_start, session_end, user_id, n
+    FROM s WHERE end_ts <= (SELECT MAX(ts) FROM events)
+    """,
+)
+def stream_session_windows(spark, sf_dir):
+    """Streaming sessionization: F.session_window + watermark over the
+    events stream, availableNow drain. Append mode emits exactly the
+    sessions whose end the final watermark passed — i.e. the batch
+    sessionizer's output restricted to sessions closed before the last
+    event, which is what the oracle's end_ts filter states. The open tail
+    sessions correctly remain in state (streaming/sessions.py)."""
+    from ..streaming.sessions import stream_session_windows as _sess
+
+    return _sess(spark, sf_dir)
+
+
+def _rp_oracle() -> str:
+    """Integer sign random projection, generated from the SAME sign matrix
+    the Spark operator uses (similarity.RP_SIGNS) — all-integer sums, so
+    the hash compare is exact."""
+    sgn_rows = ", ".join(
+        f"({i}, {j}, {similarity.RP_SIGNS[i][j]})"
+        for i in range(similarity.RP_DIM_IN)
+        for j in range(similarity.RP_DIM_OUT)
+    )
+    return f"""
+    WITH {_SQL_EMB},
+    s AS (
+      SELECT vec_id, v,
+             list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id,
+             CASE WHEN scale = 0.0
+                  THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT))
+             END AS ql
+      FROM s
+    ),
+    sgn(i, j, sg) AS (VALUES {sgn_rows}),
+    un AS (
+      SELECT vec_id, CAST(g.i - 1 AS INT) AS i, ql[g.i] AS qi
+      FROM q, UNNEST(generate_series(1, len(ql))) AS g(i)
+    )
+    SELECT un.vec_id, CAST(sgn.j AS INT) AS j,
+           CAST(SUM(un.qi * sgn.sg) AS BIGINT) AS comp
+    FROM un JOIN sgn ON un.i = sgn.i
+    GROUP BY un.vec_id, sgn.j
+    """
+
+
+@ext_query("emb_random_projection", _rp_oracle())
+def emb_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss sign projection of the int8-quantized
+    embeddings, 64→16 dims, all-integer (exact cross-engine — a float
+    projection could never hash-match). Per-row JVM column math, zero
+    shuffles before the narrow (id, dim, comp) layout; the natural input
+    to coarse LSH bucketing at 100 TB."""
+    e = _emb(spark, sf_dir)
+    return similarity.random_project_int(similarity.quantize_int8(e))
 
 
 @ext_query("sim_bruteforce_topk_vectorized")

@@ -759,3 +759,55 @@ def test_hll_daily_merge_accuracy_and_consistency(spark, sf_dir):
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
     ).collect()[0]["e"]
     assert got["ALL"] == direct  # union of dailies == direct sketch
+
+
+# ---------------------------------------------------------------------------
+# integer sign random projection
+# ---------------------------------------------------------------------------
+
+
+def test_random_projection_bounds_and_determinism(spark, sf_dir):
+    from forgottenlandapp_etl_spark.operators import similarity as sim
+
+    e = catalog.table(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("v")
+    )
+    out = sim.random_project_int(sim.quantize_int8(e))
+    rows = out.collect()
+    n_vec = e.count()
+    assert len(rows) == n_vec * sim.RP_DIM_OUT
+    # each component is a ±1-signed sum of 64 int8 codes
+    assert all(abs(r["comp"]) <= sim.RP_DIM_IN * 127 for r in rows)
+    again = {(r["vec_id"], r["j"]): r["comp"] for r in out.collect()}
+    assert {(r["vec_id"], r["j"]): r["comp"] for r in rows} == again
+
+
+def test_random_projection_preserves_similarity_ordering(spark, sf_dir):
+    """JL sanity: for a sample of vector pairs, projected dot products
+    correlate positively with quantized dot products (sign projections
+    preserve inner products in expectation)."""
+    import math
+
+    from forgottenlandapp_etl_spark.operators import similarity as sim
+
+    e = catalog.table(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("v")
+    )
+    q = sim.quantize_int8(e).where(F.col("vec_id") < 40)
+    proj = sim.random_project_int(q)
+    qv = {r["vec_id"]: r["q"] for r in q.collect()}
+    pv = {}
+    for r in proj.collect():
+        pv.setdefault(r["vec_id"], [0] * sim.RP_DIM_OUT)[r["j"]] = r["comp"]
+    ids = sorted(qv)
+    xs, ys = [], []
+    for a in ids:
+        for b in ids:
+            if a < b:
+                xs.append(sum(x * y for x, y in zip(qv[a], qv[b])))
+                ys.append(sum(x * y for x, y in zip(pv[a], pv[b])))
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    sx = math.sqrt(sum((x - mx) ** 2 for x in xs))
+    sy = math.sqrt(sum((y - my) ** 2 for y in ys))
+    assert cov / (sx * sy) > 0.3, "projection lost the similarity structure"

@@ -309,3 +309,19 @@ def test_runtime_bloom_filter_join(spark, tmp_path):
             old_thresh,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+
+
+def test_q8_pushdown_and_broadcasts(spark, sf_dir):
+    """Q8's region/part/date predicates must reach their scans, every
+    dimension join must broadcast, and exactly one hash-partition exchange
+    (the final year group-by) may remain at unit-test scale."""
+    plan = plan_of(QUERIES["tpch_q8_market_share"](spark, sf_dir))
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "EqualTo(r_name,AMERICA)" in pushed
+    assert "EqualTo(p_type,STANDARD)" in pushed
+    assert "o_orderdate" in pushed
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # lineitem scan must not read money columns it doesn't use
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
+    assert m and "l_tax" not in m.group(1) and "l_quantity" not in m.group(1)
