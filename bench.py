@@ -89,6 +89,7 @@ HEADLINE = [
     "sketch_hll_daily_merge",
     "stream_session_windows",
     "emb_random_projection",
+    "sim_rp_lsh_topk",
 ]
 
 

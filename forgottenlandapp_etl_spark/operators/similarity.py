@@ -537,3 +537,80 @@ def random_project_int(
     return quantized.select(
         F.col(id_col), F.posexplode(F.array(*comps)).alias("j", "comp")
     ).select(F.col(id_col), F.col("j").cast("int").alias("j"), "comp")
+
+
+RP_LSH_BANDS = 4  # 16 sign bits = 4 bands x 4 bits
+
+
+def rp_codes(proj: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Collapse the (id, j, comp) projection to one 16-bit sign code per
+    vector: bit_j = [comp_j >= 0]. Integer end-to-end."""
+    return proj.groupBy(id_col).agg(
+        # SQL form: the DataFrame shiftleft() only takes a literal shift,
+        # but the bit position here is the column j
+        F.sum(
+            F.when(F.col("comp") >= 0, F.expr("shiftleft(1, j)")).otherwise(F.lit(0))
+        ).cast("int").alias("code")
+    )
+
+
+def rp_lsh_topk(emb: DataFrame, id_col: str = "vec_id", k: int = 5) -> DataFrame:
+    """ANN top-k via banded random-projection sign codes, exact-verifiable:
+
+    quantize(int8) → sign-project (64→16, integer) → 16-bit code → 4 bands
+    × 4 bits → candidates = pairs sharing ANY band value (equi-join per
+    band, linear candidate generation — the MinHash-LSH discipline applied
+    to embeddings) → EXACT integer dot product on the int8 codes, top-k per
+    query among candidates (rank ties broken on neighbor id).
+
+    Every stage is integer arithmetic, so the whole ANN pipeline — not just
+    its pieces — hash-matches a generated DuckDB oracle. Recall against the
+    exhaustive tier is property-tested; at scale the band join's bucket
+    sizes (n/2^4 per band value) bound the quadratic verify step, and the
+    narrow (id, band, value) exchange rows keep the shuffle small.
+    """
+    from pyspark import StorageLevel
+
+    q = quantize_int8(emb, id_col=id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    codes = rp_codes(random_project_int(q, id_col=id_col))
+    bands = codes.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("code"), 4 * b).bitwiseAND(F.lit(15))
+                    for b in range(RP_LSH_BANDS)
+                ]
+            )
+        ).alias("b", "bv"),
+    )
+    la = bands.select(F.col(id_col).alias("id_a"), "b", "bv")
+    lb = bands.select(F.col(id_col).alias("id_b"), "b", "bv")
+    cand = (
+        la.join(lb, on=["b", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # both directions so every vector ranks its own neighbor list
+    directed = cand.unionAll(
+        cand.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).select(F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id"))
+    qa = q.select(F.col(id_col).alias("query_id"), F.col("q").alias("qa"))
+    qb = q.select(F.col(id_col).alias("neighbor_id"), F.col("q").alias("qb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = directed.join(qa, on="query_id").join(qb, on="neighbor_id").withColumn(
+        "qdot", dot
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "qdot", F.col("rank").cast("int").alias("rank")
+        )
+    )

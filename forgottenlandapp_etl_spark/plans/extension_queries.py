@@ -1288,6 +1288,86 @@ def _rp_oracle() -> str:
     """
 
 
+def _rp_lsh_oracle() -> str:
+    """The full banded RP-code ANN in SQL: shares the sign matrix and every
+    integer convention with the Spark operator, so even the top-k output
+    hash-matches exactly."""
+    sgn_rows = ", ".join(
+        f"({i}, {j}, {similarity.RP_SIGNS[i][j]})"
+        for i in range(similarity.RP_DIM_IN)
+        for j in range(similarity.RP_DIM_OUT)
+    )
+    return f"""
+    WITH {_SQL_EMB},
+    s AS (
+      SELECT vec_id, v,
+             list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id,
+             CASE WHEN scale = 0.0
+                  THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT))
+             END AS ql
+      FROM s
+    ),
+    sgn(i, j, sg) AS (VALUES {sgn_rows}),
+    un AS (
+      SELECT vec_id, CAST(g.i - 1 AS INT) AS i, ql[g.i] AS qi
+      FROM q, UNNEST(generate_series(1, len(ql))) AS g(i)
+    ),
+    proj AS (
+      SELECT un.vec_id, sgn.j, SUM(un.qi * sgn.sg) AS comp
+      FROM un JOIN sgn ON un.i = sgn.i GROUP BY un.vec_id, sgn.j
+    ),
+    codes AS (
+      SELECT vec_id,
+             SUM(CASE WHEN comp >= 0 THEN (1 << j) ELSE 0 END) AS code
+      FROM proj GROUP BY vec_id
+    ),
+    bands AS (
+      SELECT vec_id, b.b AS b, (code >> (4 * b.b)) & 15 AS bv
+      FROM codes, UNNEST([0, 1, 2, 3]) AS b(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.bv = c.bv AND a.vec_id < c.vec_id
+    ),
+    dir AS (
+      SELECT id_a AS query_id, id_b AS neighbor_id FROM cand
+      UNION ALL
+      SELECT id_b AS query_id, id_a AS neighbor_id FROM cand
+    ),
+    scored AS (
+      SELECT d.query_id, d.neighbor_id,
+             CAST(list_dot_product(qa.ql::DOUBLE[], qb.ql::DOUBLE[]) AS BIGINT)
+               AS qdot
+      FROM dir d
+      JOIN q qa ON qa.vec_id = d.query_id
+      JOIN q qb ON qb.vec_id = d.neighbor_id
+    )
+    SELECT query_id, neighbor_id, qdot, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY qdot DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@ext_query("sim_rp_lsh_topk", _rp_lsh_oracle())
+def sim_rp_lsh_topk(spark, sf_dir):
+    """End-to-end integer ANN: quantize → sign-project → 16-bit code →
+    banded candidate join (4×4 bits, the MinHash-LSH discipline on
+    embeddings) → exact int8 dot verification → top-5 per query. The whole
+    pipeline is integer arithmetic, so the ANN RESULT — not just the
+    stages — hash-matches the generated oracle; recall vs the exhaustive
+    tier is property-tested in tests/test_extensions.py."""
+    e = _emb(spark, sf_dir, fan_out=True)
+    return similarity.rp_lsh_topk(e)
+
+
 @ext_query("emb_random_projection", _rp_oracle())
 def emb_random_projection(spark, sf_dir):
     """Johnson-Lindenstrauss sign projection of the int8-quantized

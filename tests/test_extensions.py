@@ -811,3 +811,45 @@ def test_random_projection_preserves_similarity_ordering(spark, sf_dir):
     sx = math.sqrt(sum((x - mx) ** 2 for x in xs))
     sy = math.sqrt(sum((y - my) ** 2 for y in ys))
     assert cov / (sx * sy) > 0.3, "projection lost the similarity structure"
+
+
+def test_rp_lsh_topk_recall_floor(spark, sf_dir):
+    """Banded RP-code ANN recall vs the exhaustive integer-dot top-5.
+
+    A single 16-bit sign sketch with a 4x4 band OR measures ~0.43 recall@5
+    on these generic (unclustered) embeddings — the honest number for this
+    sketch size; near-identical vectors (the dedup regime) agree on almost
+    all bits and are found with much higher probability. The floor guards
+    against a silent candidate-generation regression, not a marketing
+    number."""
+    from forgottenlandapp_etl_spark.operators import similarity as sim
+
+    e = catalog.table(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("v")
+    )
+    ann = {
+        (r["query_id"], r["neighbor_id"]) for r in sim.rp_lsh_topk(e).collect()
+    }
+    from pyspark.sql import Window
+
+    q = sim.quantize_int8(e)
+    qa = q.select(F.col("vec_id").alias("query_id"), F.col("q").alias("qa"))
+    qb = q.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sc = (
+        qa.crossJoin(qb)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("qdot", dot)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sc.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .collect()
+    }
+    assert len(ann & exact) / len(exact) >= 0.35
