@@ -69,7 +69,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "c1_skill_points",
     "c6_date_functions",
     "c7_json_extract",
-    "c7b_variant_extract",
+    # (c7b_variant_extract, text_fingerprint, text_token_count rotated out
+    # after two driver-green rounds — same mechanism as the r3 quantization
+    # promotion — to buy hard driver rows for the round-3 flagships below;
+    # all rotated-out entries stay oracle-gated by tools/drive_gate.py)
     # §2.9 streaming-shaped semantics
     "e3_daily_online_time",
     "e3_period_online_time",
@@ -84,14 +87,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_stats",
     "text_quality",
     "text_lang_id",
-    "text_token_count",
-    "text_fingerprint",
     "pipeline_clean_corpus",
     "pipeline_train_val_split",
     "sim_bruteforce_topk",
     # int8 quantization tier (promoted r3: new, exactly-oracle-checkable)
     "emb_quantize_int8",
     "sim_quantized_topk",
+    # round-3 flagships (promoted r3: edit-distance dedup tier, exactly-
+    # verified integer PageRank, end-to-end integer ANN)
+    "dedup_levenshtein",
+    "graph_pagerank",
+    "sim_rp_lsh_topk",
 )
 
 _missing = [n for n in DRIVER_WINDOW if n not in _ALL_QUERIES]
