@@ -90,6 +90,7 @@ HEADLINE = [
     "stream_session_windows",
     "emb_random_projection",
     "sim_rp_lsh_topk",
+    "pipeline_leakage_safe_split",
 ]
 
 

@@ -17,7 +17,7 @@ try:
 except ImportError:  # pragma: no cover - pandas ships in this container
     pd = None
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny language-marker table for the n-gram/stopword heuristic. The engine
@@ -188,3 +188,23 @@ def make_chunker_udtf(chunk_tokens: int = 16):
                 yield i // chunk_tokens, " ".join(part), len(part)
 
     return ChunkDocument
+
+
+def fingerprint_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_pct: int = 90,
+) -> DataFrame:
+    """Leakage-safe train/val assignment: hash the CONTENT fingerprint, not
+    the row id, so every exact copy of a document lands in the same split
+    (an id-hash split silently leaks duplicates into the eval set). Pure
+    per-row column math — no shuffle; same md5-fold hash as the dedup
+    tiers, so assignments are identical across engines and cluster layouts.
+    """
+    fp = fingerprint(F.col(text_col))
+    h = F.conv(F.substring(F.md5(fp), 1, 15), 16, 10).cast("long") % 100
+    return df.select(
+        F.col(id_col),
+        F.when(h < train_pct, "train").otherwise("val").alias("split"),
+    )

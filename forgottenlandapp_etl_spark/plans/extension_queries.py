@@ -1775,6 +1775,69 @@ def pipeline_train_val_split(spark, sf_dir):
     )
 
 
+@ext_query(
+    "pipeline_leakage_safe_split",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, {_FP_SQL} AS fp FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN CAST('0x' || SUBSTR(md5(fp), 1, 15) AS BIGINT) % 100 < 90
+                THEN 'train' ELSE 'val' END AS split
+    FROM fp
+    """,
+)
+def pipeline_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe 90/10 split: hash the CONTENT FINGERPRINT, not the id —
+    every exact duplicate of a document lands in the same split, so the
+    validation set can never contain a copy of a training document (the
+    classic eval-contamination bug an id-hash split silently commits).
+    One narrow map — the fingerprint is the dedup_exact key, computed
+    per-row with no shuffle; a property test extends the guarantee to the
+    LSH near-dup tier via component-level assignment."""
+    d = _docs(spark, sf_dir)
+    return text.fingerprint_split(d, "doc_id", "text")
+
+
+@ext_query("pipeline_leakage_safe_split_neardup")  # iterative upstream: rows-only
+def pipeline_leakage_safe_split_neardup(spark, sf_dir):
+    """The stronger form: split by NEAR-dup component — LSH pairs →
+    connected components → hash the component label — so even paraphrased
+    or lightly-edited copies can never straddle train/val. Inherits the
+    components tier's rows-only status (iterative min-label propagation);
+    the no-straddle property over every LSH pair is pinned in
+    tests/test_extensions.py."""
+    from pyspark import StorageLevel
+
+    d = _docs(spark, sf_dir, fan_out=True)
+    pairs = dedup.minhash_lsh_dedup(d, "doc_id", "text", threshold=0.8).select(
+        "id_a", "id_b"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    comp = dedup.connected_components(pairs)  # pair-touched docs only
+    # singletons (no near-dup) form their own component = their doc_id
+    labeled = (
+        d.select("doc_id")
+        .join(comp, d["doc_id"] == comp["id"], "left")
+        .select(
+            "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("component")
+        )
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("component").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 100
+    )
+    out = labeled.select(
+        "doc_id",
+        "component",
+        F.when(h < 90, "train").otherwise("val").alias("split"),
+    )
+    out = out.localCheckpoint(eager=True)  # materialized before cache release
+    pairs.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # corpus hygiene: decontamination, repetition quality, PII redaction, sampling
 # ---------------------------------------------------------------------------

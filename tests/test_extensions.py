@@ -853,3 +853,54 @@ def test_rp_lsh_topk_recall_floor(spark, sf_dir):
         .collect()
     }
     assert len(ann & exact) / len(exact) >= 0.35
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe splits
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dup_copies_never_straddle_splits(spark, sf_dir):
+    """Every pair of exact duplicates (same normalized fingerprint) must
+    land in the same split — the guarantee the fingerprint-hash split
+    exists for, and exactly what an id-hash split violates. Synthesized
+    copies (distinct ids, identical / whitespace-variant text) prove the
+    operator; the real table pins the split ratio."""
+    from forgottenlandapp_etl_spark.operators import text as text_ops
+
+    rows = []
+    for g in range(40):
+        body = f"document body number {g} with some shared words"
+        rows.append((g * 10, body))
+        rows.append((g * 10 + 1, body))            # exact copy, new id
+        rows.append((g * 10 + 2, "  " + body + " "))  # normalization-equal
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    split = {
+        r["doc_id"]: r["split"]
+        for r in text_ops.fingerprint_split(df, "doc_id", "text").collect()
+    }
+    for g in range(40):
+        trio = {split[g * 10], split[g * 10 + 1], split[g * 10 + 2]}
+        assert len(trio) == 1, (g, trio)
+    # distinct contents spread across both sides (not a constant function)
+    assert {split[g * 10] for g in range(40)} == {"train", "val"}
+    # and on the real table the ratio is a sane 90/10, not degenerate
+    real = {
+        r["doc_id"]: r["split"]
+        for r in QUERIES["pipeline_leakage_safe_split"](spark, sf_dir).collect()
+    }
+    n_val = sum(1 for s in real.values() if s == "val")
+    assert 0.03 < n_val / len(real) < 0.25
+
+
+def test_near_dup_pairs_never_straddle_splits(spark, sf_dir):
+    """The stronger guarantee: every LSH-verified near-dup pair shares a
+    split under the component-level assignment."""
+    rows = QUERIES["pipeline_leakage_safe_split_neardup"](spark, sf_dir).collect()
+    split = {r["doc_id"]: r["split"] for r in rows}
+    pairs = dedup.minhash_lsh_dedup(
+        catalog.table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
+    ).collect()
+    assert pairs, "fixture has no near-dup pairs — test is vacuous"
+    for p in pairs:
+        assert split[p["id_a"]] == split[p["id_b"]], (p["id_a"], p["id_b"])
