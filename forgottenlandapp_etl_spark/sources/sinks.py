@@ -184,3 +184,57 @@ def decode_nested_document(
     ) else F.from_json(F.col(doc_col), entry_schema)
     exploded = df.select(*keys, F.explode(arr).alias("__e"))
     return exploded.select(*keys, "__e.*")
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_cols: tuple[str, ...] = ("date",),
+    target_rows_per_file: int = 1_000_000,
+    partitions: list[str] | None = None,
+) -> dict[str, int]:
+    """Small-file compaction for a partitioned parquet table.
+
+    Years of K1 appends and streaming foreachBatch upserts leave each
+    partition with one file per micro-batch/run — the small-files problem
+    that turns a 100 TB scan into millions of opens. Compaction rewrites
+    each partition's data as ceil(rows / target_rows_per_file) files via
+    ``maxRecordsPerFile`` (size governed by row count, not executor
+    count), using the SAME dynamic-partition-overwrite discipline as K3 so
+    only the partitions being compacted are replaced and a re-run is
+    idempotent.
+
+    ``partitions`` limits the rewrite to named partition values (the
+    normal nightly form: compact yesterday, not the decade); None rewrites
+    every partition. Returns {partition_value: n_rows} for audit. The
+    pre-compaction row counts come from the same scan that is rewritten —
+    one read, one write per partition set.
+    """
+    if len(partition_cols) != 1:
+        raise ValueError("compact_partitions supports a single partition column")
+    pcol = partition_cols[0]
+    df = spark.read.parquet(path)
+    if partitions is not None:
+        df = df.where(F.col(pcol).isin(list(partitions)))
+    # audit counts + a materialization barrier: the overwrite below reads
+    # the very files it replaces, so the input MUST be fully materialized
+    # (localCheckpoint) before the write starts — otherwise the scan races
+    # its own overwrite
+    df = df.localCheckpoint(eager=True)
+    counts = {
+        str(r[pcol]): r["n"]
+        for r in df.groupBy(pcol).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.repartition(F.col(pcol))  # co-locate each partition's rows
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", target_rows_per_file)
+            .partitionBy(pcol)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return counts

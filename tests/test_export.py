@@ -137,3 +137,56 @@ def test_jsonl_export(docs, spark, tmp_path):
 def test_unsupported_format_raises(docs, tmp_path):
     with pytest.raises(ValueError, match="unsupported fmt"):
         export.write_training_shards(docs, str(tmp_path / "x"), fmt="csv")
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction
+# ---------------------------------------------------------------------------
+
+
+def test_compact_partitions_merges_small_files(spark, tmp_path):
+    import glob
+
+    from forgottenlandapp_etl_spark.sources import sinks
+
+    path = str(tmp_path / "t")
+    # simulate many tiny appends: 6 runs × 2 dates × several files each
+    for run in range(6):
+        df = spark.createDataFrame(
+            [(run * 100 + i, f"2024-01-0{1 + i % 2}") for i in range(8)],
+            "v long, date string",
+        ).repartition(4)
+        sinks.insert_snapshot(df, path, ("date",))
+    files_before = glob.glob(f"{path}/date=*/*.parquet")
+    before = {r["v"] for r in spark.read.parquet(path).collect()}
+    assert len(files_before) > 10  # genuinely fragmented
+
+    counts = sinks.compact_partitions(spark, path, ("date",))
+    files_after = glob.glob(f"{path}/date=*/*.parquet")
+    after = {r["v"] for r in spark.read.parquet(path).collect()}
+    assert after == before  # data identical
+    assert len(files_after) <= 2  # one sized file per partition at this scale
+    assert counts == {"2024-01-01": 24, "2024-01-02": 24}
+
+    # idempotent: compacting again changes nothing
+    sinks.compact_partitions(spark, path, ("date",))
+    assert {r["v"] for r in spark.read.parquet(path).collect()} == before
+
+
+def test_compact_partitions_scoped_rewrite(spark, tmp_path):
+    import glob
+
+    from forgottenlandapp_etl_spark.sources import sinks
+
+    path = str(tmp_path / "t")
+    for run in range(4):
+        df = spark.createDataFrame(
+            [(run * 10 + i, f"2024-02-0{1 + i % 2}") for i in range(6)],
+            "v long, date string",
+        ).repartition(3)
+        sinks.insert_snapshot(df, path, ("date",))
+    untouched_before = sorted(glob.glob(f"{path}/date=2024-02-02/*.parquet"))
+    sinks.compact_partitions(spark, path, ("date",), partitions=["2024-02-01"])
+    # scoped partition compacted, the other partition's files untouched
+    assert len(glob.glob(f"{path}/date=2024-02-01/*.parquet")) == 1
+    assert sorted(glob.glob(f"{path}/date=2024-02-02/*.parquet")) == untouched_before
