@@ -94,3 +94,76 @@ def test_event_time_rejects_unknown_dtype(spark):
     df = spark.createDataFrame([(1, "x")], "event_id long, ts string")
     with pytest.raises(TypeError):
         ts.event_time(df)
+
+
+def test_append_mode_drops_late_data_past_watermark(spark, tmp_path):
+    """True watermark semantics, pinned end-to-end: an event arriving after
+    the watermark passed its window is DROPPED from the aggregate (append
+    mode), on-time events emit once their window closes, and still-open
+    windows are withheld. Batch boundaries are made deterministic by
+    running three availableNow drains over ONE checkpoint (the watermark
+    persists in the checkpoint between runs — landing all files in a
+    single drain would aggregate them in one batch with watermark 0):
+
+      drain 1: events on Jan 5 (advance watermark to 11:00 Jan 5)
+      drain 2: a LATE Jan 3 event (window long closed — must be dropped)
+               plus an on-time 13:00 Jan 5 event
+      drain 3: a Jan 7 event (pushes the watermark past Jan 5's window so
+               it emits; Jan 7's own window stays open and is withheld)
+    """
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "polls"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    emitted = []
+
+    def land(name, rows):
+        df = spark.createDataFrame(rows, "event_id long, ts string").select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        df.coalesce(1).write.parquet(str(tmp_path / ("stage_" + name)))
+        import glob
+        import shutil
+
+        part = glob.glob(str(tmp_path / ("stage_" + name) / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / (name + ".parquet")))
+
+    def drain():
+        stream = spark.readStream.schema("event_id long, ts timestamp").parquet(
+            str(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.to_date(F.col("w.start")).cast("string").alias("day"), "n")
+        )
+
+        def sink(batch_df, batch_id):
+            emitted.extend(
+                (r["day"], r["n"]) for r in batch_df.collect()
+            )
+
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    land("f1", [(1, "2024-01-05 10:00:00"), (2, "2024-01-05 12:00:00")])
+    drain()
+    land("f2", [(3, "2024-01-03 09:00:00"), (4, "2024-01-05 13:00:00")])
+    drain()
+    land("f3", [(5, "2024-01-07 00:30:00")])
+    drain()
+
+    got = {}
+    for day, n in emitted:
+        got[day] = got.get(day, 0) + n
+    # Jan 5 emitted with ONLY the on-time events (3, not 4 — the late Jan 3
+    # row was dropped, not misfiled); no Jan 3 window; Jan 7 withheld (open)
+    assert got == {"2024-01-05": 3}
