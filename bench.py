@@ -91,6 +91,7 @@ HEADLINE = [
     "emb_random_projection",
     "sim_rp_lsh_topk",
     "pipeline_leakage_safe_split",
+    "dq_drift_histogram",
 ]
 
 

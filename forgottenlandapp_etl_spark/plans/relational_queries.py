@@ -1379,6 +1379,41 @@ def dq_profile_events(spark, sf_dir):
 
 
 @query(
+    "dq_drift_histogram",
+    """
+    SELECT event_type,
+           CAST(FLOOR(value / 50) AS INT) AS bucket,
+           CAST(COUNT(CASE WHEN ts <  TIMESTAMP '2024-01-16' THEN 1 END)
+                AS BIGINT) AS n_a,
+           CAST(COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 END)
+                AS BIGINT) AS n_b
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type, CAST(FLOOR(value / 50) AS INT)
+    """,
+)
+def dq_drift_histogram(spark, sf_dir):
+    """Two-period drift histogram — the load-over-load distribution monitor
+    a promotion gate runs beside the profile: per (event_type, fixed-width
+    value bucket), exact row counts for the first vs second half of the
+    month, in ONE aggregation pass over one scan (conditional counts, not
+    two filtered subqueries). Counts stay integers so the comparison is
+    exact; the divergence statistic (PSI) is float-territory and is
+    computed downstream from these counts — a property test pins PSI ≈ 0
+    between two halves of an identically-distributed stream and PSI > 0
+    against a shifted synthetic batch. Fixed-width buckets (not quantiles)
+    keep the histogram mergeable across partitions and days at 100 TB."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    period_b = F.col("ts") >= F.lit("2024-01-16").cast("timestamp")
+    return ev.groupBy(
+        "event_type", F.floor(F.col("value") / 50).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.when(~period_b, 1)).cast("long").alias("n_a"),
+        F.count(F.when(period_b, 1)).cast("long").alias("n_b"),
+    )
+
+
+@query(
     "dq_referential_integrity",
     """
     SELECT 'orders->customer' AS fk, CAST(COUNT(*) AS BIGINT) AS n_orphans
