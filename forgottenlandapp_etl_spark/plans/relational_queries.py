@@ -1414,6 +1414,33 @@ def dq_drift_histogram(spark, sf_dir):
 
 
 @query(
+    "sql_daily_rollup",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def sql_daily_rollup(spark, sf_dir):
+    """The pure-SQL front-end, exercised end-to-end: register the catalog
+    as temp views and run a textual Spark SQL query — same Catalyst plan
+    as the DataFrame form, proving the engine's second user-facing API
+    surface (ad-hoc SQL over the same tables) produces oracle-identical
+    results. Every other entry uses the DataFrame API; this one guards the
+    spark.sql path + view registration."""
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(to_date(ts) AS STRING) AS day, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+        """
+    )
+
+
+@query(
     "dq_referential_integrity",
     """
     SELECT 'orders->customer' AS fk, CAST(COUNT(*) AS BIGINT) AS n_orphans
