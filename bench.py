@@ -92,6 +92,7 @@ HEADLINE = [
     "sim_rp_lsh_topk",
     "pipeline_leakage_safe_split",
     "dq_drift_histogram",
+    "stream_stream_left_join",
 ]
 
 

@@ -1213,6 +1213,37 @@ def stream_stream_join(spark, sf_dir):
 
 
 @ext_query(
+    "stream_stream_left_join",
+    """
+    WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+         c AS (SELECT * FROM events WHERE event_type = 'click'),
+         m AS (SELECT MAX(ts) AS maxts FROM events)
+    SELECT l.event_id AS error_id, r.event_id AS click_id, l.user_id
+    FROM e l JOIN c r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 2 HOUR
+    UNION ALL
+    SELECT l.event_id AS error_id, CAST(NULL AS BIGINT) AS click_id, l.user_id
+    FROM e l, m
+    WHERE NOT EXISTS (
+            SELECT 1 FROM c r
+            WHERE r.user_id = l.user_id
+              AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 2 HOUR
+          )
+      AND l.ts + INTERVAL 2 HOUR < m.maxts - INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_left_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join: matched rows plus
+    null-extended unmatched errors, emitted only once the watermark passed
+    their match window — the oracle's NOT EXISTS + closed-window filter
+    states the emission rule literally (streaming/joins.py)."""
+    from ..streaming.joins import clicks_after_errors_outer
+
+    return clicks_after_errors_outer(spark, sf_dir)
+
+
+@ext_query(
     "stream_session_windows",
     """
     WITH o AS (
