@@ -1217,7 +1217,12 @@ def stream_stream_join(spark, sf_dir):
     """
     WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
          c AS (SELECT * FROM events WHERE event_type = 'click'),
-         m AS (SELECT MAX(ts) AS maxts FROM events)
+         m AS (
+           -- the query watermark is the MIN across both branch watermarks,
+           -- and each branch tracks only ITS OWN max event time
+           SELECT LEAST((SELECT MAX(ts) FROM e), (SELECT MAX(ts) FROM c))
+                    AS wm_base
+         )
     SELECT l.event_id AS error_id, r.event_id AS click_id, l.user_id
     FROM e l JOIN c r
       ON l.user_id = r.user_id
@@ -1230,7 +1235,7 @@ def stream_stream_join(spark, sf_dir):
             WHERE r.user_id = l.user_id
               AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 2 HOUR
           )
-      AND l.ts + INTERVAL 2 HOUR < m.maxts - INTERVAL 1 HOUR
+      AND l.ts + INTERVAL 2 HOUR < m.wm_base - INTERVAL 1 HOUR
     """,
 )
 def stream_stream_left_join(spark, sf_dir):
