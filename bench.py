@@ -93,6 +93,7 @@ HEADLINE = [
     "pipeline_leakage_safe_split",
     "dq_drift_histogram",
     "stream_stream_left_join",
+    "mm_frame_dedup",
 ]
 
 

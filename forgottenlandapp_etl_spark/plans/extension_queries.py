@@ -847,6 +847,47 @@ def mm_frame_index(spark, sf_dir):
     )
 
 
+@ext_query(
+    "mm_frame_dedup",
+    """
+    WITH fr AS (
+      SELECT doc_id AS media_id,
+             md5(substr(text, CAST(g.i * 64 + 1 AS INT), 16)) AS fp
+      FROM documents,
+           UNNEST(generate_series(
+             0,
+             CAST(ceil(ceil(octet_length(encode(text)) / 16.0) / 4.0) AS INT) - 1
+           )) g(i)
+    )
+    SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_media,
+           CAST(MIN(media_id) AS BIGINT) AS keeper
+    FROM fr GROUP BY fp HAVING COUNT(*) > 1
+    """,
+)
+def mm_frame_dedup(spark, sf_dir):
+    """Frame-level dedup across media: sampled frames fingerprinted by
+    content hash, grouped corpus-wide — the multimodal form of exact dedup
+    (shared intros/stock footage collapse to one keeper frame before any
+    expensive decode/embed stage). The mapInPandas fan-out feeds a single
+    hash aggregate; the oracle reproduces the frame bytes arithmetically
+    (every 4th 16-byte chunk = substr at i·64) and hashes the same bytes,
+    so the result is exact, not statistical."""
+    d = _docs(spark, sf_dir, fan_out=True)
+    media = multimodal.attach_media(d, "doc_id", "text", kind="video")
+    frames = multimodal.frame_sample(media, every=4, frame_bytes=16)
+    return (
+        frames.select("media_id", F.md5(F.col("frame_bytes")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.countDistinct("media_id").cast("long").alias("n_media"),
+            F.min("media_id").cast("long").alias("keeper"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming (SURVEY.md §2.9)
 # ---------------------------------------------------------------------------
