@@ -153,8 +153,15 @@ def main() -> None:
         "runs_per_query": 4,
         "policy": "steady-state: 1 warmup run, min of 3 measured runs",
     }
-    print(json.dumps(out))
+    # ONE compact JSON line, flushed before session teardown noise; stdout
+    # carries nothing else (progress bars are off in build_session), so a
+    # tail-truncating capture harness still round-trips it
+    print(json.dumps(out, separators=(",", ":")))
     sys.stdout.flush()
+    path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if path:
+        with open(path, "w") as fh:
+            json.dump(out, fh, separators=(",", ":"))
     spark.stop()
 
 

@@ -607,10 +607,16 @@ def rp_lsh_topk(emb: DataFrame, id_col: str = "vec_id", k: int = 5) -> DataFrame
         "qdot", dot
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
             "query_id", "neighbor_id", "qdot", F.col("rank").cast("int").alias("rank")
         )
     )
+    # materialize the small top-k result, then release the quantized cache —
+    # the graph_pagerank discipline; without this the persist outlives the
+    # query and leaks across a long-lived session
+    out = out.localCheckpoint(eager=True)
+    q.unpersist()
+    return out

@@ -852,7 +852,7 @@ def mm_frame_index(spark, sf_dir):
     """
     WITH fr AS (
       SELECT doc_id AS media_id,
-             md5(substr(text, CAST(g.i * 64 + 1 AS INT), 16)) AS fp
+             md5(substring(hex(encode(text)), CAST(g.i * 128 + 1 AS INT), 32)) AS fp
       FROM documents,
            UNNEST(generate_series(
              0,
@@ -870,14 +870,17 @@ def mm_frame_dedup(spark, sf_dir):
     content hash, grouped corpus-wide — the multimodal form of exact dedup
     (shared intros/stock footage collapse to one keeper frame before any
     expensive decode/embed stage). The mapInPandas fan-out feeds a single
-    hash aggregate; the oracle reproduces the frame bytes arithmetically
-    (every 4th 16-byte chunk = substr at i·64) and hashes the same bytes,
-    so the result is exact, not statistical."""
+    hash aggregate. The fingerprint is md5 over the HEX of the frame bytes:
+    DuckDB's md5/substring are VARCHAR-only, so hashing the raw bytes
+    cross-engine would hold only for pure-ASCII payloads — hex-encoding
+    first (uppercase in both engines) makes the oracle byte-faithful for
+    ANY payload (every 4th 16-byte chunk = 32 hex chars at i·128), so the
+    result is exact, not statistical."""
     d = _docs(spark, sf_dir, fan_out=True)
     media = multimodal.attach_media(d, "doc_id", "text", kind="video")
     frames = multimodal.frame_sample(media, every=4, frame_bytes=16)
     return (
-        frames.select("media_id", F.md5(F.col("frame_bytes")).alias("fp"))
+        frames.select("media_id", F.md5(F.hex(F.col("frame_bytes"))).alias("fp"))
         .groupBy("fp")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_copies"),
@@ -1169,7 +1172,11 @@ def sketch_hll_daily_merge(spark, sf_dir):
     merged = daily.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
     ).select(F.lit("ALL").alias("day"), "approx_users")
-    return per_day.unionAll(merged)
+    # days+1 rows: materialize, then release the per-day sketch cache so it
+    # can't leak across queries in a long-lived session
+    out = per_day.unionAll(merged).localCheckpoint(eager=True)
+    daily.unpersist()
+    return out
 
 
 @ext_query(

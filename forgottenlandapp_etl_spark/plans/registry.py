@@ -32,16 +32,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # §2.1 sources / scans
     "s1_scan_pushdown",
     "s4_topk_scan",
-    "s5_keyed_snapshot",
-    "s6_exists_probe",
+    # (s5_keyed_snapshot / s6_exists_probe / f1_min_value_filter /
+    # f2_conjunctive_filter / f3_min_level_online rotated out after three
+    # driver-green rounds — r3 verdict item 2 — to buy hard driver rows for
+    # the round-4 promotions below; all stay oracle-gated by
+    # tools/drive_gate.py)
     # §2.3 filters / projections
-    "f1_min_value_filter",
-    "f2_conjunctive_filter",
-    "f3_min_level_online",
     "f6_typeguard_projection",
-    # (f7_tag_projection / c5_try_int rotated out after two green rounds —
-    # r2 verdict item 8 — to buy driver rows for the quantization tier;
-    # both stay oracle-gated by tools/drive_gate.py)
     # §2.4 joins
     "j1_snapshot_diff",
     "j2_enrichment_join",
@@ -55,29 +52,36 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a1_range_sum",
     "a2_horizontal_sum",
     "a3_last_value_wins",
-    "a4_count_nonempty",
     "a5_poll_minutes",
+    # (a4_count_nonempty / w2_level_rank / c6_date_functions rotated out
+    # after three driver-green rounds — same r3-verdict-item-2 mechanism)
     # §2.6 windows / ranks
     "w1_rank_desc",
-    "w2_level_rank",
     "w3_multikey_rank",
     "w5_points_from_rank",
     "wx_partitioned_rank",
+    "wx_range_frame",
     # §2.7 set ops
     "u1_union_tagged",
     # §2.8 scalar functions
     "c1_skill_points",
-    "c6_date_functions",
     "c7_json_extract",
     # (c7b_variant_extract, text_fingerprint, text_token_count rotated out
     # after two driver-green rounds — same mechanism as the r3 quantization
     # promotion — to buy hard driver rows for the round-3 flagships below;
     # all rotated-out entries stay oracle-gated by tools/drive_gate.py)
-    # §2.9 streaming-shaped semantics
+    # §2.9 streaming-shaped semantics (round-4 promotions: the two hardest
+    # streaming semantics — outer-join null finalization and append-mode
+    # session closure — get their first hard driver rows)
     "e3_daily_online_time",
     "e3_period_online_time",
     "agg_session_windows",
     "stream_daily_counts",
+    "stream_stream_left_join",
+    "stream_session_windows",
+    # §2.2 sinks / storage semantics (round-4 promotions)
+    "k5_row_merge",
+    "scd2_intervals",
     # LLM-pipeline extension families
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -98,6 +102,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_levenshtein",
     "graph_pagerank",
     "sim_rp_lsh_topk",
+    # round-4 promotions: exact-substring dedup with trim (Lee et al.),
+    # winnowing fingerprints, frame-level multimodal dedup — never had a
+    # hard driver row before
+    "dedup_substring_trim",
+    "text_winnow_fingerprint",
+    "mm_frame_dedup",
 )
 
 _missing = [n for n in DRIVER_WINDOW if n not in _ALL_QUERIES]

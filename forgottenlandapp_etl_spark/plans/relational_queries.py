@@ -1031,7 +1031,7 @@ def tpch_q15_top_supplier(spark, sf_dir):
     )
     top = rev.agg(F.max("total_rev").alias("max_rev"))
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
+    out = (
         rev.crossJoin(F.broadcast(top))
         .where(F.col("total_rev") == F.col("max_rev"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
@@ -1039,6 +1039,10 @@ def tpch_q15_top_supplier(spark, sf_dir):
             "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
         )
     )
+    # tiny result (the tied top suppliers): materialize, release the cache
+    out = out.localCheckpoint(eager=True)
+    rev.unpersist()
+    return out
 
 
 @query(

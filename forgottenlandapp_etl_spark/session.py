@@ -55,6 +55,9 @@ def build_session(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
+        # no \r-progress bars: they flood any captured-output harness (the
+        # round-3 driver bench artifact lost its JSON line to exactly that)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     if master is None:

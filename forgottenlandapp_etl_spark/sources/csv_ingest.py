@@ -49,9 +49,16 @@ def read_csv_landed(
 def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(good, bad): bad rows keep only the raw line for review.
 
-    The caller materializes both from ONE cached scan if the input is
-    expensive; at landing-zone scale the split is a single pass.
+    ``df`` is persisted HERE: Spark refuses to execute a query that
+    references only the CSV corrupt-record column of an uncached scan
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — the column is
+    populated during parsing, so a pruned re-scan couldn't reproduce it),
+    and the ``bad`` side is exactly that query. Caching also makes the
+    split one physical pass feeding both sides. The caller owns the cache
+    lifetime: ``df.unpersist()`` after both sides are consumed
+    (:func:`ingest_csv` does this).
     """
+    df.persist()
     bad = df.where(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw_line")
     )
@@ -75,15 +82,16 @@ def ingest_csv(
     same contract as sinks.insert_snapshot.
     """
     df = read_csv_landed(spark, path, schema, header=header, sep=sep)
-    good, bad = quarantine_split(df)
-    if quarantine_path is not None:
-        df.persist()
-        try:
+    good, bad = quarantine_split(df)  # persists df; released below
+    try:
+        if quarantine_path is not None:
             bad.write.mode("append").parquet(quarantine_path)
             # materialize good rows while the scan is still cached — the
             # caller gets a plan over the cache, and we can't know when
             # they'll run it, so copy to rows via localCheckpoint
             good = good.localCheckpoint(eager=True)
-        finally:
-            df.unpersist()
+    finally:
+        # the good side alone also references data columns, so it is safe
+        # to execute against the released (uncached) scan
+        df.unpersist()
     return good

@@ -206,35 +206,60 @@ def compact_partitions(
 
     ``partitions`` limits the rewrite to named partition values (the
     normal nightly form: compact yesterday, not the decade); None rewrites
-    every partition. Returns {partition_value: n_rows} for audit. The
-    pre-compaction row counts come from the same scan that is rewritten —
-    one read, one write per partition set.
+    every partition. Returns {partition_value: n_rows} for audit.
+
+    Durability: compacted output is first written whole to a STAGING path
+    (a fresh scan of the live table — no read-under-overwrite), then each
+    partition directory is swapped into place individually (rename aside →
+    move staged in → drop old). A crash at any point leaves every
+    partition readable in either its old or its new form — unlike an
+    in-place overwrite, whose only barrier (localCheckpoint) is
+    executor-local and non-replicated, so an executor loss mid-job would
+    strand the rewrite with the originals already deleted.
     """
+    import os
+    import shutil
+
     if len(partition_cols) != 1:
         raise ValueError("compact_partitions supports a single partition column")
     pcol = partition_cols[0]
     df = spark.read.parquet(path)
     if partitions is not None:
         df = df.where(F.col(pcol).isin(list(partitions)))
-    # audit counts + a materialization barrier: the overwrite below reads
-    # the very files it replaces, so the input MUST be fully materialized
-    # (localCheckpoint) before the write starts — otherwise the scan races
-    # its own overwrite
-    df = df.localCheckpoint(eager=True)
+    staging = path.rstrip("/") + "__compacting"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)  # leftover from a crashed run — the live
+        # table was never touched before its partition swap, so just redo
+    (
+        df.repartition(F.col(pcol))  # co-locate each partition's rows
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .partitionBy(pcol)
+        .parquet(staging)
+    )
+    # audit counts from the staged (small-file-count) output — the live
+    # table stays untouched until the per-partition swap below
+    staged = spark.read.parquet(staging)
     counts = {
         str(r[pcol]): r["n"]
-        for r in df.groupBy(pcol).agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in staged.groupBy(pcol).agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            df.repartition(F.col(pcol))  # co-locate each partition's rows
-            .write.mode("overwrite")
-            .option("maxRecordsPerFile", target_rows_per_file)
-            .partitionBy(pcol)
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for entry in sorted(os.listdir(staging)):
+        if not entry.startswith(f"{pcol}="):
+            continue  # _SUCCESS etc.
+        live = os.path.join(path, entry)
+        aside = live + "__old"
+        if os.path.exists(aside):
+            shutil.rmtree(aside)
+        if os.path.exists(live):
+            os.rename(live, aside)  # old partition survives until new lands
+        try:
+            os.rename(os.path.join(staging, entry), live)
+        except OSError:
+            if os.path.exists(aside):
+                os.rename(aside, live)  # roll this partition back
+            raise
+        if os.path.exists(aside):
+            shutil.rmtree(aside)
+    shutil.rmtree(staging)
     return counts

@@ -96,9 +96,15 @@ def staged_events_stream(
     """
     path = os.path.join(sf_dir, "events.parquet")
     schema = events_stream_schema(path)
-    if "ts BIGINT" in schema:
-        # legacy nanos files need the session-level reader escape hatch
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+    prev_nanos: str | None = None
+    needs_nanos = "ts BIGINT" in schema
+    if needs_nanos:
+        # legacy nanos files need the session-level reader escape hatch;
+        # snapshot it so batch TIMESTAMP(NANOS) reads later in the same
+        # session aren't silently re-decoded as long
+        prev_nanos = spark.conf.get(_NANOS_CONF, None)
+        spark.conf.set(_NANOS_CONF, "true")
     src = tempfile.mkdtemp(prefix="stream_src_")
     os.symlink(path, os.path.join(src, "events.parquet"))
     try:
@@ -109,3 +115,8 @@ def staged_events_stream(
         yield stream.withColumn("ets", event_time(stream))
     finally:
         shutil.rmtree(src, ignore_errors=True)
+        if needs_nanos:
+            if prev_nanos is None:
+                spark.conf.unset(_NANOS_CONF)
+            else:
+                spark.conf.set(_NANOS_CONF, prev_nanos)

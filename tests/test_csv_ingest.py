@@ -51,6 +51,23 @@ def test_quarantine_split_and_write(spark, tmp_path):
     )
 
 
+def test_quarantine_split_standalone(spark, tmp_path):
+    # the public helper used WITHOUT ingest_csv: consuming the bad side —
+    # a query referencing only the corrupt-record column — raises
+    # UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN unless the scan
+    # is cached, so quarantine_split must persist internally
+    src = _land(tmp_path, GOOD + [BAD_TYPE, BAD_ARITY])
+    df = csv_ingest.read_csv_landed(spark, src, SCHEMA)
+    try:
+        good, bad = csv_ingest.quarantine_split(df)
+        assert sorted(r["raw_line"] for r in bad.collect()) == sorted(
+            [BAD_TYPE, BAD_ARITY]
+        )
+        assert {r["id"] for r in good.collect()} == {1, 2, 3}
+    finally:
+        df.unpersist()  # the documented caller responsibility
+
+
 def test_schema_declared_never_inferred(spark, tmp_path):
     # an all-numeric-looking name column must stay STRING per the declared
     # schema (inferSchema would flip it to BIGINT and break joins downstream)

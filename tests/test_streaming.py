@@ -167,3 +167,68 @@ def test_append_mode_drops_late_data_past_watermark(spark, tmp_path):
     # Jan 5 emitted with ONLY the on-time events (3, not 4 — the late Jan 3
     # row was dropped, not misfiled); no Jan 3 window; Jan 7 withheld (open)
     assert got == {"2024-01-05": 3}
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """The production property of the reference's highest-traffic /online
+    route (etl.dart:291-307, a 5-min cron): a CHECKPOINTED drain that is
+    killed and restarted over a growing backlog, sinking through the
+    idempotent K3 foreachBatch day-partition upsert, must land EXACTLY the
+    one-shot batch aggregate — no loss (the restored state store carries
+    the pre-kill counts) and no double count (the offset log never re-reads
+    a committed file) — and a further drain with no new data must change
+    nothing.
+
+    Each online.run_stream call is its own StreamingQuery whose process
+    exits at availableNow completion — drain 2 therefore IS the kill/restart
+    path: it cold-starts from checkpointLocation's offset log + state store.
+    """
+    ev = catalog.table(spark, sf_dir, "events")
+    polls = ev.select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        F.lit(5).cast("int").alias("minutes_per_poll"),
+    )
+    # time-ordered arrival: the first half of the calendar lands, the drain
+    # runs and dies, then the rest arrives — the real cron-backlog shape
+    lo, hi = polls.agg(F.min("ts"), F.max("ts")).collect()[0]
+    # pin the kill point to MIDDAY of the middle day so at least one day's
+    # counts are guaranteed to span both drains
+    cut = (lo + (hi - lo) / 2).replace(hour=12, minute=0, second=0, microsecond=0)
+    early = polls.where(F.col("ts") <= F.lit(cut))
+    late = polls.where(F.col("ts") > F.lit(cut))
+
+    def a5_semantics(df):
+        # the batch source of truth: a5_poll_minutes (5 × polls per user-day)
+        return {
+            (r["day"], r["user_id"]): r["minutes"]
+            for r in df.groupBy(
+                F.to_date("ts").cast("string").alias("day"), "user_id"
+            )
+            .agg((F.count(F.lit(1)) * 5).cast("long").alias("minutes"))
+            .collect()
+        }
+    want_early, want_all = a5_semantics(early), a5_semantics(polls)
+    assert want_early and len(want_all) > len(want_early)
+    # the recovery-sensitive case must exist: a day whose counts SPAN the
+    # kill point — lost state undercounts it, a re-read double-counts it
+    late_days = {d for (d, _) in a5_semantics(late)}
+    assert {d for (d, _) in want_early} & late_days
+
+    src, out, ckpt = (str(tmp_path / n) for n in ("polls", "daily", "ckpt"))
+    early.coalesce(1).write.mode("append").parquet(src)
+    online.run_stream(spark, src, out, ckpt)  # drain 1, then process "dies"
+
+    def landed():
+        return {
+            (str(r["day"]), r["user_id"]): r["minutes"]
+            for r in spark.read.parquet(out).collect()
+        }
+
+    assert landed() == want_early
+    late.coalesce(1).write.mode("append").parquet(src)
+    online.run_stream(spark, src, out, ckpt)  # restart from the checkpoint
+    assert landed() == want_all
+    online.run_stream(spark, src, out, ckpt)  # nothing new: must be a no-op
+    assert landed() == want_all
