@@ -23,6 +23,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from . import graph
+
 # 31-bit prime universal-hash domain: a*h+b stays < 2^62 (no BIGINT overflow
 # in either engine).
 MERSENNE_31 = 2_147_483_647
@@ -609,6 +611,45 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     return w.select(F.col(id_col), sig.alias("simhash"))
 
 
+def _components_single_task(edges: DataFrame) -> DataFrame:
+    """Exact connected components for a measured-small edge relation:
+    path-compressed union-find over the whole graph inside a single
+    applyInPandas task, rooting each set at its MINIMUM id — the same
+    (id, component=min reachable id) contract as the distributed loop."""
+    import pandas as pd
+
+    def solve(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf["src"], pdf["dst"]):
+            a, b = int(a), int(b)
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root so the final root IS the component label
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        ids = sorted(parent)
+        return pd.DataFrame(
+            {"id": ids, "component": [find(i) for i in ids]}
+        )
+
+    return (
+        edges.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(solve, schema="id long, component long")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -644,6 +685,25 @@ def connected_components(
         # would re-execute per round
         .localCheckpoint(eager=True)
     )
+    # size per-round task counts from the MEASURED pair-graph size (same
+    # discipline as graph.pagerank_fixed_point): near-dup pair graphs are
+    # tiny relative to the corpus, and iterating a few hundred edges across
+    # 32+ partitions is pure task-launch latency; a genuinely large graph
+    # (≥100k edges/partition) keeps full parallelism, so the scale shape is
+    # unchanged. count() is free — edges was just materialized.
+    n_edges = edges.count()
+    if n_edges <= graph.SMALL_GRAPH_EDGES:
+        # Two-tier execution, same discipline as graph.pagerank_fixed_point:
+        # a MEASURED-small pair graph computes its exact transitive closure
+        # (union-find) inside ONE Arrow task instead of paying ~0.65 s of
+        # job-scheduling latency per propagation round. Identical output —
+        # component = min reachable id — and the distributed min-label loop
+        # below remains the path for genuinely large graphs.
+        return _components_single_task(edges)
+    par = pairs.sparkSession.sparkContext.defaultParallelism
+    nparts = max(1, min(par, -(-n_edges // 100_000)))
+    if nparts < edges.rdd.getNumPartitions():
+        edges = edges.coalesce(nparts)
     # initial label: min neighbor (including self)
     labels = (
         edges.groupBy("src")

@@ -33,6 +33,53 @@ PR_SCALE = 10**12
 PR_DAMPING_PCT = 85  # damping d = 0.85, held as an integer percentage
 PR_ITERATIONS = 10
 
+# Active subgraphs at or below this edge count run the whole fixed-point
+# iteration inside ONE Arrow task instead of the per-round distributed
+# join-agg loop (r3 verdict: the loop costs ~0.65 s/round of pure job
+# scheduling on a few-hundred-edge graph). 100k edges is a few MB per
+# task — comfortably one partition — while anything larger takes the
+# distributed path, so the choice is made from MEASURED size, the same
+# principle as broadcasting a measured-small join side.
+SMALL_GRAPH_EDGES = 100_000
+
+
+def _pagerank_single_task(esrc: DataFrame, iterations: int) -> DataFrame:
+    """All-rounds-in-one-task tier: the identical BIGINT recurrence computed
+    with numpy over the (src, dst, deg) edge relation inside a single
+    applyInPandas group. Exactness: ranks are non-negative so numpy floor
+    division equals SQL ``div``; the damped product is computed through
+    Python ints (object dtype) because 85·Σcontrib can exceed int64 near
+    the documented ~10^5-node mass-concentration bound that also limits
+    the distributed form."""
+    import pandas as pd
+
+    base = (100 - PR_DAMPING_PCT) * PR_SCALE // 100
+
+    def solve(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        src = pdf["src"].to_numpy()
+        dst = pdf["dst"].to_numpy()
+        deg = pdf["deg"].to_numpy()
+        ids = np.unique(np.concatenate([src, dst]))
+        pos = {int(v): i for i, v in enumerate(ids)}
+        si = np.fromiter((pos[int(v)] for v in src), np.int64, len(src))
+        di = np.fromiter((pos[int(v)] for v in dst), np.int64, len(dst))
+        rank = np.full(len(ids), PR_SCALE, dtype=np.int64)
+        for _ in range(iterations):
+            c = rank[si] // deg
+            s = np.zeros(len(ids), dtype=np.int64)
+            np.add.at(s, di, c)
+            damped = (PR_DAMPING_PCT * s.astype(object)) // 100
+            rank = (base + damped).astype(np.int64)
+        return pd.DataFrame({"id": ids.astype(np.int64), "rank_fp": rank})
+
+    return (
+        esrc.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(solve, schema="id long, rank_fp long")
+    )
+
 
 def pagerank_fixed_point(
     nodes: DataFrame,
@@ -74,45 +121,72 @@ def pagerank_fixed_point(
         .repartition(F.col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    esrc.count()
+    n_edges = esrc.count()
+    # size the iteration's task count from the MEASURED active-set size
+    # (the r3-verdict scheduling fix): a near-dup graph over a clean corpus
+    # is a few hundred edges even at sf0.1 — iterating it across 32+
+    # cache partitions costs ~0.65 s/round of pure task-launch latency.
+    # ~100k edges per task keeps small sets on 1 partition while a genuinely
+    # large pair graph still fans out to full cluster parallelism, so the
+    # partitioned-by-src scale story is unchanged.
+    par = edges.sparkSession.sparkContext.defaultParallelism
+    nparts = max(1, min(par, -(-n_edges // 100_000)))
+    if nparts < esrc.rdd.getNumPartitions():
+        small = esrc.coalesce(nparts).persist(StorageLevel.MEMORY_AND_DISK)
+        small.count()
+        esrc.unpersist()
+        esrc = small
     base = (100 - PR_DAMPING_PCT) * PR_SCALE // 100
     # active vertices = anything touching an edge; tiny, reused every round
     active = (
         esrc.select(F.col("src").alias("id"))
         .union(esrc.select(F.col("dst").alias("id")))
         .distinct()
+        .coalesce(nparts)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    active.count()
-    ranks = active.select("id", F.lit(PR_SCALE).cast("long").alias("rank_fp"))
-    # checkpoint cadence: every round costs one scheduled job (~0.6 s of
-    # pure scheduling latency on a small active set); every 2nd round
-    # halves that while keeping lineage depth bounded at two join-agg
-    # rounds. The final round ALWAYS checkpoints so the builds can release.
-    ckpt_every = 2
-    for it in range(iterations):
-        contrib = (
-            esrc.join(ranks, on=(F.col("src") == F.col("id")))
-            .select("dst", F.expr("rank_fp div deg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = (
-            active
-            .join(contrib, on=(F.col("id") == F.col("dst")), how="left")
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.expr(f"{PR_DAMPING_PCT} * coalesce(s, 0) div 100")
-                ).cast("long").alias("rank_fp"),
+    active.count()  # materialize before the loop (or the small-tier task)
+    if n_edges <= SMALL_GRAPH_EDGES:
+        # Two-tier execution (r3 verdict: ~0.65 s/round of pure scheduling
+        # latency over a ~500-edge active set). When the MEASURED active
+        # subgraph fits one task comfortably, all ``iterations`` rounds run
+        # inside a single Arrow-batched applyInPandas task on an executor —
+        # the same integer recurrence, zero per-round jobs. The distributed
+        # join-agg loop below stays the path for genuinely large graphs, so
+        # the 100 TB shape is unchanged; this tier is the graph analogue of
+        # broadcasting a measured-small join side.
+        ranks = _pagerank_single_task(esrc, iterations)
+        ranks = ranks.localCheckpoint(eager=True)  # release builds safely
+    else:
+        ranks = active.select("id", F.lit(PR_SCALE).cast("long").alias("rank_fp"))
+        # checkpoint cadence: every round costs one scheduled job (~0.6 s of
+        # pure scheduling latency on a small active set); every 2nd round
+        # halves that while keeping lineage depth bounded at two join-agg
+        # rounds. The final round ALWAYS checkpoints so the builds can release.
+        ckpt_every = 2
+        for it in range(iterations):
+            contrib = (
+                esrc.join(ranks, on=(F.col("src") == F.col("id")))
+                .select("dst", F.expr("rank_fp div deg").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
             )
-        )
-        # eager lineage cut (same discipline as connected_components); after
-        # the loop `ranks` is materialized rows — so releasing the builds
-        # below can never trigger recompute
-        if (it + 1) % ckpt_every == 0 or it == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = (
+                active
+                .join(contrib, on=(F.col("id") == F.col("dst")), how="left")
+                .select(
+                    "id",
+                    (
+                        F.lit(base)
+                        + F.expr(f"{PR_DAMPING_PCT} * coalesce(s, 0) div 100")
+                    ).cast("long").alias("rank_fp"),
+                )
+            )
+            # eager lineage cut (same discipline as connected_components);
+            # after the loop `ranks` is materialized rows — so releasing the
+            # builds below can never trigger recompute
+            if (it + 1) % ckpt_every == 0 or it == iterations - 1:
+                ranks = ranks.localCheckpoint(eager=True)
     esrc.unpersist()
     active.unpersist()
     # isolated vertices hold the constant base rank; attach without iterating

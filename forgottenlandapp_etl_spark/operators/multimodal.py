@@ -86,19 +86,45 @@ def media_features(df: DataFrame) -> DataFrame:
 
 
 def decode_media(df: DataFrame, target_size: tuple[int, int] = (224, 224)) -> DataFrame:
-    """Decode + resize stage — STUB on every path.
+    """Decode + resize stage, real when a codec is importable.
 
-    With a real codec installed this would decode ``payload`` and emit
-    fixed-size tensors; this environment has no media libs, so the stage
-    always raises. Use :func:`fake_decode_media` explicitly for plumbing
-    tests — it exercises the exact schema/batching a real decoder would.
+    With Pillow present each payload is decoded as an image, converted to
+    8-bit grayscale and resized to ``target_size`` — emitted as a flat
+    ``pixels`` array with the same schema the deterministic fake uses, so
+    downstream stages are codec-agnostic. Without a codec (this container)
+    the stage raises; use :func:`fake_decode_media` for plumbing tests.
+    The Pillow import happens INSIDE the Arrow batch function — on a real
+    cluster the probe must hold on executors, not just the driver, and a
+    missing executor-side codec should fail the task loudly.
     """
     if not _real_decoder_available():
         raise NotImplementedError(
             "media codec not available in this environment; use "
             "fake_decode_media() for plumbing tests or install a codec"
         )
-    raise NotImplementedError("real codec path intentionally not implemented")
+    w, h = target_size
+    out_schema = "media_id BIGINT, width INT, height INT, pixels ARRAY<INT>"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        for pdf in it:
+            ids, px = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = (
+                    Image.open(io.BytesIO(bytes(payload)))
+                    .convert("L")
+                    .resize((w, h))
+                )
+                ids.append(mid)
+                px.append([int(v) for v in img.getdata()])
+            yield pd.DataFrame(
+                {"media_id": ids, "width": w, "height": h, "pixels": px}
+            )
+
+    return df.mapInPandas(batches, schema=out_schema)
 
 
 def fake_decode_media(df: DataFrame, side: int = 8) -> DataFrame:

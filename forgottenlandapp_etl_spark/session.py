@@ -76,6 +76,10 @@ def tune(spark: SparkSession) -> SparkSession:
     (timezone → date derivation) or plan quality (AQE). Only runtime-mutable
     confs are touched; failures are non-fatal.
     """
+    try:
+        par = str(spark.sparkContext.defaultParallelism)
+    except Exception:
+        par = "32"
     for k, v in {
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
@@ -83,6 +87,12 @@ def tune(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # sized, not the 200 default: AQE re-coalesces batch shuffles at
+        # runtime anyway, but STREAMING state stores are created one per
+        # shuffle partition at query start and never coalesced — 200 state
+        # store instances per stateful op under a vanilla session is pure
+        # machinery cost at any data size
+        "spark.sql.shuffle.partitions": par,
     }.items():
         try:
             spark.conf.set(k, v)

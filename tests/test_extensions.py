@@ -940,3 +940,42 @@ def test_drift_histogram_psi_flags_shift_not_noise(spark, sf_dir):
     # shifted batch: move every count up two buckets
     shifted = {(t, bk + 2): n for (t, bk), n in b.items()}
     assert _psi(a, shifted, set(a) | set(shifted)) > 0.5
+
+
+def test_graph_two_tiers_agree(spark, monkeypatch):
+    """The single-task tier (measured-small graphs) and the distributed
+    join-agg loop must be interchangeable: identical output on the same
+    graph for both PageRank and connected components. Forcing the
+    threshold to 0 routes the same inputs down the distributed path."""
+    from forgottenlandapp_etl_spark.operators import graph as g
+
+    # path + star + cycle + isolated vertex — multi-round shapes
+    e = [(1, 2), (2, 1), (2, 3), (3, 2), (0, 1), (1, 0),
+         (6, 7), (7, 6), (7, 8), (8, 7)]
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    edges = spark.createDataFrame(e, "src long, dst long")
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in e if a < b], "id_a long, id_b long"
+    )
+
+    small_pr = {
+        r["id"]: r["rank_fp"]
+        for r in g.pagerank_fixed_point(nodes, edges, iterations=5).collect()
+    }
+    small_cc = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    monkeypatch.setattr(g, "SMALL_GRAPH_EDGES", 0)
+    big_pr = {
+        r["id"]: r["rank_fp"]
+        for r in g.pagerank_fixed_point(nodes, edges, iterations=5).collect()
+    }
+    big_cc = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert small_pr == big_pr
+    assert small_cc == big_cc
+    assert {small_cc[i] for i in (0, 1, 2, 3)} == {0}
+    assert {small_cc[i] for i in (6, 7, 8)} == {6}

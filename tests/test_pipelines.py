@@ -272,11 +272,33 @@ def test_fake_decode_shape_and_determinism(spark):
     assert a["pixels"] == b["pixels"]
 
 
-def test_decode_media_is_stubbed(spark):
+def test_decode_media_stub_raises_without_codec(spark):
+    if multimodal._real_decoder_available():
+        pytest.skip("codec present; the real path is tested below")
     df = spark.createDataFrame([(1, "xyz")], "id long, txt string")
     media = multimodal.attach_media(df, "id", "txt")
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(media)
+
+
+def test_decode_media_real_codec_roundtrip(spark):
+    """Real-codec tier: a genuine PNG payload decodes and resizes through
+    the Arrow batch stage. Skips cleanly where no codec exists (this
+    container); runs for real the moment Pillow is installed."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    img = PIL_Image.new("L", (3, 2))
+    img.putdata([0, 60, 120, 180, 220, 255])
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", "image/png", bytearray(buf.getvalue()), len(buf.getvalue()), "{}")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = multimodal.decode_media(media, target_size=(4, 4)).collect()[0]
+    assert (out["width"], out["height"], len(out["pixels"])) == (4, 4, 16)
+    assert all(0 <= p <= 255 for p in out["pixels"])
 
 
 def test_frame_sample_counts(spark):

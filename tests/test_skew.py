@@ -91,6 +91,13 @@ def test_salted_join_spreads_the_hot_key(spark, no_broadcast):
         # is ~⅓; the control test shows the unsalted share is 100%.
         assert len(counts) >= min(BUCKETS, 8)
         assert max(counts.values()) < 0.5 * total
+        # task-level balance, not just spread: if salting silently stopped
+        # spreading (e.g. a constant salt), the max partition would dwarf
+        # the median; ~16 buckets over 8 partitions keeps max/median ≤ ~2-3
+        # even with binomial wobble
+        import statistics
+
+        assert max(counts.values()) <= 4 * statistics.median(counts.values())
     finally:
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old)
 
