@@ -94,6 +94,8 @@ HEADLINE = [
     "dq_drift_histogram",
     "stream_stream_left_join",
     "mm_frame_dedup",
+    # round 4 additions
+    "text_chunk_overlap",
 ]
 
 

@@ -1591,6 +1591,61 @@ def text_udtf_chunks(spark, sf_dir):
 
 
 @ext_query(
+    "text_chunk_overlap",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    c AS (
+      SELECT doc_id, CAST(g.i AS INT) AS chunk_idx,
+             CAST(g.i * 8 AS INT) AS start_tok,
+             array_to_string(t[g.i * 8 + 1 : g.i * 8 + 16], ' ') AS chunk,
+             CAST(LEAST(16, len(t) - g.i * 8) AS INT) AS n_tokens
+      FROM toks,
+           UNNEST(generate_series(0, CAST(ceil(len(t) / 8.0) AS INT) - 1)) g(i)
+    )
+    SELECT doc_id, chunk_idx, start_tok, chunk, n_tokens FROM c
+    """,
+)
+def text_chunk_overlap(spark, sf_dir, window: int = 16, stride: int = 8):
+    """Sliding-window chunking WITH OVERLAP (window 16 tokens, stride 8 →
+    adjacent chunks share 8 tokens): the chunk form RAG indexing and
+    long-document pretraining actually use, where a boundary-straddling
+    passage must land whole in at least one chunk — the non-overlapping
+    UDTF chunker (text_udtf_chunks) can split it. Pure built-ins, no UDF:
+    tokenize once, explode a per-doc start-offset sequence (1→N narrow
+    fan-out, zero shuffles at any corpus size), slice the token array per
+    start. Chunk starts run every ``stride`` tokens while inside the
+    document, so trailing chunks may be shorter than ``window``; every
+    chunk holds ≥1 token."""
+    d = _docs(spark, sf_dir, fan_out=True)
+    toks = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).withColumn("n", F.size("t"))
+    return (
+        toks.select(
+            "doc_id",
+            "t",
+            "n",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.expr(f"int(ceil(n / {stride}.0)) - 1")
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("chunk_idx"),
+            (F.col("i") * stride).cast("int").alias("start_tok"),
+            F.array_join(
+                F.slice(F.col("t"), F.col("i") * stride + 1, window), " "
+            ).alias("chunk"),
+            F.least(F.lit(window), F.col("n") - F.col("i") * stride)
+            .cast("int")
+            .alias("n_tokens"),
+        )
+    )
+
+
+@ext_query(
     "c7b_variant_extract",
     """
     SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k

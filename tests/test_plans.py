@@ -325,3 +325,17 @@ def test_q8_pushdown_and_broadcasts(spark, sf_dir):
     # lineitem scan must not read money columns it doesn't use
     m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
     assert m and "l_tax" not in m.group(1) and "l_quantity" not in m.group(1)
+
+
+def test_chunk_overlap_is_shuffle_free(spark, sf_dir):
+    """The sliding-window chunker is a pure 1→N narrow fan-out: tokenize,
+    explode start offsets, slice. The ONLY exchange allowed is the explicit
+    small-input spread (REPARTITION_BY_NUM — catalog.spread's guard for
+    tiny local fixtures, a no-op on well-split 100 TB inputs per
+    test_spread_is_noop_on_well_split_input); a demanded shuffle would mean
+    the chunker repartitions the corpus for per-row work."""
+    plan = plan_of(QUERIES["text_chunk_overlap"](spark, sf_dir))
+    exchanges = re.findall(r"Exchange [^\n]*", plan)
+    assert all("REPARTITION_BY_NUM" in e for e in exchanges), exchanges
+    assert len(exchanges) <= 1, exchanges
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
