@@ -386,6 +386,7 @@ def kmeans_centroids(
     seed: int = 42,
     max_iter: int = 20,
     init_mode: str = "k-means||",
+    train_rows: int = 65_536,
 ) -> DataFrame:
     """Learn IVF centroids with Spark MLlib k-means (distributed Lloyd's —
     the real coarse quantizer, vs. the take-first-k placeholder that
@@ -399,10 +400,20 @@ def kmeans_centroids(
     extra corpus passes ~4x at <0.5%% training-cost regression on this
     near-uniform fixture — the right trade for a coarse quantizer whose
     recall the tests bound anyway; keep the default for many-cluster or
-    highly clustered corpora."""
+    highly clustered corpora.
+
+    ``train_rows`` makes the train-on-a-sample discipline explicit instead
+    of advisory: when the corpus exceeds it, a seeded Bernoulli sample of
+    ~``train_rows`` vectors feeds the fit — a coarse quantizer's centroids
+    stabilize at thousands of points per cluster, so at 100 TB every Lloyd
+    round touches a bounded sample, never the corpus. 0 disables."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
+    if train_rows:
+        n = corpus.count()
+        if n > train_rows:
+            corpus = corpus.sample(fraction=train_rows / n, seed=seed)
     feats = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
     model = KMeans(k=k, seed=seed, maxIter=max_iter, initMode=init_mode).fit(feats)
     centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]

@@ -190,3 +190,36 @@ def test_compact_partitions_scoped_rewrite(spark, tmp_path):
     # scoped partition compacted, the other partition's files untouched
     assert len(glob.glob(f"{path}/date=2024-02-01/*.parquet")) == 1
     assert sorted(glob.glob(f"{path}/date=2024-02-02/*.parquet")) == untouched_before
+
+
+def test_compact_partitions_recovers_from_stale_staging(spark, tmp_path):
+    """Crash recovery: a leftover staging dir (and a leftover per-partition
+    __old dir) from a killed prior run must not corrupt a fresh compaction —
+    the staging path is rebuilt from the live table, which the crashed run
+    never touched before its swap phase."""
+    import glob
+    import os
+
+    from forgottenlandapp_etl_spark.sources import sinks
+
+    path = str(tmp_path / "t")
+    for run in range(3):
+        df = spark.createDataFrame(
+            [(run * 10 + i, f"2024-03-0{1 + i % 2}") for i in range(6)],
+            "v long, date string",
+        ).repartition(3)
+        sinks.insert_snapshot(df, path, ("date",))
+    before = {r["v"] for r in spark.read.parquet(path).collect()}
+
+    # simulate the debris a mid-crash run leaves behind
+    staging = path + "__compacting"
+    os.makedirs(os.path.join(staging, "date=2024-03-01"))
+    with open(os.path.join(staging, "date=2024-03-01", "junk.parquet"), "w") as fh:
+        fh.write("not parquet")
+    os.makedirs(path + "/date=2024-03-02__old")
+
+    counts = sinks.compact_partitions(spark, path, ("date",))
+    assert {r["v"] for r in spark.read.parquet(path).collect()} == before
+    assert sum(counts.values()) == 18
+    assert not os.path.exists(staging)
+    assert not glob.glob(f"{path}/date=*__old")

@@ -192,6 +192,15 @@ def test_kmeans_centroids_contract(spark, sf_dir):
     # deterministic under a fixed seed
     again = similarity.kmeans_centroids(e, k=8).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # the 100 TB discipline made real: forcing the training-sample cap
+    # below the corpus size must still yield k full-width centroids that
+    # completely partition the corpus, deterministically
+    sampled = similarity.kmeans_centroids(e, k=8, train_rows=300)
+    srows = sampled.collect()
+    assert len(srows) == 8 and all(len(r["v"]) == dim for r in srows)
+    assert similarity.assign_buckets(e, sampled).count() == e.count()
+    again_s = similarity.kmeans_centroids(e, k=8, train_rows=300).collect()
+    assert sorted(map(tuple, srows)) == sorted(map(tuple, again_s))
 
 
 def test_kmeans_ivf_recall(spark, sf_dir):
