@@ -96,6 +96,7 @@ HEADLINE = [
     "mm_frame_dedup",
     # round 4 additions
     "text_chunk_overlap",
+    "quality_bigram_lm",
 ]
 
 

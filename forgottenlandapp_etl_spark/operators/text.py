@@ -208,3 +208,80 @@ def fingerprint_split(
         F.col(id_col),
         F.when(h < train_pct, "train").otherwise("val").alias("split"),
     )
+
+
+#: fixed-point scale for bigram_lm_scores (1.0 == 10^9)
+LM_SCALE = 10**9
+
+
+def bigram_lm_scores(df: "DataFrame", id_col: str, text_col: str) -> "DataFrame":
+    """Bigram-LM fluency score in exact fixed-point integers.
+
+    Per document: mean over its bigrams of the LAPLACE-SMOOTHED corpus
+    conditional P(w2|w1) = (count(w1,w2)+1) / (count(w1·)+V), V = corpus
+    vocabulary size — the CCNet/KenLM quality signal with the float log
+    replaced by integer fixed point (p_fp = (n2+1)·LM_SCALE div (n1+V),
+    mean = Σ div n) so the score is order-free and hash-identical
+    cross-engine. Smoothing is load-bearing, not cosmetic: under the
+    unsmoothed MLE a document of corpus-UNIQUE bigrams scores a perfect
+    1.0 (each conditional is 1/1) — the degenerate self-scoring trap —
+    while Laplace pushes rare-prefix bigrams toward 1/V. Documents with
+    fewer than two tokens score (0, 0).
+
+    One narrow bigram fan-out persisted for its three consumers, two
+    re-aggregatable hash counts, a 1-row vocabulary-size broadcast, two
+    equi-joins, one per-doc aggregate — linear in corpus size end to end.
+    In production the count relations are the 'trained LM', persisted once
+    and reused across scoring runs.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F  # noqa: F811 - local alias
+
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.split(F.col(text_col), " ").alias("t")
+    )
+    bg = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            "__id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("__id", "b.w1", "b.w2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    # vocabulary size over ALL tokens (unigrams, not just prefixes): a
+    # 1-row scalar broadcast into the score projection
+    vocab = toks.select(F.explode("t").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    scored = (
+        bg.join(c2, on=["w1", "w2"])
+        .join(c1, on="w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "__id", F.expr(f"(n2 + 1) * {LM_SCALE}L div (n1 + v)").alias("p_fp")
+        )
+    )
+    agg = scored.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.expr("sum(p_fp) div count(1)").alias("sc"),
+    )
+    out = (
+        toks.select("__id")
+        .join(agg, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("nb", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("sc", F.lit(0)).cast("long").alias("score_fp"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)  # materialize, then release bg
+    bg.unpersist()
+    return out

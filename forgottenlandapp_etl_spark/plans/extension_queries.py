@@ -1645,6 +1645,69 @@ def text_chunk_overlap(spark, sf_dir, window: int = 16, stride: int = 8):
     )
 
 
+#: fixed-point scale for the bigram-LM quality score (1.0 == 10^9); the
+#: Spark plan (operators.text.bigram_lm_scores) and the generated oracle
+#: below share this one constant
+LM_SCALE = text.LM_SCALE
+
+
+def _bigram_lm_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, t[g.i + 1] AS w1, t[g.i + 2] AS w2
+      FROM toks, UNNEST(generate_series(0, len(t) - 2)) g(i)
+      WHERE len(t) >= 2
+    ),
+    c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY w1),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY w1, w2),
+    vocab AS (
+      SELECT COUNT(DISTINCT u.w) AS v
+      FROM toks, UNNEST(t) u(w)
+    ),
+    scored AS (
+      SELECT bg.doc_id, ((c2.n2 + 1) * {LM_SCALE}) // (c1.n1 + vocab.v) AS p_fp
+      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vocab
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS nb, SUM(p_fp) // COUNT(*) AS sc
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(agg.nb, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(agg.sc, 0) AS BIGINT) AS score_fp
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """
+
+
+@ext_query("quality_bigram_lm", _bigram_lm_oracle())
+def quality_bigram_lm(spark, sf_dir):
+    """Bigram-LM fluency score (the CCNet/KenLM quality signal, exactly):
+    each document is scored by the mean Laplace-smoothed corpus conditional
+    probability of its bigrams, P(w2|w1) = (count(w1,w2)+1) /
+    (count(w1·)+V) — boilerplate and templated text score high, token soup
+    scores low (smoothing is what makes that true: the unsmoothed MLE
+    scores corpus-unique bigrams a perfect 1/1). Held in FIXED-POINT
+    INTEGER arithmetic (p_fp = (n2+1)·10^9 div (n1+V), mean = Σ div n)
+    because a float log-perplexity can never hash-match across engines
+    while integer sums are order-free and exact — same trick as
+    graph_pagerank.
+
+    Scale shape: the bigram relation is built once (narrow 1→N fan-out)
+    and persisted for its three consumers (prefix counts, pair counts, the
+    score join); counts are map-side-combinable re-aggregatable hash
+    aggregates, the score join is two equi-joins on (w1[,w2]), and the
+    per-doc mean is one more hash aggregate — every stage linear in corpus
+    size, nothing quadratic, nothing driver-side. In production the count
+    relations are the persisted 'LM' trained once and broadcast/reused
+    across scoring runs (the incremental-dedup pattern applied to LM
+    scoring)."""
+    d = _docs(spark, sf_dir, fan_out=True)
+    return text.bigram_lm_scores(d, "doc_id", "text")
+
+
 @ext_query(
     "c7b_variant_extract",
     """

@@ -988,3 +988,29 @@ def test_graph_two_tiers_agree(spark, monkeypatch):
     assert small_cc == big_cc
     assert {small_cc[i] for i in (0, 1, 2, 3)} == {0}
     assert {small_cc[i] for i in (6, 7, 8)} == {6}
+
+
+def test_bigram_lm_ranks_fluent_above_soup(spark):
+    """The signal property: repeated templated text (high corpus bigram
+    conditionals) must outscore a document of corpus-unique bigrams, and
+    sub-2-token documents score (0, 0)."""
+    from forgottenlandapp_etl_spark.operators import text as t
+
+    template = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, template) for i in range(5)]
+    rows.append((100, "zq xv wk jm qy bn pl rt gh ds"))  # unique bigrams
+    rows.append((200, "single"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["score_fp"])
+        for r in t.bigram_lm_scores(df, "doc_id", "text").collect()
+    }
+    assert len(got) == 7
+    assert got[200] == (0, 0)
+    fluent = got[0][1]
+    soup = got[100][1]
+    # Laplace smoothing is what makes this ordering hold: unsmoothed MLE
+    # would score the unique-bigram soup a perfect 1.0 (each P = 1/1)
+    assert fluent > 2 * soup > 0
+    # templated docs share identical text → identical scores
+    assert len({got[i] for i in range(5)}) == 1

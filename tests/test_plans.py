@@ -47,6 +47,7 @@ CROSS_JOIN_OK = {
     "mix_temperature_sample",  # 1-row Σ√n/N totals broadcast into the rate table
     "sim_quantized_topk",  # deliberate query-set broadcast (same as sim_bruteforce_topk)
     "pipeline_training_ready",  # 1-row mixture-totals broadcast (same as mix_temperature_sample)
+    "quality_bigram_lm",  # 1-row vocabulary-size scalar broadcast (Laplace V)
 }
 
 
