@@ -223,3 +223,36 @@ def test_compact_partitions_recovers_from_stale_staging(spark, tmp_path):
     assert sum(counts.values()) == 18
     assert not os.path.exists(staging)
     assert not glob.glob(f"{path}/date=*__old")
+
+
+# ---------------------------------------------------------------------------
+# sort-clustered writes (data skipping)
+# ---------------------------------------------------------------------------
+
+
+def test_clustered_write_disjoint_ranges_and_pruning(spark, sf_dir, tmp_path):
+    """Range-clustered layout: every file covers a pairwise-disjoint key
+    interval (the property row-group skipping feeds on), data round-trips
+    exactly, and a key predicate is pushed into the clustered scan."""
+    from forgottenlandapp_etl_spark import catalog
+    from forgottenlandapp_etl_spark.sources import ordering
+
+    ev = catalog.table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    path = str(tmp_path / "clustered")
+    ordering.clustered_write(ev, path, "user_id", target_rows_per_file=1500, n_ranges=8)
+
+    stats = [s for s in ordering.cluster_stats(path, "user_id") if s[1] is not None]
+    assert len(stats) >= 4  # genuinely split into multiple files
+    for (_, _, prev_hi), (_, lo, _) in zip(stats, stats[1:]):
+        assert lo >= prev_hi  # intervals ordered and non-overlapping
+
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+    some_user = ev.select("user_id").first()["user_id"]
+    plan = (
+        back.where(F.col("user_id") == some_user)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id" in plan

@@ -705,3 +705,32 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
     m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "date" in m.group(1), plan[:1500]
     assert pruned.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# observe()-based in-flight metrics
+# ---------------------------------------------------------------------------
+
+
+def test_observe_counts_during_write(spark, tmp_path):
+    """Metrics are captured by the SAME job that writes the data — no
+    second scan — and expectations gate the result."""
+    from forgottenlandapp_etl_spark import observability
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, 7.5), (3, "c", None), (4, "d", 2.0)],
+        "id long, name string, score double",
+    )
+    observed, obs = observability.observe_counts(
+        df, null_cols=("name", "score"), bound_cols=("id",)
+    )
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    m = obs.get
+    assert m["rows"] == 4
+    assert m["null_name"] == 1 and m["null_score"] == 1
+    assert (m["min_id"], m["max_id"]) == (1, 4)
+    # expectations: 25% nulls violates a 10% budget, passes at 30%
+    with pytest.raises(ValueError, match="null_name"):
+        observability.assert_expectations(obs, max_null_fraction=0.1)
+    got = observability.assert_expectations(obs, max_null_fraction=0.3)
+    assert got["rows"] == 4
