@@ -97,6 +97,7 @@ HEADLINE = [
     # round 4 additions
     "text_chunk_overlap",
     "quality_bigram_lm",
+    "stream_static_enrich",
 ]
 
 

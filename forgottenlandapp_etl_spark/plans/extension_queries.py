@@ -897,6 +897,27 @@ def mm_frame_dedup(spark, sf_dir):
 
 
 @ext_query(
+    "stream_static_enrich",
+    """
+    SELECT CAST(CAST(e.ts AS DATE) AS VARCHAR) AS day,
+           c.c_nationkey AS nation, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark, sf_dir):
+    """Stream-static join — the missing third join mode beside the
+    stream-stream entries: the events stream broadcast-enriched against the
+    batch customer dimension (stateless; the dimension is re-planned per
+    micro-batch so warehouse updates flow in), then a day-windowed count
+    per nation. The availableNow drain equals the batch join+aggregate the
+    oracle states."""
+    from ..streaming.online import stream_events_enriched_counts
+
+    return stream_events_enriched_counts(spark, sf_dir)
+
+
+@ext_query(
     "stream_daily_counts",
     """
     SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id,

@@ -178,3 +178,41 @@ def stream_events_sliding_counts(
         )
 
     return drain_events_stream(spark, sf_dir, transform, name)
+
+
+def stream_events_enriched_counts(
+    spark: SparkSession, sf_dir: str, name: str = "stream_static_enrich"
+) -> DataFrame:
+    """STREAM-STATIC join: the events stream enriched against the batch
+    customer dimension, then day-windowed counts per nation.
+
+    The third join mode Structured Streaming supports (beside stream-stream
+    and batch-batch) and the most common one in production: facts stream
+    in, dimensions sit in the warehouse. The static side is planned as a
+    fresh BROADCAST per micro-batch — dimension updates between batches are
+    picked up automatically, and the join itself is STATELESS (no
+    watermark-bounded join state at all; only the downstream windowed
+    aggregate keeps state). At 100 TB of stream the dimension broadcast is
+    the same cost discipline as any batch broadcast join: dimension-sized,
+    never fact-sized.
+    """
+    from .. import catalog
+
+    dim = catalog.table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ets", "1 day")
+            .join(F.broadcast(dim), on="user_id")  # stateless stream-static
+            .groupBy(F.window("ets", "1 day").alias("w"), "c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.to_date(F.col("w.start")).cast("string").alias("day"),
+                F.col("c_nationkey").alias("nation"),
+                "n_events",
+            )
+        )
+
+    return drain_events_stream(spark, sf_dir, transform, name)
