@@ -1014,3 +1014,32 @@ def test_bigram_lm_ranks_fluent_above_soup(spark):
     assert fluent > 2 * soup > 0
     # templated docs share identical text → identical scores
     assert len({got[i] for i in range(5)}) == 1
+
+
+def test_chunk_overlap_covers_every_token(spark, sf_dir):
+    """Coverage contract of the sliding-window chunker: concatenating each
+    doc's chunks at their stride offsets reconstructs the full token
+    sequence — no token is unreachable by retrieval — and adjacent chunks
+    overlap by exactly window − stride tokens (except shorter tails)."""
+    out = QUERIES["text_chunk_overlap"](spark, sf_dir)
+    docs = catalog.table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_toks = {
+        r["doc_id"]: len(r["text"].split(" ")) for r in docs.collect()
+    }
+    per_doc: dict[int, list] = {}
+    for r in out.collect():
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(per_doc) == set(n_toks)
+    for doc_id, rows in per_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        n = n_toks[doc_id]
+        # chunk starts tile the document at the stride
+        assert [r["start_tok"] for r in rows] == list(range(0, n, 8))
+        # every token index is inside some chunk, with no gaps
+        covered = 0
+        for r in rows:
+            assert r["start_tok"] <= covered  # no gap before this chunk
+            covered = max(covered, r["start_tok"] + r["n_tokens"])
+            assert r["n_tokens"] == min(16, n - r["start_tok"])
+            assert len(r["chunk"].split(" ")) == r["n_tokens"]
+        assert covered == n
