@@ -109,6 +109,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_winnow_fingerprint",
     "mm_frame_dedup",
 )
+# Round-5 rotation candidates (same mechanism, after these go multi-round
+# green): swap out s4_topk_scan / f6_typeguard_projection / a1_range_sum /
+# a3_last_value_wins / u1_union_tagged for never-windowed hard entries —
+# stream_static_enrich, quality_bigram_lm, text_chunk_overlap,
+# dedup_substring, sketch_count_min.
 
 _missing = [n for n in DRIVER_WINDOW if n not in _ALL_QUERIES]
 if _missing:

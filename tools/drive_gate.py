@@ -59,7 +59,10 @@ for name in sorted(qs):
         errs.append(name)
         msg = str(exc).splitlines()[0][:200] if str(exc) else type(exc).__name__
         print("ERR ", name, f"err={type(exc).__name__}: {msg}", flush=True)
-n_run = len(only) if only else len(qs)
+unknown = sorted(only - set(qs)) if only else []
+if unknown:
+    print("UNKNOWN (not in registry, not run):", unknown)
+n_run = len(only & set(qs)) if only else len(qs)
 print("TOTAL", n_run, "PASS", n_pass, "ROWS-ONLY", n_rows_only,
       "FAILS", fails, "ERRS", errs)
 sys.exit(1 if (fails or errs) else 0)
