@@ -137,15 +137,6 @@ def pagerank_fixed_point(
         esrc.unpersist()
         esrc = small
     base = (100 - PR_DAMPING_PCT) * PR_SCALE // 100
-    # active vertices = anything touching an edge; tiny, reused every round
-    active = (
-        esrc.select(F.col("src").alias("id"))
-        .union(esrc.select(F.col("dst").alias("id")))
-        .distinct()
-        .coalesce(nparts)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    active.count()  # materialize before the loop (or the small-tier task)
     if n_edges <= SMALL_GRAPH_EDGES:
         # Two-tier execution (r3 verdict: ~0.65 s/round of pure scheduling
         # latency over a ~500-edge active set). When the MEASURED active
@@ -157,7 +148,19 @@ def pagerank_fixed_point(
         # broadcasting a measured-small join side.
         ranks = _pagerank_single_task(esrc, iterations)
         ranks = ranks.localCheckpoint(eager=True)  # release builds safely
+        active = None  # the single task derives the vertex set itself
     else:
+        # active vertices = anything touching an edge; reused every round.
+        # Built only on this branch — the single-task tier never needs it,
+        # and its distinct shuffle + eager count would be pure waste there.
+        active = (
+            esrc.select(F.col("src").alias("id"))
+            .union(esrc.select(F.col("dst").alias("id")))
+            .distinct()
+            .coalesce(nparts)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        active.count()  # materialize before the loop
         ranks = active.select("id", F.lit(PR_SCALE).cast("long").alias("rank_fp"))
         # checkpoint cadence: every round costs one scheduled job (~0.6 s of
         # pure scheduling latency on a small active set); every 2nd round
@@ -188,7 +191,8 @@ def pagerank_fixed_point(
             if (it + 1) % ckpt_every == 0 or it == iterations - 1:
                 ranks = ranks.localCheckpoint(eager=True)
     esrc.unpersist()
-    active.unpersist()
+    if active is not None:
+        active.unpersist()
     # isolated vertices hold the constant base rank; attach without iterating
     return (
         nodes.select(F.col(id_col).alias("id"))

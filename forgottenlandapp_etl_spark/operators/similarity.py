@@ -411,9 +411,13 @@ def kmeans_centroids(
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     if train_rows:
+        # floor the target at 20·k: a Bernoulli sample of expected size
+        # ~20k rows has vanishing probability of yielding fewer than k
+        # points, preserving the k-centroid contract consumers assume
+        target = max(train_rows, 20 * k)
         n = corpus.count()
-        if n > train_rows:
-            corpus = corpus.sample(fraction=train_rows / n, seed=seed)
+        if n > target:
+            corpus = corpus.sample(fraction=target / n, seed=seed)
     feats = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
     model = KMeans(k=k, seed=seed, maxIter=max_iter, initMode=init_mode).fit(feats)
     centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]

@@ -1611,22 +1611,33 @@ def text_udtf_chunks(spark, sf_dir):
     )
 
 
+#: sliding-window chunking geometry — ONE source of truth for the Spark
+#: plan and the generated oracle below (a caller-tunable window/stride
+#: would silently diverge from the registered oracle)
+CHUNK_WINDOW = 16
+CHUNK_STRIDE = 8
+
+
 @ext_query(
     "text_chunk_overlap",
-    """
+    f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     c AS (
       SELECT doc_id, CAST(g.i AS INT) AS chunk_idx,
-             CAST(g.i * 8 AS INT) AS start_tok,
-             array_to_string(t[g.i * 8 + 1 : g.i * 8 + 16], ' ') AS chunk,
-             CAST(LEAST(16, len(t) - g.i * 8) AS INT) AS n_tokens
+             CAST(g.i * {CHUNK_STRIDE} AS INT) AS start_tok,
+             array_to_string(
+               t[g.i * {CHUNK_STRIDE} + 1 : g.i * {CHUNK_STRIDE} + {CHUNK_WINDOW}],
+               ' ') AS chunk,
+             CAST(LEAST({CHUNK_WINDOW}, len(t) - g.i * {CHUNK_STRIDE}) AS INT)
+               AS n_tokens
       FROM toks,
-           UNNEST(generate_series(0, CAST(ceil(len(t) / 8.0) AS INT) - 1)) g(i)
+           UNNEST(generate_series(
+             0, CAST(ceil(len(t) / {CHUNK_STRIDE}.0) AS INT) - 1)) g(i)
     )
     SELECT doc_id, chunk_idx, start_tok, chunk, n_tokens FROM c
     """,
 )
-def text_chunk_overlap(spark, sf_dir, window: int = 16, stride: int = 8):
+def text_chunk_overlap(spark, sf_dir):
     """Sliding-window chunking WITH OVERLAP (window 16 tokens, stride 8 →
     adjacent chunks share 8 tokens): the chunk form RAG indexing and
     long-document pretraining actually use, where a boundary-straddling
@@ -1637,6 +1648,7 @@ def text_chunk_overlap(spark, sf_dir, window: int = 16, stride: int = 8):
     start. Chunk starts run every ``stride`` tokens while inside the
     document, so trailing chunks may be shorter than ``window``; every
     chunk holds ≥1 token."""
+    window, stride = CHUNK_WINDOW, CHUNK_STRIDE
     d = _docs(spark, sf_dir, fan_out=True)
     toks = d.select(
         "doc_id", F.split(F.col("text"), " ").alias("t")

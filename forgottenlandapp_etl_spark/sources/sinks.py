@@ -208,14 +208,21 @@ def compact_partitions(
     normal nightly form: compact yesterday, not the decade); None rewrites
     every partition. Returns {partition_value: n_rows} for audit.
 
-    Durability: compacted output is first written whole to a STAGING path
-    (a fresh scan of the live table — no read-under-overwrite), then each
-    partition directory is swapped into place individually (rename aside →
-    move staged in → drop old). A crash at any point leaves every
-    partition readable in either its old or its new form — unlike an
-    in-place overwrite, whose only barrier (localCheckpoint) is
-    executor-local and non-replicated, so an executor loss mid-job would
-    strand the rewrite with the originals already deleted.
+    Durability (single-writer): compacted output is first written whole to
+    a STAGING dir (a fresh scan of the live table — no
+    read-under-overwrite), then each partition directory is swapped into
+    place individually, with the displaced original parked in a sibling
+    ``__previous`` dir OUTSIDE the table path — so partition discovery can
+    never see a partition twice, whatever the crash point. Every run
+    starts with a REPAIR phase: a ``__previous`` entry whose live
+    directory is missing marks a crash between the two swap renames and is
+    restored; one whose live directory exists was already replaced and is
+    dropped. Data is therefore never lost — at every instant each
+    partition's rows exist in the live dir, the parked dir, or both — and
+    a crashed compaction redoes its (idempotent) work on the next run.
+    Concurrent readers of a mid-swap partition can observe it briefly
+    absent; compaction under concurrent reads needs a real table format's
+    commit protocol, out of scope for the reference's single-writer cron.
     """
     import os
     import shutil
@@ -223,13 +230,23 @@ def compact_partitions(
     if len(partition_cols) != 1:
         raise ValueError("compact_partitions supports a single partition column")
     pcol = partition_cols[0]
+    staging = path.rstrip("/") + "__compacting"
+    parked = path.rstrip("/") + "__previous"
+    # repair phase: finish/undo any crashed prior swap BEFORE touching
+    # staging — staging may hold the only compacted copy of a partition
+    # whose original is parked, so the original must be restored first
+    if os.path.isdir(parked):
+        for entry in sorted(os.listdir(parked)):
+            live = os.path.join(path, entry)
+            if os.path.exists(live):
+                shutil.rmtree(os.path.join(parked, entry))  # swap completed
+            else:
+                os.rename(os.path.join(parked, entry), live)  # undo half-swap
+    if os.path.exists(staging):
+        shutil.rmtree(staging)  # table is whole again; redo from scratch
     df = spark.read.parquet(path)
     if partitions is not None:
         df = df.where(F.col(pcol).isin(list(partitions)))
-    staging = path.rstrip("/") + "__compacting"
-    if os.path.exists(staging):
-        shutil.rmtree(staging)  # leftover from a crashed run — the live
-        # table was never touched before its partition swap, so just redo
     (
         df.repartition(F.col(pcol))  # co-locate each partition's rows
         .write.mode("overwrite")
@@ -244,15 +261,14 @@ def compact_partitions(
         str(r[pcol]): r["n"]
         for r in staged.groupBy(pcol).agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    os.makedirs(parked, exist_ok=True)
     for entry in sorted(os.listdir(staging)):
         if not entry.startswith(f"{pcol}="):
             continue  # _SUCCESS etc.
         live = os.path.join(path, entry)
-        aside = live + "__old"
-        if os.path.exists(aside):
-            shutil.rmtree(aside)
+        aside = os.path.join(parked, entry)
         if os.path.exists(live):
-            os.rename(live, aside)  # old partition survives until new lands
+            os.rename(live, aside)  # park the original until new lands
         try:
             os.rename(os.path.join(staging, entry), live)
         except OSError:
@@ -262,4 +278,5 @@ def compact_partitions(
         if os.path.exists(aside):
             shutil.rmtree(aside)
     shutil.rmtree(staging)
+    shutil.rmtree(parked, ignore_errors=True)
     return counts

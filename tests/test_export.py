@@ -192,13 +192,15 @@ def test_compact_partitions_scoped_rewrite(spark, tmp_path):
     assert sorted(glob.glob(f"{path}/date=2024-02-02/*.parquet")) == untouched_before
 
 
-def test_compact_partitions_recovers_from_stale_staging(spark, tmp_path):
-    """Crash recovery: a leftover staging dir (and a leftover per-partition
-    __old dir) from a killed prior run must not corrupt a fresh compaction —
-    the staging path is rebuilt from the live table, which the crashed run
-    never touched before its swap phase."""
-    import glob
+def test_compact_partitions_recovers_from_crash_debris(spark, tmp_path):
+    """Crash recovery, all three interruption points: (a) a populated
+    __previous entry whose live partition is MISSING (killed between the
+    two swap renames — the half-swap) must be restored; (b) a populated
+    __previous entry whose live partition exists (killed before the aside
+    cleanup) must be dropped, never double-read; (c) stale staging junk is
+    discarded and rebuilt from the repaired live table."""
     import os
+    import shutil
 
     from forgottenlandapp_etl_spark.sources import sinks
 
@@ -211,18 +213,25 @@ def test_compact_partitions_recovers_from_stale_staging(spark, tmp_path):
         sinks.insert_snapshot(df, path, ("date",))
     before = {r["v"] for r in spark.read.parquet(path).collect()}
 
-    # simulate the debris a mid-crash run leaves behind
+    # (a) half-swap: park a REAL partition and delete its live dir
+    parked = path + "__previous"
+    os.makedirs(parked)
+    os.rename(os.path.join(path, "date=2024-03-01"), os.path.join(parked, "date=2024-03-01"))
+    # (b) completed-swap leftover: live exists AND a stale parked copy does
+    shutil.copytree(
+        os.path.join(path, "date=2024-03-02"), os.path.join(parked, "date=2024-03-02")
+    )
+    # (c) stale staging junk
     staging = path + "__compacting"
     os.makedirs(os.path.join(staging, "date=2024-03-01"))
     with open(os.path.join(staging, "date=2024-03-01", "junk.parquet"), "w") as fh:
         fh.write("not parquet")
-    os.makedirs(path + "/date=2024-03-02__old")
 
     counts = sinks.compact_partitions(spark, path, ("date",))
     assert {r["v"] for r in spark.read.parquet(path).collect()} == before
-    assert sum(counts.values()) == 18
+    assert sum(counts.values()) == 18  # no loss (a), no double-read (b)
     assert not os.path.exists(staging)
-    assert not glob.glob(f"{path}/date=*__old")
+    assert not os.path.exists(parked)
 
 
 # ---------------------------------------------------------------------------

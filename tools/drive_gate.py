@@ -61,8 +61,9 @@ for name in sorted(qs):
         print("ERR ", name, f"err={type(exc).__name__}: {msg}", flush=True)
 unknown = sorted(only - set(qs)) if only else []
 if unknown:
+    # a typo'd GATE_ONLY must never read as a green gate
     print("UNKNOWN (not in registry, not run):", unknown)
 n_run = len(only & set(qs)) if only else len(qs)
 print("TOTAL", n_run, "PASS", n_pass, "ROWS-ONLY", n_rows_only,
       "FAILS", fails, "ERRS", errs)
-sys.exit(1 if (fails or errs) else 0)
+sys.exit(1 if (fails or errs or unknown) else 0)
