@@ -403,17 +403,21 @@ def kmeans_centroids(
     highly clustered corpora.
 
     ``train_rows`` makes the train-on-a-sample discipline explicit instead
-    of advisory: when the corpus exceeds it, a seeded Bernoulli sample of
-    ~``train_rows`` vectors feeds the fit — a coarse quantizer's centroids
-    stabilize at thousands of points per cluster, so at 100 TB every Lloyd
-    round touches a bounded sample, never the corpus. 0 disables."""
+    of advisory: when the corpus exceeds max(train_rows, 20·k), a seeded
+    Bernoulli sample of that expected size feeds the fit — a coarse
+    quantizer's centroids stabilize at thousands of points per cluster, so
+    at 100 TB every Lloyd round touches a bounded sample, never the
+    corpus. The 20·k floor keeps a small ``train_rows`` from breaking the
+    k-centroid contract (a Bernoulli sample near k could yield < k
+    points). 0 disables sampling entirely."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     if train_rows:
-        # floor the target at 20·k: a Bernoulli sample of expected size
-        # ~20k rows has vanishing probability of yielding fewer than k
-        # points, preserving the k-centroid contract consumers assume
+        # floor the target at 20·k (twenty times k, e.g. 160 for k=8): a
+        # Bernoulli sample of that expected size has vanishing probability
+        # of yielding fewer than k points, preserving the k-centroid
+        # contract consumers assume
         target = max(train_rows, 20 * k)
         n = corpus.count()
         if n > target:

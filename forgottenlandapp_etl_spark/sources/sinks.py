@@ -214,15 +214,18 @@ def compact_partitions(
     place individually, with the displaced original parked in a sibling
     ``__previous`` dir OUTSIDE the table path — so partition discovery can
     never see a partition twice, whatever the crash point. Every run
-    starts with a REPAIR phase: a ``__previous`` entry whose live
-    directory is missing marks a crash between the two swap renames and is
-    restored; one whose live directory exists was already replaced and is
-    dropped. Data is therefore never lost — at every instant each
-    partition's rows exist in the live dir, the parked dir, or both — and
-    a crashed compaction redoes its (idempotent) work on the next run.
-    Concurrent readers of a mid-swap partition can observe it briefly
-    absent; compaction under concurrent reads needs a real table format's
-    commit protocol, out of scope for the reference's single-writer cron.
+    starts with a REPAIR phase driven by decisive evidence: a parked
+    original whose STAGED copy still exists marks a swap that never
+    completed (the staged dir is moved away on completion), so the
+    original is restored — merged file-by-file if a concurrent appender
+    recreated the live dir in the meantime; a parked original with no
+    staged copy marks a completed swap and is dropped. Data is therefore
+    never lost — at every instant each partition's rows exist in the live
+    dir, the parked dir, or staging — and a crashed compaction redoes its
+    (idempotent) work on the next run. Concurrent readers of a mid-swap
+    partition can observe it briefly absent; concurrent COMPACTORS (not
+    appenders) still need a real table format's commit protocol, out of
+    scope for the reference's single-writer cron.
     """
     import os
     import shutil
@@ -232,16 +235,40 @@ def compact_partitions(
     pcol = partition_cols[0]
     staging = path.rstrip("/") + "__compacting"
     parked = path.rstrip("/") + "__previous"
-    # repair phase: finish/undo any crashed prior swap BEFORE touching
-    # staging — staging may hold the only compacted copy of a partition
-    # whose original is parked, so the original must be restored first
+    # repair phase: finish/undo any crashed prior swap BEFORE discarding
+    # staging — staging is both possible data (the only compacted copy of a
+    # half-swapped partition) and the EVIDENCE of which swaps completed
     if os.path.isdir(parked):
         for entry in sorted(os.listdir(parked)):
             live = os.path.join(path, entry)
-            if os.path.exists(live):
-                shutil.rmtree(os.path.join(parked, entry))  # swap completed
+            src = os.path.join(parked, entry)
+            if os.path.exists(os.path.join(staging, entry)):
+                # staged copy still present → the staged→live rename never
+                # happened; the parked files are the partition's only
+                # pre-crash rows. If an appender recreated the live dir in
+                # the gap, restore the originals ALONGSIDE its files
+                # (part-file names are unique UUIDs — no collisions).
+                if os.path.exists(live):
+                    for f in os.listdir(src):
+                        os.rename(os.path.join(src, f), os.path.join(live, f))
+                    shutil.rmtree(src)
+                else:
+                    os.rename(src, live)
             else:
-                os.rename(os.path.join(parked, entry), live)  # undo half-swap
+                shutil.rmtree(src)  # swap completed; parked rows live on
+                # in their compacted form
+    # legacy debris from the earlier in-path swap scheme: a '<part>__old'
+    # dir INSIDE the table path is read by partition discovery as a bogus
+    # extra partition — restore it if its partition is missing, else drop
+    if os.path.isdir(path):
+        for entry in sorted(os.listdir(path)):
+            if not (entry.startswith(f"{pcol}=") and entry.endswith("__old")):
+                continue
+            live = os.path.join(path, entry[: -len("__old")])
+            if os.path.exists(live):
+                shutil.rmtree(os.path.join(path, entry))
+            else:
+                os.rename(os.path.join(path, entry), live)
     if os.path.exists(staging):
         shutil.rmtree(staging)  # table is whole again; redo from scratch
     df = spark.read.parquet(path)

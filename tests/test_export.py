@@ -193,12 +193,15 @@ def test_compact_partitions_scoped_rewrite(spark, tmp_path):
 
 
 def test_compact_partitions_recovers_from_crash_debris(spark, tmp_path):
-    """Crash recovery, all three interruption points: (a) a populated
-    __previous entry whose live partition is MISSING (killed between the
-    two swap renames — the half-swap) must be restored; (b) a populated
-    __previous entry whose live partition exists (killed before the aside
-    cleanup) must be dropped, never double-read; (c) stale staging junk is
-    discarded and rebuilt from the repaired live table."""
+    """Crash recovery, every interruption class: (a) a parked original
+    whose STAGED copy still exists (killed between the two swap renames)
+    must be restored — merged alongside any rows a concurrent appender
+    wrote to the recreated live dir in the gap; (b) a parked original
+    with NO staged copy (swap completed, killed before cleanup) must be
+    dropped, never double-read; (c) legacy in-path '<part>__old' debris
+    must be removed so partition discovery can't read a phantom
+    partition; (d) the stale staging dir is discarded and rebuilt from
+    the repaired table."""
     import os
     import shutil
 
@@ -213,25 +216,37 @@ def test_compact_partitions_recovers_from_crash_debris(spark, tmp_path):
         sinks.insert_snapshot(df, path, ("date",))
     before = {r["v"] for r in spark.read.parquet(path).collect()}
 
-    # (a) half-swap: park a REAL partition and delete its live dir
+    # (a) half-swap: park a REAL partition, leave its staged copy as
+    # evidence, and let a "concurrent appender" recreate the live dir
     parked = path + "__previous"
+    staging = path + "__compacting"
     os.makedirs(parked)
-    os.rename(os.path.join(path, "date=2024-03-01"), os.path.join(parked, "date=2024-03-01"))
-    # (b) completed-swap leftover: live exists AND a stale parked copy does
+    os.rename(
+        os.path.join(path, "date=2024-03-01"), os.path.join(parked, "date=2024-03-01")
+    )
+    os.makedirs(os.path.join(staging, "date=2024-03-01"))
+    with open(os.path.join(staging, "date=2024-03-01", "junk.parquet"), "w") as fh:
+        fh.write("not parquet")  # existence is the evidence; never read
+    appended = spark.createDataFrame(
+        [(100, "2024-03-01"), (101, "2024-03-01")], "v long, date string"
+    )
+    sinks.insert_snapshot(appended, path, ("date",))
+    # (b) completed-swap leftover: parked copy, live present, NO staged copy
     shutil.copytree(
         os.path.join(path, "date=2024-03-02"), os.path.join(parked, "date=2024-03-02")
     )
-    # (c) stale staging junk
-    staging = path + "__compacting"
-    os.makedirs(os.path.join(staging, "date=2024-03-01"))
-    with open(os.path.join(staging, "date=2024-03-01", "junk.parquet"), "w") as fh:
-        fh.write("not parquet")
+    # (c) legacy in-path __old debris (old swap scheme), live present
+    shutil.copytree(
+        os.path.join(path, "date=2024-03-02"), os.path.join(path, "date=2024-03-02__old")
+    )
 
     counts = sinks.compact_partitions(spark, path, ("date",))
-    assert {r["v"] for r in spark.read.parquet(path).collect()} == before
-    assert sum(counts.values()) == 18  # no loss (a), no double-read (b)
+    want = before | {100, 101}
+    assert {r["v"] for r in spark.read.parquet(path).collect()} == want
+    assert sum(counts.values()) == len(want)  # no loss, no double-read
     assert not os.path.exists(staging)
     assert not os.path.exists(parked)
+    assert not os.path.exists(os.path.join(path, "date=2024-03-02__old"))
 
 
 # ---------------------------------------------------------------------------
