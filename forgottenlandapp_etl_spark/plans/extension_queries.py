@@ -2034,14 +2034,48 @@ def pipeline_leakage_safe_split(spark, sf_dir):
     return text.fingerprint_split(d, "doc_id", "text")
 
 
-@ext_query("pipeline_leakage_safe_split_neardup")  # iterative upstream: rows-only
+def _neardup_split_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_SQL_SHINGLES.strip()}, {_minhash_sig_sql().strip()},
+    {_lsh_candidates_sql()}, {_SQL_JACCARD_PAIRS.strip()},
+    verified AS (
+      SELECT jp.id_a, jp.id_b
+      FROM jp JOIN cand ON jp.id_a = cand.id_a AND jp.id_b = cand.id_b
+      WHERE jp.jaccard >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION
+      SELECT id_b, id_a FROM verified
+    ),
+    reach(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
+    )
+    SELECT doc_id, component,
+           CASE WHEN CAST('0x' || SUBSTR(md5(CAST(component AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 100 < 90
+                THEN 'train' ELSE 'val' END AS split
+    FROM labeled
+    """
+
+
+@ext_query("pipeline_leakage_safe_split_neardup", _neardup_split_oracle())
 def pipeline_leakage_safe_split_neardup(spark, sf_dir):
     """The stronger form: split by NEAR-dup component — LSH pairs →
     connected components → hash the component label — so even paraphrased
-    or lightly-edited copies can never straddle train/val. Inherits the
-    components tier's rows-only status (iterative min-label propagation);
-    the no-straddle property over every LSH pair is pinned in
-    tests/test_extensions.py."""
+    or lightly-edited copies can never straddle train/val. Hash-verified
+    end to end (promoted from rows-only in round 4): the oracle composes
+    the components tier's recursive-CTE transitive closure with the same
+    md5-fold split as pipeline_train_val_split, singletons labeled by
+    their own doc_id. The no-straddle property over every LSH pair is
+    additionally pinned in tests/test_extensions.py."""
     from pyspark import StorageLevel
 
     d = _docs(spark, sf_dir, fan_out=True)
