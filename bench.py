@@ -157,10 +157,21 @@ def main() -> None:
         "runs_per_query": 4,
         "policy": "steady-state: 1 warmup run, min of 3 measured runs",
     }
-    # ONE compact JSON line, flushed before session teardown noise; stdout
-    # carries nothing else (progress bars are off in build_session), so a
-    # tail-truncating capture harness still round-trips it
+    # Two JSON lines: the full per-query dict first (humans, side files),
+    # then a SHORT totals-only line LAST — the driver's capture keeps only
+    # a ~2 KB tail of stdout and clips the long line at the FRONT (r3/r4:
+    # parsed=null twice), so the final line must fit the window whole.
     print(json.dumps(out, separators=(",", ":")))
+    summary = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "queries": {},
+        "detail": "per-query timings: previous stdout line / SPARK_GRAFT_BENCH_OUT file",
+    }
+    print(json.dumps(summary, separators=(",", ":")))
     sys.stdout.flush()
     path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
     if path:

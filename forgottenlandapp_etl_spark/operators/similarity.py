@@ -387,6 +387,7 @@ def kmeans_centroids(
     max_iter: int = 20,
     init_mode: str = "k-means||",
     train_rows: int = 65_536,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Learn IVF centroids with Spark MLlib k-means (distributed Lloyd's —
     the real coarse quantizer, vs. the take-first-k placeholder that
@@ -403,25 +404,43 @@ def kmeans_centroids(
     highly clustered corpora.
 
     ``train_rows`` makes the train-on-a-sample discipline explicit instead
-    of advisory: when the corpus exceeds max(train_rows, 20·k), a seeded
-    Bernoulli sample of that expected size feeds the fit — a coarse
-    quantizer's centroids stabilize at thousands of points per cluster, so
-    at 100 TB every Lloyd round touches a bounded sample, never the
-    corpus. The 20·k floor keeps a small ``train_rows`` from breaking the
-    k-centroid contract (a Bernoulli sample near k could yield < k
-    points). 0 disables sampling entirely."""
+    of advisory: when the corpus exceeds max(train_rows, 20·k), a bounded
+    training subset of that size feeds the fit — a coarse quantizer's
+    centroids stabilize at thousands of points per cluster, so at 100 TB
+    every Lloyd round touches a bounded sample, never the corpus. Deciding
+    WHETHER to subset never pays a full corpus scan either: callers that
+    know the table size (parquet row-count metadata) pass ``corpus_rows``
+    and get a seeded Bernoulli sample; otherwise a ``limit(target+1)``
+    probe (LocalLimit — every task stops after at most target+1 rows)
+    answers "bigger than target?", and the subset is a per-partition HEAD
+    CAP of ceil(target/num_partitions) rows taken with one bounded
+    ``mapInPandas`` pass — every partition of the corpus contributes
+    equally, each task reads only its cap, and the result is deterministic
+    for a fixed physical plan (the determinism the centroid tests pin).
+    The 20·k floor keeps a small ``train_rows`` from breaking the
+    k-centroid contract. 0 disables sampling entirely."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     if train_rows:
-        # floor the target at 20·k (twenty times k, e.g. 160 for k=8): a
-        # Bernoulli sample of that expected size has vanishing probability
-        # of yielding fewer than k points, preserving the k-centroid
-        # contract consumers assume
         target = max(train_rows, 20 * k)
-        n = corpus.count()
-        if n > target:
-            corpus = corpus.sample(fraction=target / n, seed=seed)
+        if corpus_rows is not None:
+            if corpus_rows > target:
+                corpus = corpus.sample(fraction=target / corpus_rows, seed=seed)
+        elif corpus.limit(target + 1).count() > target:
+            nparts = max(1, corpus.rdd.getNumPartitions())
+            per_part = -(-target // nparts)  # ceil
+
+            def _head(batches):
+                seen = 0
+                for pdf in batches:
+                    if seen >= per_part:
+                        return
+                    pdf = pdf.iloc[: per_part - seen]
+                    seen += len(pdf)
+                    yield pdf
+
+            corpus = corpus.mapInPandas(_head, corpus.schema)
     feats = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
     model = KMeans(k=k, seed=seed, maxIter=max_iter, initMode=init_mode).fit(feats)
     centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]

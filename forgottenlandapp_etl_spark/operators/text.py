@@ -266,7 +266,14 @@ def bigram_lm_scores(df: "DataFrame", id_col: str, text_col: str) -> "DataFrame"
         .join(c1, on="w1")
         .crossJoin(F.broadcast(vocab))
         .select(
-            "__id", F.expr(f"(n2 + 1) * {LM_SCALE}L div (n1 + v)").alias("p_fp")
+            "__id",
+            # the product is widened to DECIMAL(38,0) because (n2+1)·10^9
+            # overflows BIGINT once a bigram count passes ~9.2e9 — routine
+            # at 100 TB — and Spark would wrap where DuckDB raises; the
+            # QUOTIENT is safe in a long (n2 ≤ n1 always, so p_fp ≤ 10^9)
+            F.expr(
+                f"(CAST(n2 + 1 AS DECIMAL(38,0)) * {LM_SCALE}) div (n1 + v)"
+            ).alias("p_fp"),
         )
     )
     agg = scored.groupBy("__id").agg(

@@ -1048,20 +1048,67 @@ def bpe_train_merges(spark, sf_dir):
     )
 
 
-@ext_query("bpe_encode_corpus")  # downstream of iterative training: rows-only
+#: Frozen BPE merge table for the serving-shape encode entry — a trained
+#: tokenizer is a STATIC artifact at inference time (you train once with
+#: bpe_train_merges, then ship the merge list unchanged to every encode
+#: job), so the constants live here exactly like MINHASH_COEFFS/RP_SIGNS
+#: and generate both the Spark fold chain and the DuckDB oracle. The list
+#: includes a second-order merge ('m','er') whose left side only exists
+#: after merge 0 fires — the chaining case a naive oracle would miss.
+BPE_FROZEN_MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "r"),
+    ("i", "n"),
+    ("o", "w"),
+    ("s", "t"),
+    ("m", "er"),
+    ("t", "a"),
+)
+
+
+def _bpe_encode_oracle() -> str:
+    """Greedy left-to-right non-overlapping BPE merge as chained string
+    replaces: each word's chars joined by a DOUBLE space, then every merge
+    (l, r) is ``replace('l  r' → 'lr')`` — replace() scans left-to-right
+    and resumes AFTER each replacement, which reproduces the fold's
+    non-overlap rule exactly (``a a a`` + (a,a) → ``aa  a``, never
+    ``aa aa`` overlap); the double-space delimiter means a match always
+    consumes whole symbols. list_transform keeps per-doc word order
+    without an unnest/re-aggregate round trip."""
+    expr = "array_to_string(string_split(w, ''), '  ')"
+    for left, right in BPE_FROZEN_MERGES:
+        expr = f"replace({expr}, '{left}  {right}', '{left}{right}')"
+    return f"""
+    SELECT doc_id,
+           array_to_string(toks, ',') AS tokens_csv,
+           CAST(len(toks) AS BIGINT) AS n_bpe_tokens
+    FROM (
+      SELECT doc_id,
+             flatten(list_transform(
+               list_filter(string_split(text, ' '), w -> w <> ''),
+               w -> string_split({expr}, '  ')
+             )) AS toks
+      FROM documents
+    )
+    """
+
+
+@ext_query("bpe_encode_corpus", _bpe_encode_oracle())
 def bpe_encode_corpus(spark, sf_dir):
-    """The user-facing tokenize-at-scale path: train the k=4 merge table
-    (tiny, driver-held), then encode EVERY document with it — the merge
-    rules bake into the plan as chained JVM array folds, so encoding is
-    pure per-row column math, zero shuffles, no UDF. Token arrays are
-    emitted CSV-serialized (array stringification differs per engine; same
-    convention as the quantization entry). Inherits bpe_train_merges'
-    rows-only status (iterative upstream); apply-side correctness is pinned
-    by the golden reference test."""
+    """The user-facing tokenize-at-scale path, in its production shape:
+    encode EVERY document with a FROZEN merge table (BPE_FROZEN_MERGES — a
+    tokenizer is trained once via bpe_train_merges, then applied unchanged
+    at serving time). The merge rules bake into the plan as chained JVM
+    array folds, so encoding is pure per-row column math, zero shuffles,
+    no UDF; token arrays are emitted CSV-serialized (array stringification
+    differs per engine; same convention as the quantization entry).
+    Hash-exact against a generated oracle that replays the same greedy
+    merges as chained string replaces (promoted from rows-only in round 5);
+    the train→apply loop stays golden-tested against the pure-Python
+    reference BPE."""
     from ..operators import bpe
 
     d = _docs(spark, sf_dir, fan_out=True)
-    merges = bpe.train_merges(d, "text", n_merges=4)
+    merges = [(i, l, r, 0) for i, (l, r) in enumerate(BPE_FROZEN_MERGES)]
     enc = bpe.apply_merges(d, merges)
     return enc.select(
         "doc_id",
@@ -1701,7 +1748,9 @@ def _bigram_lm_oracle() -> str:
       FROM toks, UNNEST(t) u(w)
     ),
     scored AS (
-      SELECT bg.doc_id, ((c2.n2 + 1) * {LM_SCALE}) // (c1.n1 + vocab.v) AS p_fp
+      -- HUGEINT widens the product past BIGINT exactly like the Spark
+      -- plan's DECIMAL(38,0) cast (operators/text.py bigram_lm_scores)
+      SELECT bg.doc_id, ((CAST(c2.n2 + 1 AS HUGEINT)) * {LM_SCALE}) // (c1.n1 + vocab.v) AS p_fp
       FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vocab
     ),
     agg AS (
@@ -2618,18 +2667,77 @@ def pipeline_pack_sequences(spark, sf_dir):
     )
 
 
-@ext_query("pipeline_pack_ffd")
+#: shared by the Spark plan and the generated FFD oracle below
+_FFD_CAPACITY = 512
+_FFD_SHARDS = 32
+
+
+def _ffd_oracle() -> str:
+    """First-fit-decreasing UNROLLED as a DuckDB recursive CTE: each
+    recursion step packs every shard's next-largest document, carrying the
+    open-bin free-space LIST as state. list_position over a "fits?"
+    boolean projection finds the FIRST fitting bin (0 = none in DuckDB —
+    hence the > 0 guard), reproducing the Python loop decision-for-
+    decision; depth = max docs per shard, one row per shard per step. The
+    assignment is fully deterministic (sort by n_toks desc, doc_id asc)
+    so the hash-compare is exact."""
+    cap, sh = _FFD_CAPACITY, _FFD_SHARDS
+    return f"""
+    WITH RECURSIVE
+    d0 AS (
+      SELECT doc_id, doc_id % {sh} AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      FROM documents
+    ),
+    docs AS (
+      SELECT doc_id, shard, n_toks,
+             ROW_NUMBER() OVER (PARTITION BY shard
+                                ORDER BY n_toks DESC, doc_id) AS rn
+      FROM d0
+    ),
+    steps AS (
+      SELECT shard, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS bins,
+             CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_toks,
+             CAST(NULL AS BIGINT) AS bin_id, CAST(NULL AS INT) AS oversize
+      FROM (SELECT DISTINCT shard FROM docs)
+      UNION ALL
+      SELECT d.shard, d.rn,
+             CASE
+               WHEN d.n_toks > {cap} THEN list_append(s.bins, CAST(0 AS BIGINT))
+               WHEN list_position(list_transform(s.bins, b -> b >= d.n_toks), true) > 0
+                 THEN list_transform(s.bins, (b, i) ->
+                        CASE WHEN i = list_position(list_transform(s.bins, b2 -> b2 >= d.n_toks), true)
+                             THEN b - d.n_toks ELSE b END)
+               ELSE list_append(s.bins, {cap} - d.n_toks)
+             END AS bins,
+             d.doc_id, d.n_toks,
+             CASE WHEN d.n_toks > {cap} THEN len(s.bins)
+                  WHEN list_position(list_transform(s.bins, b -> b >= d.n_toks), true) > 0
+                    THEN list_position(list_transform(s.bins, b -> b >= d.n_toks), true) - 1
+                  ELSE len(s.bins) END AS bin_id,
+             CASE WHEN d.n_toks > {cap} THEN 1 ELSE 0 END AS oversize
+      FROM steps s JOIN docs d ON d.shard = s.shard AND d.rn = s.rn + 1
+    )
+    SELECT doc_id, shard, n_toks, bin_id, CAST(oversize AS INT) AS oversize
+    FROM steps WHERE rn > 0
+    """
+
+
+@ext_query("pipeline_pack_ffd", _ffd_oracle())
 def pipeline_pack_ffd(spark, sf_dir):
     """No-split sequence packing: first-fit-decreasing bins per shard via
     grouped-map applyInPandas (the §2.10 grouped-map surface — one Arrow
     batch per shard, imperative bin state inside, nothing row-at-a-time).
-    Rows-only: FFD's loop-carried state is not SQL-expressible; the
-    invariants (each doc packed once, no bin over capacity, bin count
-    within the FFD bound of optimal, rerun determinism) are property-
-    tested in tests/test_extensions.py."""
+    The assignment is deterministic (sort by length desc then doc_id;
+    first fitting bin wins), so round 5 promoted it from rows-only to a
+    hash-exact compare against an oracle that UNROLLS the same FFD loop as
+    a recursive CTE (one recursion step per per-shard rank, open-bin free
+    space carried as a list). The structural invariants (each doc packed
+    once, no bin over capacity, FFD bound, rerun determinism) stay
+    property-tested in tests/test_extensions.py."""
     from ..operators import packing
 
     d = _docs(spark, sf_dir).select(
         "doc_id", text.n_tokens(F.col("text")).alias("n_toks")
     )
-    return packing.ffd_pack(d, capacity=512, n_shards=32)
+    return packing.ffd_pack(d, capacity=_FFD_CAPACITY, n_shards=_FFD_SHARDS)

@@ -31,14 +31,14 @@ _ALL_QUERIES.update(extension_queries.QUERIES)
 DRIVER_WINDOW: tuple[str, ...] = (
     # §2.1 sources / scans
     "s1_scan_pushdown",
-    "s4_topk_scan",
     # (s5_keyed_snapshot / s6_exists_probe / f1_min_value_filter /
     # f2_conjunctive_filter / f3_min_level_online rotated out after three
     # driver-green rounds — r3 verdict item 2 — to buy hard driver rows for
-    # the round-4 promotions below; all stay oracle-gated by
-    # tools/drive_gate.py)
-    # §2.3 filters / projections
-    "f6_typeguard_projection",
+    # the round-4 promotions; s4_topk_scan / f6_typeguard_projection /
+    # a1_range_sum / a3_last_value_wins / a5_poll_minutes /
+    # u1_union_tagged rotated out in round 5 after four green rounds each,
+    # buying rows for the round-5 promotions below; all stay oracle-gated
+    # by tools/drive_gate.py)
     # §2.4 joins
     "j1_snapshot_diff",
     "j2_enrichment_join",
@@ -49,10 +49,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "j7_asof_join",
     "j8_range_join",
     # §2.5 aggregations
-    "a1_range_sum",
     "a2_horizontal_sum",
-    "a3_last_value_wins",
-    "a5_poll_minutes",
     # (a4_count_nonempty / w2_level_rank / c6_date_functions rotated out
     # after three driver-green rounds — same r3-verdict-item-2 mechanism)
     # §2.6 windows / ranks
@@ -61,8 +58,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "w5_points_from_rank",
     "wx_partitioned_rank",
     "wx_range_frame",
-    # §2.7 set ops
-    "u1_union_tagged",
     # §2.8 scalar functions
     "c1_skill_points",
     "c7_json_extract",
@@ -108,12 +103,23 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_substring_trim",
     "text_winnow_fingerprint",
     "mm_frame_dedup",
+    # round-5 promotions (never-windowed hard entries; r4 verdict items 1
+    # and 7): stream-static enrichment, the bigram-LM quality score, the
+    # shuffle-free chunker, exact-substring dedup's profile form, the
+    # count-min sketch, and the first TPC-H driver row — q21, the hardest
+    # shape in the relational family (double exists/not-exists semi/anti
+    # stack over lineitem)
+    "stream_static_enrich",
+    "quality_bigram_lm",
+    "text_chunk_overlap",
+    "dedup_substring",
+    "sketch_count_min",
+    "tpch_q21_waiting_supplier",
 )
-# Round-5 rotation candidates (same mechanism, after these go multi-round
-# green): swap out s4_topk_scan / f6_typeguard_projection / a1_range_sum /
-# a3_last_value_wins / u1_union_tagged for never-windowed hard entries —
-# stream_static_enrich, quality_bigram_lm, text_chunk_overlap,
-# dedup_substring, sketch_count_min.
+# Round-6 rotation candidates (same mechanism, after these go multi-round
+# green): swap out a2_horizontal_sum / c1_skill_points / w5_points_from_rank
+# for never-windowed hard entries — e.g. tpch_q4_order_priority,
+# pipeline_decontaminate, sketch_hll_daily_merge.
 
 _missing = [n for n in DRIVER_WINDOW if n not in _ALL_QUERIES]
 if _missing:

@@ -192,6 +192,7 @@ def compact_partitions(
     partition_cols: tuple[str, ...] = ("date",),
     target_rows_per_file: int = 1_000_000,
     partitions: list[str] | None = None,
+    _after_stage=None,
 ) -> dict[str, int]:
     """Small-file compaction for a partitioned parquet table.
 
@@ -204,106 +205,199 @@ def compact_partitions(
     only the partitions being compacted are replaced and a re-run is
     idempotent.
 
-    ``partitions`` limits the rewrite to named partition values (the
-    normal nightly form: compact yesterday, not the decade); None rewrites
-    every partition. Returns {partition_value: n_rows} for audit.
+    ``partitions`` limits the rewrite to named values of the LAST (finest)
+    partition column — the normal nightly form: compact yesterday's
+    ``date`` leaves across every ``period``, not the decade; None rewrites
+    every partition. Returns {leaf_partition: n_rows} for audit, keyed by
+    the single value for one-level tables and by the ``a=1/b=2`` leaf
+    directory path for nested ones (the reference's ``(period, date)``
+    exp-gain-period shape, etl.dart:275-284).
 
-    Durability (single-writer): compacted output is first written whole to
-    a STAGING dir (a fresh scan of the live table — no
-    read-under-overwrite), then each partition directory is swapped into
-    place individually, with the displaced original parked in a sibling
-    ``__previous`` dir OUTSIDE the table path — so partition discovery can
-    never see a partition twice, whatever the crash point. Every run
-    starts with a REPAIR phase driven by decisive evidence: a parked
-    original whose STAGED copy still exists marks a swap that never
-    completed (the staged dir is moved away on completion), so the
-    original is restored — merged file-by-file if a concurrent appender
-    recreated the live dir in the meantime; a parked original with no
-    staged copy marks a completed swap and is dropped. Data is therefore
-    never lost — at every instant each partition's rows exist in the live
-    dir, the parked dir, or staging — and a crashed compaction redoes its
-    (idempotent) work on the next run. Concurrent readers of a mid-swap
-    partition can observe it briefly absent; concurrent COMPACTORS (not
-    appenders) still need a real table format's commit protocol, out of
-    scope for the reference's single-writer cron.
+    Durability (single-writer compactor, concurrent APPENDERS in scope):
+    the live file list of every leaf partition is SNAPSHOTTED first and
+    exactly those files are compacted into a STAGING dir (so the staged
+    output's contents are known byte-for-byte, not raced); then each leaf
+    directory is swapped into place individually, with the displaced
+    original parked in a sibling ``__previous`` dir OUTSIDE the table path
+    — so partition discovery can never see a partition twice, whatever the
+    crash point. Any file found in the parked original that is ABSENT from
+    the snapshot was written by a concurrent appender after the snapshot
+    and is not in the compacted output — it is moved into the new live dir
+    (UUID part names — no collisions) before the park is dropped, so
+    appended rows survive the successful path, not just the crash path.
+    The snapshot itself is persisted as a ``_``-prefixed manifest inside
+    each staged leaf dir (invisible to Spark's file listing), so the same
+    decision survives a crash. Every run starts with a REPAIR phase driven
+    by decisive evidence: a parked original whose STAGED copy still exists
+    marks a swap that never completed (the staged dir is moved away on
+    completion), so the original is restored — merged file-by-file if an
+    appender recreated the live dir in the meantime; a parked original
+    with no staged copy marks a completed swap — its snapshotted files
+    live on in compacted form and are dropped, while any parked file
+    absent from the (now-live) manifest is an appender file and is merged
+    back. Concurrent readers of a mid-swap partition can observe it
+    briefly absent; concurrent COMPACTORS still need a real table format's
+    commit protocol, out of scope for the reference's single-writer cron.
     """
     import os
     import shutil
 
-    if len(partition_cols) != 1:
-        raise ValueError("compact_partitions supports a single partition column")
-    pcol = partition_cols[0]
+    if not partition_cols:
+        raise ValueError("compact_partitions requires at least one partition column")
+    depth = len(partition_cols)
     staging = path.rstrip("/") + "__compacting"
     parked = path.rstrip("/") + "__previous"
+
+    def leaf_dirs(root: str) -> list[str]:
+        """Relative ``a=1/b=2`` paths exactly ``depth`` levels under root,
+        level i matching partition_cols[i]."""
+        out: list[str] = []
+
+        def rec(d: str, rel: str, lvl: int) -> None:
+            if not os.path.isdir(d):
+                return
+            for entry in sorted(os.listdir(d)):
+                p = os.path.join(d, entry)
+                if not (os.path.isdir(p) and entry.startswith(f"{partition_cols[lvl]}=")):
+                    continue
+                r = os.path.join(rel, entry) if rel else entry
+                if lvl == depth - 1:
+                    out.append(r)
+                else:
+                    rec(p, r, lvl + 1)
+
+        rec(root, "", 0)
+        return out
+
+    def merge_dir_into(src: str, dst: str) -> None:
+        """Move every file of src alongside dst's files (UUID part names —
+        no collisions), then drop src."""
+        os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(src):
+            os.rename(os.path.join(src, f), os.path.join(dst, f))
+        shutil.rmtree(src)
+
+    MANIFEST = "_compaction_snapshot.txt"
+
+    def read_manifest(d: str) -> set[str] | None:
+        p = os.path.join(d, MANIFEST)
+        if not os.path.isfile(p):
+            return None
+        with open(p) as fh:
+            return {line.rstrip("\n") for line in fh if line.rstrip("\n")}
+
     # repair phase: finish/undo any crashed prior swap BEFORE discarding
     # staging — staging is both possible data (the only compacted copy of a
     # half-swapped partition) and the EVIDENCE of which swaps completed
     if os.path.isdir(parked):
-        for entry in sorted(os.listdir(parked)):
-            live = os.path.join(path, entry)
-            src = os.path.join(parked, entry)
-            if os.path.exists(os.path.join(staging, entry)):
+        for rel in leaf_dirs(parked):
+            live = os.path.join(path, rel)
+            src = os.path.join(parked, rel)
+            if os.path.exists(os.path.join(staging, rel)):
                 # staged copy still present → the staged→live rename never
                 # happened; the parked files are the partition's only
                 # pre-crash rows. If an appender recreated the live dir in
-                # the gap, restore the originals ALONGSIDE its files
-                # (part-file names are unique UUIDs — no collisions).
-                if os.path.exists(live):
-                    for f in os.listdir(src):
-                        os.rename(os.path.join(src, f), os.path.join(live, f))
-                    shutil.rmtree(src)
-                else:
-                    os.rename(src, live)
+                # the gap, restore the originals ALONGSIDE its files.
+                merge_dir_into(src, live)
             else:
-                shutil.rmtree(src)  # swap completed; parked rows live on
-                # in their compacted form
-    # legacy debris from the earlier in-path swap scheme: a '<part>__old'
-    # dir INSIDE the table path is read by partition discovery as a bogus
-    # extra partition — restore it if its partition is missing, else drop
+                # swap completed; the snapshotted rows live on in compacted
+                # form. The manifest the swap carried into the live dir
+                # says exactly WHICH parked files those were — anything
+                # else is a concurrent append that only the park holds.
+                snap = read_manifest(live)
+                if snap is not None:
+                    os.makedirs(live, exist_ok=True)
+                    for f in os.listdir(src):
+                        if f not in snap and not f.startswith(("_", ".")):
+                            os.rename(os.path.join(src, f), os.path.join(live, f))
+                    os.remove(os.path.join(live, MANIFEST))
+                shutil.rmtree(src)
+    # legacy debris from the earlier in-path swap scheme (single-level
+    # tables only): a '<part>__old' dir INSIDE the table path is read by
+    # partition discovery as a bogus extra partition. Its files are the
+    # partition's pre-swap originals — merge them into the live dir if an
+    # appender recreated it (they may be that data's only copy), else
+    # restore the dir outright.
     if os.path.isdir(path):
         for entry in sorted(os.listdir(path)):
-            if not (entry.startswith(f"{pcol}=") and entry.endswith("__old")):
+            if not (entry.startswith(f"{partition_cols[0]}=") and entry.endswith("__old")):
                 continue
-            live = os.path.join(path, entry[: -len("__old")])
-            if os.path.exists(live):
-                shutil.rmtree(os.path.join(path, entry))
-            else:
-                os.rename(os.path.join(path, entry), live)
+            merge_dir_into(os.path.join(path, entry), os.path.join(path, entry[: -len("__old")]))
     if os.path.exists(staging):
         shutil.rmtree(staging)  # table is whole again; redo from scratch
-    df = spark.read.parquet(path)
+    # SNAPSHOT the live file lists and compact exactly those files: any
+    # file an appender adds after this instant is, by construction, absent
+    # from both the snapshot and the staged output, and is merged into the
+    # new live dir at swap time instead of dying with the park. (The
+    # listing is the same O(files) directory walk the scan itself performs;
+    # basePath keeps partition-column inference from the leaf paths.)
+    snapshot: dict[str, set[str]] = {}
+    data_files: list[str] = []
+    for rel in leaf_dirs(path):
+        names = set(os.listdir(os.path.join(path, rel)))
+        snapshot[rel] = names
+        data_files.extend(
+            os.path.join(path, rel, n)
+            for n in sorted(names)
+            if not n.startswith(("_", "."))
+        )
+    if not data_files:
+        return {}
+    df = spark.read.option("basePath", path).parquet(*data_files)
     if partitions is not None:
-        df = df.where(F.col(pcol).isin(list(partitions)))
+        df = df.where(F.col(partition_cols[-1]).isin(list(partitions)))
     (
-        df.repartition(F.col(pcol))  # co-locate each partition's rows
+        df.repartition(*[F.col(c) for c in partition_cols])  # co-locate
         .write.mode("overwrite")
         .option("maxRecordsPerFile", target_rows_per_file)
-        .partitionBy(pcol)
+        .partitionBy(*partition_cols)
         .parquet(staging)
     )
+    # persist each leaf's snapshot INTO its staged dir: the swap carries it
+    # to the live dir, so a crash between rename and appender-merge still
+    # leaves the repair phase enough evidence to tell appender files from
+    # snapshotted ones ('_' prefix keeps it out of Spark's file listing)
+    for rel in leaf_dirs(staging):
+        with open(os.path.join(staging, rel, MANIFEST), "w") as fh:
+            fh.write("\n".join(sorted(snapshot.get(rel, set()))))
+    if _after_stage is not None:
+        _after_stage()  # test seam: a concurrent appender racing the swap
     # audit counts from the staged (small-file-count) output — the live
     # table stays untouched until the per-partition swap below
     staged = spark.read.parquet(staging)
+    agg = staged.groupBy(*partition_cols).agg(F.count(F.lit(1)).alias("n")).collect()
     counts = {
-        str(r[pcol]): r["n"]
-        for r in staged.groupBy(pcol).agg(F.count(F.lit(1)).alias("n")).collect()
+        (
+            str(r[partition_cols[0]])
+            if depth == 1
+            else "/".join(f"{c}={r[c]}" for c in partition_cols)
+        ): r["n"]
+        for r in agg
     }
-    os.makedirs(parked, exist_ok=True)
-    for entry in sorted(os.listdir(staging)):
-        if not entry.startswith(f"{pcol}="):
-            continue  # _SUCCESS etc.
-        live = os.path.join(path, entry)
-        aside = os.path.join(parked, entry)
+    for rel in leaf_dirs(staging):
+        live = os.path.join(path, rel)
+        aside = os.path.join(parked, rel)
         if os.path.exists(live):
+            os.makedirs(os.path.dirname(aside) or parked, exist_ok=True)
             os.rename(live, aside)  # park the original until new lands
         try:
-            os.rename(os.path.join(staging, entry), live)
+            os.makedirs(os.path.dirname(live) or path, exist_ok=True)
+            os.rename(os.path.join(staging, rel), live)
         except OSError:
             if os.path.exists(aside):
                 os.rename(aside, live)  # roll this partition back
             raise
         if os.path.exists(aside):
+            # appender files that landed after the snapshot are only in the
+            # park — carry them into the new live dir before dropping it
+            snap = snapshot.get(rel, set())
+            for f in os.listdir(aside):
+                if f not in snap and not f.startswith(("_", ".")):
+                    os.rename(os.path.join(aside, f), os.path.join(live, f))
             shutil.rmtree(aside)
+        manifest = os.path.join(live, MANIFEST)
+        if os.path.exists(manifest):
+            os.remove(manifest)  # swap + merge complete; evidence spent
     shutil.rmtree(staging)
     shutil.rmtree(parked, ignore_errors=True)
     return counts

@@ -249,6 +249,161 @@ def test_compact_partitions_recovers_from_crash_debris(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, "date=2024-03-02__old"))
 
 
+def test_compact_preserves_concurrent_append_on_success_path(spark, tmp_path):
+    """Rows an appender writes between the compaction snapshot and the
+    partition swap must survive the SUCCESSFUL path, not just the crash
+    path: they're absent from the staged output (the snapshot is exact),
+    land in the parked original at swap time, and must be merged into the
+    new live dir before the park is dropped."""
+    from forgottenlandapp_etl_spark.sources import sinks
+
+    path = str(tmp_path / "t")
+    for run in range(3):
+        df = spark.createDataFrame(
+            [(run * 10 + i, f"2024-04-0{1 + i % 2}") for i in range(6)],
+            "v long, date string",
+        ).repartition(3)
+        sinks.insert_snapshot(df, path, ("date",))
+    before = {r["v"] for r in spark.read.parquet(path).collect()}
+
+    def racing_appender():
+        sinks.insert_snapshot(
+            spark.createDataFrame(
+                [(500, "2024-04-01"), (501, "2024-04-02")], "v long, date string"
+            ),
+            path,
+            ("date",),
+        )
+
+    sinks.compact_partitions(spark, path, ("date",), _after_stage=racing_appender)
+    after = {r["v"] for r in spark.read.parquet(path).collect()}
+    assert after == before | {500, 501}
+
+
+def test_compact_repair_merges_append_after_completed_swap(spark, tmp_path):
+    """Crash AFTER the staged→live rename but BEFORE the appender-merge:
+    the park holds both the snapshotted originals (already live in
+    compacted form — must be dropped) and a post-snapshot appender file
+    (its only copy — must be merged). The manifest the swap carried into
+    the live dir is the evidence telling them apart."""
+    import os
+    import shutil
+
+    from forgottenlandapp_etl_spark.sources import sinks
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "2024-05-01") for i in range(6)], "v long, date string"
+    ).repartition(2)
+    sinks.insert_snapshot(df, path, ("date",))
+    part = os.path.join(path, "date=2024-05-01")
+    originals = sorted(os.listdir(part))
+
+    # stash copies of the original part files, run a real compaction, then
+    # reconstruct the mid-crash state: park = originals + one appender
+    # file, manifest (listing only the originals) still sitting in live
+    stash = str(tmp_path / "stash")
+    os.makedirs(stash)
+    for f in originals:
+        shutil.copy(os.path.join(part, f), os.path.join(stash, f))
+    sinks.compact_partitions(spark, path, ("date",))
+    parked = path + "__previous"
+    aside = os.path.join(parked, "date=2024-05-01")
+    os.makedirs(aside)
+    for f in originals:
+        shutil.copy(os.path.join(stash, f), os.path.join(aside, f))
+    appender = spark.createDataFrame([(900, "2024-05-01")], "v long, date string")
+    app_dir = str(tmp_path / "app")
+    appender.write.partitionBy("date").parquet(app_dir)
+    app_file = next(
+        f
+        for f in os.listdir(os.path.join(app_dir, "date=2024-05-01"))
+        if f.endswith(".parquet")
+    )
+    shutil.copy(
+        os.path.join(app_dir, "date=2024-05-01", app_file),
+        os.path.join(aside, app_file),
+    )
+    with open(os.path.join(part, "_compaction_snapshot.txt"), "w") as fh:
+        fh.write("\n".join(originals))
+
+    before = {r["v"] for r in spark.read.parquet(path).collect()}
+    sinks.compact_partitions(spark, path, ("date",))
+    after = {r["v"] for r in spark.read.parquet(path).collect()}
+    assert after == before | {900}  # appender merged, originals not doubled
+    assert not os.path.exists(parked)
+
+
+def test_compact_partitions_two_level(spark, tmp_path):
+    """The reference's (period, date) exp-gain-period shape
+    (etl.dart:275-284): nested leaf directories compact, swap, and
+    crash-repair exactly like single-level ones."""
+    import glob
+    import os
+
+    from forgottenlandapp_etl_spark.sources import sinks
+
+    path = str(tmp_path / "t")
+    for run in range(4):
+        df = spark.createDataFrame(
+            [
+                (run * 100 + i, ("week", "month")[i % 2], f"2024-06-0{1 + i % 2}")
+                for i in range(8)
+            ],
+            "v long, period string, date string",
+        ).repartition(4)
+        sinks.insert_snapshot(df, path, ("period", "date"))
+    before = {r["v"] for r in spark.read.parquet(path).collect()}
+    assert len(glob.glob(f"{path}/period=*/date=*/*.parquet")) > 8
+
+    counts = sinks.compact_partitions(spark, path, ("period", "date"))
+    after = {r["v"] for r in spark.read.parquet(path).collect()}
+    assert after == before
+    assert len(glob.glob(f"{path}/period=*/date=*/*.parquet")) <= 2
+    assert counts == {"period=month/date=2024-06-02": 16, "period=week/date=2024-06-01": 16}
+
+    # scoped to the finest column: only that date's leaves rewritten
+    sinks.insert_snapshot(
+        spark.createDataFrame(
+            [(1000 + i, "week", "2024-06-01") for i in range(4)],
+            "v long, period string, date string",
+        ).repartition(4),
+        path,
+        ("period", "date"),
+    )
+    other_before = sorted(glob.glob(f"{path}/period=month/date=2024-06-02/*.parquet"))
+    counts = sinks.compact_partitions(
+        spark, path, ("period", "date"), partitions=["2024-06-01"]
+    )
+    assert list(counts) == ["period=week/date=2024-06-01"]
+    assert sorted(glob.glob(f"{path}/period=month/date=2024-06-02/*.parquet")) == other_before
+    assert len(glob.glob(f"{path}/period=week/date=2024-06-01/*.parquet")) == 1
+    assert {r["v"] for r in spark.read.parquet(path).collect()} == before | {
+        1000,
+        1001,
+        1002,
+        1003,
+    }
+
+    # crash repair over a nested leaf: half-swap with staged evidence
+    parked = path + "__previous"
+    staging = path + "__compacting"
+    rel = os.path.join("period=week", "date=2024-06-01")
+    os.makedirs(os.path.join(parked, "period=week"))
+    os.rename(os.path.join(path, rel), os.path.join(parked, rel))
+    os.makedirs(os.path.join(staging, rel))
+    with open(os.path.join(staging, rel, "junk.parquet"), "w") as fh:
+        fh.write("not parquet")
+    sinks.compact_partitions(spark, path, ("period", "date"))
+    assert {r["v"] for r in spark.read.parquet(path).collect()} == before | {
+        1000,
+        1001,
+        1002,
+        1003,
+    }
+    assert not os.path.exists(staging) and not os.path.exists(parked)
+
+
 # ---------------------------------------------------------------------------
 # sort-clustered writes (data skipping)
 # ---------------------------------------------------------------------------
