@@ -118,9 +118,9 @@ def drain_events_stream(spark: SparkSession, sf_dir: str, transform, name: str) 
                 .start()
             )
             q.awaitTermination()
-            out = spark.createDataFrame(
-                spark.table(qname).collect(), schema=spark.table(qname).schema
-            )
+            # JVM-side materialization (same trick as dedup._drain_to_memory):
+            # no driver→Python row round trip
+            out = spark.table(qname).localCheckpoint(eager=True)
         finally:
             spark.catalog.dropTempView(qname)
             shutil.rmtree(ckpt, ignore_errors=True)

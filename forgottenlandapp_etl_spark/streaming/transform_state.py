@@ -113,9 +113,8 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-            final = spark.createDataFrame(
-                spark.table(qname).collect(), schema=spark.table(qname).schema
-            )
+            # JVM-side materialization (same trick as dedup._drain_to_memory)
+            final = spark.table(qname).localCheckpoint(eager=True)
     finally:
         try:
             spark.catalog.dropTempView(qname)

@@ -84,6 +84,37 @@ def event_time(stream: DataFrame, col: str = "ts") -> Column:
     )
 
 
+#: target state-store volume per shuffle partition when sizing a stateful
+#: drain (see sized_state_partitions)
+STATE_PARTITION_TARGET_BYTES = 8 << 20
+
+
+def sized_state_partitions(spark: SparkSession, input_bytes: int) -> int:
+    """Shuffle-partition count for a STATEFUL streaming query, sized by
+    input volume instead of core count.
+
+    Unlike batch shuffles — where AQE coalesces small partitions at
+    runtime — streaming state stores are instantiated one per shuffle
+    partition per stateful operator AT QUERY START and keep that layout
+    for the checkpoint's lifetime; a stream-stream join holds FOUR stores
+    per partition. Profiled on the sf0.1 drain (tools/profile_streaming.py):
+    at 32 partitions the outer-join spends 60-89 s of cumulative task time
+    purely in state-store commits (128 store instance lifecycles per
+    micro-batch) for 11.2 s wall; at 4-8 partitions the same query is
+    2.5-3.7 s with identical output. The rule: one partition per
+    ~8 MB of input, floored at 4 (parallelism safety), capped at the
+    session's configured shuffle partitions — so a 100 TB landing
+    directory still gets the full cluster-sized layout and only
+    fixture-scale drains shed the per-instance overhead.
+    """
+    try:
+        configured = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        configured = 200
+    by_bytes = -(-max(input_bytes, 1) // STATE_PARTITION_TARGET_BYTES)  # ceil
+    return max(4, min(configured, by_bytes)) if configured >= 4 else configured
+
+
 @contextlib.contextmanager
 def staged_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
@@ -92,11 +123,15 @@ def staged_events_stream(
 
     Yields the streaming DataFrame (original columns + ``ets`` TIMESTAMP);
     the symlink staging dir lives for the duration of the with-block — run
-    the (blocking) availableNow drain inside it.
-    """
+    the (blocking) availableNow drain inside it. The session's shuffle
+    partitions are scoped DOWN to :func:`sized_state_partitions` for the
+    duration of the block (state stores are laid out one per shuffle
+    partition at query start — the conf is restored on exit and batch
+    plans elsewhere never see it)."""
     path = os.path.join(sf_dir, "events.parquet")
     schema = events_stream_schema(path)
     _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+    _PARTS_CONF = "spark.sql.shuffle.partitions"
     prev_nanos: str | None = None
     needs_nanos = "ts BIGINT" in schema
     if needs_nanos:
@@ -105,6 +140,10 @@ def staged_events_stream(
         # session aren't silently re-decoded as long
         prev_nanos = spark.conf.get(_NANOS_CONF, None)
         spark.conf.set(_NANOS_CONF, "true")
+    prev_parts = spark.conf.get(_PARTS_CONF, None)
+    spark.conf.set(
+        _PARTS_CONF, str(sized_state_partitions(spark, os.path.getsize(path)))
+    )
     src = tempfile.mkdtemp(prefix="stream_src_")
     os.symlink(path, os.path.join(src, "events.parquet"))
     try:
@@ -115,6 +154,10 @@ def staged_events_stream(
         yield stream.withColumn("ets", event_time(stream))
     finally:
         shutil.rmtree(src, ignore_errors=True)
+        if prev_parts is None:
+            spark.conf.unset(_PARTS_CONF)
+        else:
+            spark.conf.set(_PARTS_CONF, prev_parts)
         if needs_nanos:
             if prev_nanos is None:
                 spark.conf.unset(_NANOS_CONF)

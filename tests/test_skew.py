@@ -102,6 +102,105 @@ def test_salted_join_spreads_the_hot_key(spark, no_broadcast):
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old)
 
 
+def _zipf_left(spark):
+    """events at sf0.1 re-keyed to a power-law (zipf-like) distribution:
+    a deterministic md5-derived uniform is raised to the 5th power, so
+    rank-0 holds ~25% of all rows ((1/1000)^(1/5) ≈ 0.251), rank-1 ~4%,
+    and the tail thins out zipf-style — the many-keys-skewed shape real
+    workloads have, vs. the single manufactured hot key above."""
+    ev = catalog.table(spark, SF01, "events").select("event_id", "user_id", "value")
+    u = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("double") / F.lit(float(2**60))
+    return ev.withColumn("k", F.floor(F.pow(u, 5) * 1000).cast("long"))
+
+
+def test_zipf_fixture_is_really_skewed(spark):
+    """The premise the next two tests rest on: the generated key column
+    has one key holding ≥20% of all rows."""
+    left = _zipf_left(spark)
+    total = left.count()
+    top = left.groupBy("k").count().orderBy(F.desc("count")).first()
+    assert top["k"] == 0
+    assert top["count"] >= 0.20 * total
+
+
+def test_salted_join_balances_zipf_keys(spark, no_broadcast):
+    """Salted join on the zipf fixture: exact equality with the plain
+    join, and the dominant key's rows spread across many physical
+    partitions with the same task-balance bound as the single-hot-key
+    test — the salting must survive a realistic power-law, not just a
+    manufactured constant."""
+    old = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        left, dim = _zipf_left(spark), _dim(spark)
+        agg = lambda df: df.agg(  # noqa: E731
+            F.count(F.lit(1)).alias("n"),
+            F.sum("w").alias("sw"),
+            F.sum(F.col("value").cast("decimal(38,2)")).alias("sv"),
+            F.sum(F.hash("event_id", "k", "w").cast("long")).alias("rowsig"),
+        ).collect()[0]
+        out = joins.salted_join(left, dim, "k", salt_buckets=BUCKETS)
+        assert agg(out) == agg(left.join(dim, on="k"))
+        per_part = (
+            out.where(F.col("k") == 0)
+            .withColumn("p", F.spark_partition_id())
+            .groupBy("p")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        counts = {r["p"]: r["n"] for r in per_part}
+        total = sum(counts.values())
+        assert total > 15_000
+        assert len(counts) >= min(BUCKETS, 8)
+        assert max(counts.values()) < 0.5 * total
+        import statistics
+
+        assert max(counts.values()) <= 4 * statistics.median(counts.values())
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old)
+
+
+def test_aqe_skew_split_engages_on_zipf_join(spark, no_broadcast):
+    """The OTHER skew defense the engine claims (session.py enables
+    adaptive.skewJoin): AQE must actually subdivide the oversized
+    partition on this fixture. Thresholds are scaled down to fixture
+    bytes (defaults are 256 MB-class, sized for clusters); the assertion
+    is the executed plan carrying a skew=true sort-merge join."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionNum": "1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # repartition(10) gives the join shuffle real MAPPERS: AQE splits
+        # a skewed reduce partition at mapper-chunk granularity, and the
+        # sf0.1 events parquet is one row group = one mapper, which makes
+        # every reduce partition unsplittable (a fixture artifact — at
+        # cluster scale the map side is always many tasks). Diagnosed via
+        # OptimizeSkewedJoin debug logs: skew was DETECTED but yielded
+        # "number of skewed partitions: 0" until the map side was split.
+        left, dim = _zipf_left(spark).repartition(10), _dim(spark)
+        # a genuinely shuffled-both-sides join (broadcast disabled by the
+        # fixture), so the probe side's zipf partition is AQE's to split
+        joined = left.join(dim, on="k")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_plain_join_concentrates_the_hot_key(spark, no_broadcast):
     """Control: without salting, the hot key is one shuffle partition —
     the straggler the salted path exists to remove."""
