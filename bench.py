@@ -98,6 +98,14 @@ HEADLINE = [
     "text_chunk_overlap",
     "quality_bigram_lm",
     "stream_static_enrich",
+    # round 5 additions: the newly hash-verified training/packing entries
+    # and the remaining stateful-stream shapes the state-partition sizing
+    # (SCALE.md rule 9) was built for
+    "bpe_train_merges",
+    "bpe_encode_corpus",
+    "pipeline_pack_ffd",
+    "stream_dedup_keys",
+    "stream_stream_join",
 ]
 
 

@@ -53,6 +53,17 @@ def _emb(spark, sf_dir, fan_out: bool = False):
     return e.select("vec_id", similarity.as_double(F.col("embedding")).alias("v"))
 
 
+def _parquet_rows(sf_dir, table: str) -> int:
+    """Exact table row count from the parquet FOOTER — no Spark job; the
+    'parquet row-count metadata' path kmeans_centroids' corpus_rows
+    parameter exists for (spread/select transforms are row-preserving)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
+
+
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB)
 # ---------------------------------------------------------------------------
@@ -1029,14 +1040,55 @@ def bpe_pair_counts(spark, sf_dir):
     )
 
 
-@ext_query("bpe_train_merges")  # iterative: rows-only, golden-tested
+def _bpe_train_oracle(rounds: int = 4) -> str:
+    """The k-round BPE trainer UNROLLED: round k's CTE trio computes the
+    weighted pair counts over the round-(k−1) vocabulary, picks the argmax
+    under the same (n desc, left, right) tiebreak the Spark loop uses, and
+    rewrites every word with the chained-replace merge trick shared with
+    _bpe_encode_oracle (chars joined by double spaces; replace() resumes
+    after each hit = the fold's greedy non-overlap rule). Four rounds of
+    loop-carried state, previously written off as 'not reasonably
+    expressible' — it is, for a fixed k."""
+    parts = [
+        """
+    WITH v0 AS (
+      SELECT array_to_string(string_split(word, ''), '  ') AS s, freq
+      FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE word <> '' GROUP BY word)
+    )"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+    p{k} AS (
+      SELECT cs[i] AS l, cs[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS n
+      FROM (SELECT string_split(s, '  ') AS cs, freq FROM v{k - 1}),
+           UNNEST(generate_series(1, len(cs) - 1)) AS g(i)
+      WHERE len(cs) >= 2
+      GROUP BY 1, 2
+    ),
+    m{k} AS (SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1),
+    v{k} AS (
+      SELECT replace(s, (SELECT l || '  ' || r FROM m{k}),
+                        (SELECT l || r FROM m{k})) AS s, freq
+      FROM v{k - 1}
+    )""")
+    sel = "\n    UNION ALL ".join(
+        f"SELECT CAST({k - 1} AS INT) AS iteration, l AS left_sym,"
+        f" r AS right_sym, n FROM m{k}"
+        for k in range(1, rounds + 1)
+    )
+    return "".join(parts) + "\n    " + sel
+
+
+@ext_query("bpe_train_merges", _bpe_train_oracle())
 def bpe_train_merges(spark, sf_dir):
     """BPE tokenizer training, k=4 merge rounds: per round one vocab-sized
     pair aggregate, a driver-side argmax scalar, and a JVM array-fold
     rewrite of the vocab (localCheckpoint per round — the connected-
-    components iteration discipline). No SQL oracle (k chained greedy
-    rewrites aren't reasonably expressible in one DuckDB query); pinned
-    instead by a golden test against a pure-Python reference BPE
+    components iteration discipline). Hash-exact since round 5 against an
+    oracle that unrolls the k rounds as chained CTEs (_bpe_train_oracle);
+    also pinned by a golden test against a pure-Python reference BPE
     (tests/test_extensions.py::test_bpe_matches_reference)."""
     from ..operators import bpe
 
@@ -1587,7 +1639,8 @@ def sim_ivf_kmeans_topk(spark, sf_dir):
     tests/test_extensions.py::test_kmeans_ivf_recall."""
     e = _emb(spark, sf_dir, fan_out=True)
     cent = similarity.kmeans_centroids(
-        e, k=8, vec_col="v", seed=42, max_iter=8, init_mode="random"
+        e, k=8, vec_col="v", seed=42, max_iter=8, init_mode="random",
+        corpus_rows=_parquet_rows(sf_dir, "embeddings"),
     )
     q = e.where(F.col("vec_id") % 50 == 0)
     return similarity.ivf_topk(e, q, cent, k=5, nprobe=2)
@@ -1601,7 +1654,8 @@ def emb_near_dup_kmeans(spark, sf_dir):
     form is property-bounded in tests/test_extensions.py."""
     e = _emb(spark, sf_dir, fan_out=True)
     cent = similarity.kmeans_centroids(
-        e, k=8, vec_col="v", seed=42, max_iter=8, init_mode="random"
+        e, k=8, vec_col="v", seed=42, max_iter=8, init_mode="random",
+        corpus_rows=_parquet_rows(sf_dir, "embeddings"),
     )
     return similarity.near_dup_pairs_bucketed(e, cent, threshold=0.4)
 

@@ -232,3 +232,33 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
     assert landed() == want_all
     online.run_stream(spark, src, out, ckpt)  # nothing new: must be a no-op
     assert landed() == want_all
+
+
+def test_sized_state_partitions_bounds(spark):
+    """SCALE.md rule 9: state partitions scale with input bytes — floored
+    at 4, capped at the session's configured shuffle partitions (so a
+    cluster-sized conf wins at cluster-sized inputs), and a sub-4 conf is
+    respected verbatim."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        assert ts.sized_state_partitions(spark, 1) == 4
+        assert ts.sized_state_partitions(spark, 2_000_000) == 4  # sf0.1 events
+        assert ts.sized_state_partitions(spark, 100 << 20) == 13  # ceil(100/8)
+        assert ts.sized_state_partitions(spark, 10 << 30) == 32  # conf-capped
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        assert ts.sized_state_partitions(spark, 10 << 30) == 2
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_staged_stream_scopes_and_restores_shuffle_conf(spark, sf_dir):
+    """The sized layout applies only INSIDE the staging context: batch
+    plans before/after see the session's own shuffle-partition conf."""
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with ts.staged_events_stream(spark, sf_dir):
+        # the fixture events file is well under one 8 MB target, so the
+        # sized layout is the floor: min(configured, 4)
+        assert int(spark.conf.get(key)) == min(int(before), 4)
+    assert spark.conf.get(key) == before
