@@ -93,22 +93,72 @@ def merge_pair(syms: Column, left: str, right: str) -> Column:
     return F.aggregate(syms, init, step, lambda acc: acc["arr"])
 
 
+def _train_merges_local(
+    word_freq: dict[str, int], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Sequential BPE over a driver-held (word, freq) dict — the identical
+    algorithm, tiebreak, and greedy non-overlap convention as the
+    distributed tier (both are pinned equal to each other and to the
+    test-suite reference by tests/test_extensions.py)."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, f in word_freq.items():
+        k = tuple(w)
+        vocab[k] = vocab.get(k, 0) + f
+    merges: list[tuple[int, str, str, int]] = []
+    for it in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (left, right), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((it, left, right, n))
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, f in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            k = tuple(out)
+            new_vocab[k] = new_vocab.get(k, 0) + f
+        vocab = new_vocab
+    return merges
+
+
 def train_merges(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 4,
+    driver_vocab_limit: int = 100_000,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges over the corpus' word-frequency table.
 
     Returns [(iteration, left_sym, right_sym, pair_count), …]. One corpus
-    pass builds the vocab; each round is a vocab-sized aggregate + argmax
-    (driver scalar, like the components convergence probe) + fold rewrite,
-    localCheckpointed to keep lineage flat across rounds."""
-    vocab = (
-        word_vocab(df, text_col)
-        .select(F.split(F.col("word"), "").alias("syms"), "freq")
-        .localCheckpoint(eager=True)
-    )
+    pass builds the vocab; training then runs TWO-TIER by the vocabulary's
+    MEASURED size (the SCALE.md rule-8 discipline, same as PageRank /
+    connected components): at or below ``driver_vocab_limit`` distinct
+    words the k merge rounds run sequentially on the driver-collected
+    (word, freq) dict — the relation is vocab-sized by construction, the
+    rounds are pure dict arithmetic, and the k×3 Spark jobs of the
+    distributed loop (~1.5 s of pure scheduling at any data size) drop to
+    one collect. Above the limit, each round is a vocab-sized aggregate +
+    argmax (driver scalar, like the components convergence probe) + fold
+    rewrite, localCheckpointed to keep lineage flat across rounds. Both
+    tiers are asserted equal (tests/test_extensions.py); 0 disables the
+    driver tier."""
+    base = word_vocab(df, text_col).localCheckpoint(eager=True)
+    if driver_vocab_limit and base.count() <= driver_vocab_limit:
+        return _train_merges_local(
+            {r["word"]: r["freq"] for r in base.collect()}, n_merges
+        )
+    vocab = base.select(F.split(F.col("word"), "").alias("syms"), "freq")
     merges: list[tuple[int, str, str, int]] = []
     for it in range(n_merges):
         top = (

@@ -610,8 +610,12 @@ def test_bpe_matches_reference(spark, sf_dir):
         if w != ""
     )
     expected = _reference_bpe(dict(words), n_merges=6)
-    got = bpe.train_merges(d, "text", n_merges=6)
+    got = bpe.train_merges(d, "text", n_merges=6)  # driver tier (small vocab)
     assert got == expected
+    # rule-8 two-tier contract: forcing the distributed loop must learn
+    # the identical merge sequence the driver tier (and the reference) did
+    distributed = bpe.train_merges(d, "text", n_merges=6, driver_vocab_limit=0)
+    assert distributed == expected
 
     # applying the learned merges shrinks the token stream and never
     # produces a symbol outside {chars} ∪ {merged pairs}
