@@ -417,6 +417,13 @@ def kmeans_centroids(
     ``mapInPandas`` pass — every partition of the corpus contributes
     equally, each task reads only its cap, and the result is deterministic
     for a fixed physical plan (the determinism the centroid tests pin).
+    The head cap trades the Bernoulli sample's unbiasedness for bounded
+    work: on a corpus whose partitions are clustered by the embedding
+    (e.g. written in similarity order) the prefix rows skew the training
+    set — callers with such layouts should pass ``corpus_rows`` and take
+    the seeded Bernoulli path. If sparse partitions under-fill the cap
+    below max(20·k, target/2), the code falls back to the exact-count +
+    Bernoulli path so the k-centroid contract survives any layout.
     The 20·k floor keeps a small ``train_rows`` from breaking the
     k-centroid contract. 0 disables sampling entirely."""
     from pyspark.ml.clustering import KMeans
@@ -428,7 +435,10 @@ def kmeans_centroids(
             if corpus_rows > target:
                 corpus = corpus.sample(fraction=target / corpus_rows, seed=seed)
         elif corpus.limit(target + 1).count() > target:
-            nparts = max(1, corpus.rdd.getNumPartitions())
+            # JVM-side split count — df.rdd would build the Python-
+            # serialization RDD conversion just to read a number (the
+            # catalog.spread idiom)
+            nparts = max(1, corpus._jdf.rdd().getNumPartitions())
             per_part = -(-target // nparts)  # ceil
 
             def _head(batches):
@@ -440,7 +450,19 @@ def kmeans_centroids(
                     seen += len(pdf)
                     yield pdf
 
-            corpus = corpus.mapInPandas(_head, corpus.schema)
+            capped = corpus.mapInPandas(_head, corpus.schema)
+            # sparse/uneven partitions can under-fill the head cap; the
+            # k-centroid contract needs a real training set, so the RARE
+            # under-filled case falls back to the exact count + Bernoulli
+            # path rather than training on too little (one bounded job —
+            # capped reads at most per_part rows per partition)
+            n_capped = capped.count()
+            if n_capped >= max(20 * k, target // 2):
+                corpus = capped
+            else:
+                n = corpus.count()
+                if n > target:
+                    corpus = corpus.sample(fraction=target / n, seed=seed)
     feats = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
     model = KMeans(k=k, seed=seed, maxIter=max_iter, initMode=init_mode).fit(feats)
     centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]

@@ -1040,19 +1040,41 @@ def bpe_pair_counts(spark, sf_dir):
     )
 
 
+#: SQL fragment: a word's symbols as a WRAPPED string — every symbol is
+#: chr(2)||sym||chr(3) (STX/ETX, absent from any plain-text corpus), so a
+#: merge needle matches ONLY two complete adjacent symbols: nothing can
+#: match across a symbol boundary (the round-5 review found the earlier
+#: shared-delimiter form merged 't a' out of 'st a'), and because each
+#: symbol carries its OWN boundary pair, back-to-back merges in a run
+#: ('aaaa' + (a,a) → [aa, aa]) still match after replace() resumes.
+#: Validated case-by-case against the merge_pair fold semantics
+#: (tests/test_extensions.py::test_bpe_oracles_on_adversarial_corpus).
+_BPE_WRAP = (
+    "array_to_string(list_transform(string_split({w}, ''),"
+    " c -> chr(2) || c || chr(3)), '')"
+)
+#: unwrap back to a token list: strip the outer STX/ETX, split on ETX·STX
+_BPE_UNWRAP = "string_split(substring({s}, 2, length({s}) - 2), chr(3) || chr(2))"
+
+
 def _bpe_train_oracle(rounds: int = 4) -> str:
     """The k-round BPE trainer UNROLLED: round k's CTE trio computes the
     weighted pair counts over the round-(k−1) vocabulary, picks the argmax
     under the same (n desc, left, right) tiebreak the Spark loop uses, and
-    rewrites every word with the chained-replace merge trick shared with
-    _bpe_encode_oracle (chars joined by double spaces; replace() resumes
-    after each hit = the fold's greedy non-overlap rule). Four rounds of
-    loop-carried state, previously written off as 'not reasonably
-    expressible' — it is, for a fixed k."""
+    rewrites every word with the WRAPPED-SYMBOL chained-replace merge
+    shared with _bpe_encode_oracle (every symbol carries its own STX/ETX
+    boundary pair, so a needle can only match two complete adjacent
+    symbols and replace() reproduces the fold's greedy non-overlap rule —
+    the round-5 review showed the earlier shared-delimiter form corrupted
+    words like 'sta' across rounds). Four rounds of loop-carried state,
+    previously written off as 'not reasonably expressible' — it is, for a
+    fixed k."""
+    unwrap = _BPE_UNWRAP.format(s="s")
+    wrap_word = _BPE_WRAP.format(w="word")
     parts = [
-        """
+        f"""
     WITH v0 AS (
-      SELECT array_to_string(string_split(word, ''), '  ') AS s, freq
+      SELECT {wrap_word} AS s, freq
       FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
             WHERE word <> '' GROUP BY word)
@@ -1062,15 +1084,16 @@ def _bpe_train_oracle(rounds: int = 4) -> str:
         parts.append(f""",
     p{k} AS (
       SELECT cs[i] AS l, cs[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS n
-      FROM (SELECT string_split(s, '  ') AS cs, freq FROM v{k - 1}),
+      FROM (SELECT {unwrap} AS cs, freq FROM v{k - 1}),
            UNNEST(generate_series(1, len(cs) - 1)) AS g(i)
       WHERE len(cs) >= 2
       GROUP BY 1, 2
     ),
     m{k} AS (SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1),
     v{k} AS (
-      SELECT replace(s, (SELECT l || '  ' || r FROM m{k}),
-                        (SELECT l || r FROM m{k})) AS s, freq
+      SELECT replace(s,
+               chr(2) || (SELECT l FROM m{k}) || chr(3) || chr(2) || (SELECT r FROM m{k}) || chr(3),
+               chr(2) || (SELECT l || r FROM m{k}) || chr(3)) AS s, freq
       FROM v{k - 1}
     )""")
     sel = "\n    UNION ALL ".join(
@@ -1119,16 +1142,19 @@ BPE_FROZEN_MERGES: tuple[tuple[str, str], ...] = (
 
 def _bpe_encode_oracle() -> str:
     """Greedy left-to-right non-overlapping BPE merge as chained string
-    replaces: each word's chars joined by a DOUBLE space, then every merge
-    (l, r) is ``replace('l  r' → 'lr')`` — replace() scans left-to-right
-    and resumes AFTER each replacement, which reproduces the fold's
-    non-overlap rule exactly (``a a a`` + (a,a) → ``aa  a``, never
-    ``aa aa`` overlap); the double-space delimiter means a match always
-    consumes whole symbols. list_transform keeps per-doc word order
-    without an unnest/re-aggregate round trip."""
-    expr = "array_to_string(string_split(w, ''), '  ')"
+    replaces over the wrapped-symbol form (see _BPE_WRAP): every merge
+    (l, r) is ``replace(STX·l·ETX·STX·r·ETX → STX·lr·ETX)`` — replace()
+    scans left-to-right and resumes AFTER each replacement, which
+    reproduces the fold's non-overlap rule exactly. list_transform keeps
+    per-doc word order without an unnest/re-aggregate round trip."""
+    expr = _BPE_WRAP.format(w="w")
     for left, right in BPE_FROZEN_MERGES:
-        expr = f"replace({expr}, '{left}  {right}', '{left}{right}')"
+        l, r = left.replace("'", "''"), right.replace("'", "''")
+        expr = (
+            f"replace({expr}, chr(2) || '{l}' || chr(3) || chr(2) || '{r}' || chr(3),"
+            f" chr(2) || '{l}{r}' || chr(3))"
+        )
+    toks = _BPE_UNWRAP.format(s=expr)
     return f"""
     SELECT doc_id,
            array_to_string(toks, ',') AS tokens_csv,
@@ -1137,7 +1163,7 @@ def _bpe_encode_oracle() -> str:
       SELECT doc_id,
              flatten(list_transform(
                list_filter(string_split(text, ' '), w -> w <> ''),
-               w -> string_split({expr}, '  ')
+               w -> {toks}
              )) AS toks
       FROM documents
     )

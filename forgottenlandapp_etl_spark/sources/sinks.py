@@ -314,15 +314,33 @@ def compact_partitions(
                 shutil.rmtree(src)
     # legacy debris from the earlier in-path swap scheme (single-level
     # tables only): a '<part>__old' dir INSIDE the table path is read by
-    # partition discovery as a bogus extra partition. Its files are the
-    # partition's pre-swap originals — merge them into the live dir if an
-    # appender recreated it (they may be that data's only copy), else
-    # restore the dir outright.
+    # partition discovery as a bogus extra partition. When the live dir is
+    # MISSING the state is unambiguous (crash before the staged rename) and
+    # the debris is restored. When the live dir EXISTS the old scheme left
+    # no evidence to decide with: after a completed swap the live dir holds
+    # the same rows (merging would double-read every one of them), after an
+    # appender-recreated dir it holds different rows (deleting would lose
+    # the only copy) — the manifest scheme below exists precisely because
+    # of this. So the debris is QUARANTINED to a sibling dir outside the
+    # table path: no phantom partition, no silent loss, no double-read;
+    # reconciliation is an audited manual step.
     if os.path.isdir(path):
         for entry in sorted(os.listdir(path)):
             if not (entry.startswith(f"{partition_cols[0]}=") and entry.endswith("__old")):
                 continue
-            merge_dir_into(os.path.join(path, entry), os.path.join(path, entry[: -len("__old")]))
+            live = os.path.join(path, entry[: -len("__old")])
+            src = os.path.join(path, entry)
+            if os.path.exists(live):
+                quarantine = path.rstrip("/") + "__legacy_quarantine"
+                os.makedirs(quarantine, exist_ok=True)
+                dst = os.path.join(quarantine, entry)
+                suffix = 0
+                while os.path.exists(dst):
+                    suffix += 1
+                    dst = os.path.join(quarantine, f"{entry}.{suffix}")
+                os.rename(src, dst)
+            else:
+                os.rename(src, live)
     if os.path.exists(staging):
         shutil.rmtree(staging)  # table is whole again; redo from scratch
     # SNAPSHOT the live file lists and compact exactly those files: any
@@ -384,9 +402,16 @@ def compact_partitions(
             os.makedirs(os.path.dirname(live) or path, exist_ok=True)
             os.rename(os.path.join(staging, rel), live)
         except OSError:
-            if os.path.exists(aside):
-                os.rename(aside, live)  # roll this partition back
-            raise
+            if os.path.isdir(live):
+                # an appender recreated the live dir in the instant between
+                # the park rename and this one — a directory rename (and the
+                # rollback rename) would both fail on the non-empty dir, so
+                # fold the staged files in alongside the appender's instead
+                merge_dir_into(os.path.join(staging, rel), live)
+            else:
+                if os.path.exists(aside):
+                    os.rename(aside, live)  # roll this partition back
+                raise
         if os.path.exists(aside):
             # appender files that landed after the snapshot are only in the
             # park — carry them into the new live dir before dropping it

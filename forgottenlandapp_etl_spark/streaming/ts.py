@@ -89,6 +89,25 @@ def event_time(stream: DataFrame, col: str = "ts") -> Column:
 STATE_PARTITION_TARGET_BYTES = 8 << 20
 
 
+def input_bytes(path: str) -> int:
+    """Total data bytes of a parquet file OR directory. ``os.path.getsize``
+    on a directory returns the directory inode (~4 KB) — which would size a
+    terabyte landing dir at the 4-partition floor — so directories are
+    walked and their non-hidden files summed."""
+    if not os.path.isdir(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def sized_state_partitions(spark: SparkSession, input_bytes: int) -> int:
     """Shuffle-partition count for a STATEFUL streaming query, sized by
     input volume instead of core count.
@@ -142,7 +161,7 @@ def staged_events_stream(
         spark.conf.set(_NANOS_CONF, "true")
     prev_parts = spark.conf.get(_PARTS_CONF, None)
     spark.conf.set(
-        _PARTS_CONF, str(sized_state_partitions(spark, os.path.getsize(path)))
+        _PARTS_CONF, str(sized_state_partitions(spark, input_bytes(path)))
     )
     src = tempfile.mkdtemp(prefix="stream_src_")
     os.symlink(path, os.path.join(src, "events.parquet"))

@@ -199,9 +199,11 @@ def test_compact_partitions_recovers_from_crash_debris(spark, tmp_path):
     wrote to the recreated live dir in the gap; (b) a parked original
     with NO staged copy (swap completed, killed before cleanup) must be
     dropped, never double-read; (c) legacy in-path '<part>__old' debris
-    must be removed so partition discovery can't read a phantom
-    partition; (d) the stale staging dir is discarded and rebuilt from
-    the repaired table."""
+    must leave the table path so partition discovery can't read a phantom
+    partition — restored when the live dir is missing, quarantined (not
+    merged: double-read; not dropped: possible loss) when it exists;
+    (d) the stale staging dir is discarded and rebuilt from the repaired
+    table."""
     import os
     import shutil
 
@@ -247,6 +249,13 @@ def test_compact_partitions_recovers_from_crash_debris(spark, tmp_path):
     assert not os.path.exists(staging)
     assert not os.path.exists(parked)
     assert not os.path.exists(os.path.join(path, "date=2024-03-02__old"))
+    # the live-dir-exists legacy state is undecidable (same rows after a
+    # completed swap, different rows after an appender recreate) — the
+    # debris must be QUARANTINED outside the table path, not merged
+    # (double-read) or dropped (possible loss)
+    assert os.path.isdir(
+        os.path.join(path + "__legacy_quarantine", "date=2024-03-02__old")
+    )
 
 
 def test_compact_preserves_concurrent_append_on_success_path(spark, tmp_path):

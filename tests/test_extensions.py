@@ -1047,3 +1047,49 @@ def test_chunk_overlap_covers_every_token(spark, sf_dir):
             assert r["n_tokens"] == min(16, n - r["start_tok"])
             assert len(r["chunk"].split(" ")) == r["n_tokens"]
         assert covered == n
+
+
+def test_bpe_oracles_on_adversarial_corpus(spark, tmp_path):
+    """Round-5 review regression: the BPE oracles' chained-replace merge
+    must match the Spark fold on words where a merge needle could match
+    ACROSS a symbol boundary ('stack': after (s,t) the old shared-
+    delimiter oracle merged the 't a' spanning 'st|a') and on same-symbol
+    runs — the fixture corpus happens to contain neither, so only this
+    crafted corpus exercises them."""
+    import duckdb
+    import pandas as pd
+
+    from forgottenlandapp_etl_spark.plans import extension_queries as X
+
+    texts = [
+        "stack stand most winner stage",   # boundary hazard after (s,t)
+        "ermine tatami merge mermer",       # chained (m,er) + (t,a) runs
+        "station tastata start",            # repeated hazards in one word
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+
+    got_e = sorted(
+        (r["doc_id"], r["tokens_csv"], r["n_bpe_tokens"])
+        for r in X.bpe_encode_corpus(spark, str(tmp_path)).collect()
+    )
+    want_e = sorted(map(tuple, con.sql(X._bpe_encode_oracle()).fetchall()))
+    assert got_e == want_e
+
+    got_t = [
+        (r["iteration"], r["left_sym"], r["right_sym"], r["n"])
+        for r in X.bpe_train_merges(spark, str(tmp_path)).collect()
+    ]
+    want_t = sorted(map(tuple, con.sql(X._bpe_train_oracle()).fetchall()))
+    assert sorted(got_t) == want_t

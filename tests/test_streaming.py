@@ -262,3 +262,21 @@ def test_staged_stream_scopes_and_restores_shuffle_conf(spark, sf_dir):
         # sized layout is the floor: min(configured, 4)
         assert int(spark.conf.get(key)) == min(int(before), 4)
     assert spark.conf.get(key) == before
+
+
+def test_input_bytes_walks_directories(tmp_path):
+    """os.path.getsize on a directory returns the inode size (~4 KB) —
+    input_bytes must sum the real data files so a multi-file landing dir
+    doesn't collapse the state layout to the 4-partition floor."""
+    import os
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    for i in range(3):
+        (d / f"part-{i}.parquet").write_bytes(b"x" * 10_000)
+    (d / "_SUCCESS").write_bytes(b"")
+    (d / ".crc").write_bytes(b"y" * 5_000)
+    assert ts.input_bytes(str(d)) == 30_000  # hidden/_ files excluded
+    f = tmp_path / "single.parquet"
+    f.write_bytes(b"z" * 1234)
+    assert ts.input_bytes(str(f)) == 1234

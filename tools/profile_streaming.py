@@ -138,12 +138,17 @@ def sessions_stream(spark, sf_dir):
 def main():
     spark = build_session(app_name="profile-streaming")
     for parts in (32, 8, 4, 1):
-        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         for label, builder in (
             ("left_join", left_join_stream),
             ("sessions", sessions_stream),
         ):
             sdf, ctx = builder(spark, SF)
+            # AFTER the staging context is entered: staged_events_stream
+            # applies sized_state_partitions on entry, which would clamp
+            # every sweep leg to the sized value — the whole point of this
+            # tool is to measure the un-sized grid, so override it here
+            # (state layout is fixed at query START, i.e. inside the drain)
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
             try:
                 # warm run then measured run, matching bench policy
                 r = drain_profiled(sdf, f"{label}_w")
