@@ -463,8 +463,18 @@ def kmeans_centroids(
                 n = corpus.count()
                 if n > target:
                     corpus = corpus.sample(fraction=target / n, seed=seed)
-    feats = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=k, seed=seed, maxIter=max_iter, initMode=init_mode).fit(feats)
+    from pyspark import StorageLevel
+
+    # persist the training relation: every Lloyd iteration is a job over
+    # feats, and without this each one re-runs the scan→sample/head-cap→
+    # array_to_vector chain (MLlib's own "input not cached" warning)
+    feats = corpus.select(array_to_vector(F.col(vec_col)).alias("features")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        model = KMeans(k=k, seed=seed, maxIter=max_iter, initMode=init_mode).fit(feats)
+    finally:
+        feats.unpersist()
     centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     spark = corpus.sparkSession
     return spark.createDataFrame(

@@ -1157,7 +1157,11 @@ def _bpe_encode_oracle() -> str:
     toks = _BPE_UNWRAP.format(s=expr)
     return f"""
     SELECT doc_id,
-           array_to_string(toks, ',') AS tokens_csv,
+           -- DuckDB's array_to_string([]) is NULL where Spark's
+           -- array_join([]) is '' (empty documents tokenize to zero
+           -- tokens) — found by the adversarial-corpus test, invisible
+           -- to the fixture gate
+           COALESCE(array_to_string(toks, ','), '') AS tokens_csv,
            CAST(len(toks) AS BIGINT) AS n_bpe_tokens
     FROM (
       SELECT doc_id,
@@ -1448,7 +1452,7 @@ def stream_stream_left_join(spark, sf_dir):
     WITH o AS (
       SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
-                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE  -- STRICT: Spark's session_window merges an event landing EXACTLY at the session end (inclusive boundary; probed empirically, pinned by the adversarial-corpus test)
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -359,7 +359,7 @@ def wx_range_frame(spark, sf_dir):
     WITH o AS (
       SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
-                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE  -- STRICT: Spark's session_window merges an event landing EXACTLY at the session end (inclusive boundary; probed empirically, pinned by the adversarial-corpus test)
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -413,8 +413,12 @@ def agg_session_windows(spark, sf_dir):
       FROM events GROUP BY event_type
     )
     SELECT event_type, n,
+           -- NULLIF: a zero-variance group (single row, constant values)
+           -- has no defined correlation — NULL in both engines, matching
+           -- the plan's try_divide (Spark ANSI raises on /0 otherwise)
            (n * sxy - sx * sy)
-             / (sqrt(n * sxx - sx * sx) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             / NULLIF(sqrt(n * sxx - sx * sx)
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0)
              AS corr_vk
     FROM s
     """,
@@ -439,12 +443,15 @@ def agg_corr_stats(spark, sf_dir):
     return s.select(
         "event_type",
         "n",
-        (
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / (
-                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-                * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
-            )
+        # try_divide: a zero-variance group (single row, constant values)
+        # must yield NULL, not an ANSI DIVIDE_BY_ZERO — found by the
+        # adversarial-corpus test, unreachable on the fixture
+        F.try_divide(
+            F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+            F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * F.sqrt(
+                (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+            ),
         ).alias("corr_vk"),
     )
 

@@ -1,0 +1,263 @@
+"""Fixture-blind-spot hunting for the documents-family oracles.
+
+Round-5 review lesson: the BPE encode oracle was WRONG for ordinary words
+('stack' tokenized across a symbol boundary) yet hash-passed every gate,
+because the fixture corpus happens to contain no hazard word. The gate
+proves Spark == oracle ON THE FIXTURE; this module re-proves it on a
+crafted corpus packed with the edge shapes synthetic fixtures avoid —
+empty/whitespace-only text, double-space empty tokens, unicode,
+punctuation, single-char and 200-char words, same-symbol runs, exact and
+near duplicates, boundary-hazard words — for every registry entry whose
+plan and oracle read only the documents table.
+
+A divergence here is a REAL bug in either the plan or the oracle even
+though the driver gate is green.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from forgottenlandapp_etl_spark.plans.registry import ORACLE, QUERIES
+
+from .oracle import compare
+
+TEXTS = [
+    "stack stand most winner stage",        # BPE boundary-hazard words
+    "station tastata start",                # repeated hazards in one word
+    "aaaa aaaaa aa a",                      # same-symbol runs
+    "the the the the the",                  # heavy token repetition
+    "héllo wörld 中文 слова",               # non-ASCII
+    "end. end, end! (end) \"end\"",         # punctuation variants
+    "x",                                    # single 1-char token
+    "",                                     # empty document
+    " ",                                    # whitespace-only (empty tokens)
+    "a  b",                                 # double space -> empty token
+    "tab\tinside and trailing ",            # tab is NOT a delimiter
+    "0 123 -45 6.78 1e9",                   # numeric-looking tokens
+    "Mixed CASE case Case mIxEd",           # casing
+    "w" * 200,                              # one 200-char word
+    " ".join(f"tok{i % 17}" for i in range(200)),  # long doc, cyclic vocab
+    "shared prefix words here",             # near-dup cluster (a)
+    "shared prefix words there",            # near-dup cluster (b)
+    "shared prefix words here",             # exact duplicate of (a)
+    "wholly distinct content now",
+    "the quick brown fox jumps over the lazy dog",
+]
+
+#: every registry entry whose Spark plan AND oracle read only `documents`
+#: (curated: entries touching events/lineitem/embeddings can't run on the
+#: documents-only adversarial dir)
+DOC_ONLY_ENTRIES = [
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_levenshtein",
+    "dedup_substring",
+    "dedup_substring_trim",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "text_stats",
+    "text_quality",
+    "text_fingerprint",
+    "text_token_count",
+    "text_winnow_fingerprint",
+    "text_vocab_topk",
+    "text_length_histogram",
+    "text_chunk_overlap",
+    "text_repetition",
+    "text_bm25_topk",
+    "quality_bigram_lm",
+    "quality_linear_score",
+    "bpe_pair_counts",
+    "bpe_train_merges",
+    "bpe_encode_corpus",
+    "pipeline_train_val_split",
+    "pipeline_leakage_safe_split",
+    "pii_redact",
+    "c9_posexplode_tokens",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("adversarial_docs")
+    pd.DataFrame(
+        {
+            "doc_id": range(len(TEXTS)),
+            "text": TEXTS,
+            "lang": ["en"] * len(TEXTS),
+            "source": [f"s{i % 3}" for i in range(len(TEXTS))],
+            "n_chars": [len(t) for t in TEXTS],
+        }
+    ).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def adv_con(adv_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{adv_dir}/documents.parquet'"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", DOC_ONLY_ENTRIES)
+def test_entry_matches_oracle_on_adversarial_corpus(spark, adv_dir, adv_con, name):
+    assert name in ORACLE, f"{name} has no oracle — belongs in a property test"
+    got = QUERIES[name](spark, adv_dir)
+    want = adv_con.execute(ORACLE[name]).fetchdf()
+    compare(got, want, name=f"{name}@adversarial")
+
+
+# ---------------------------------------------------------------------------
+# events family: ties, boundary timestamps, NULLs, degenerate groups
+# ---------------------------------------------------------------------------
+
+def _adv_events():
+    """Hazard shapes the synthetic fixture avoids: identical (user, ts)
+    pairs (window-tiebreak stress), events EXACTLY at the 30-min session
+    gap and at midnight day boundaries, NULL value/props, negative and
+    huge values, a single-event user, an event-type with one row, and
+    interleaved error→click pairs exactly at the 2-hour join band edge."""
+    import datetime as dt
+
+    rows = []
+    t0 = dt.datetime(2024, 2, 1, 0, 0, 0)
+    eid = 0
+
+    def add(ts, user, etype, value, props):
+        nonlocal eid
+        rows.append((eid, ts, user, etype, value, props))
+        eid += 1
+
+    # (a) same (user, ts) twice with different event_ids — any window
+    # ordered without a unique tiebreak diverges here
+    add(t0, 1, "click", 1.0, '{"k": 1}')
+    add(t0, 1, "click", 2.0, '{"k": 2}')
+    # (b) session-gap boundary: events exactly 30:00 apart (gap) and
+    # 29:59.999999 apart (merge)
+    add(t0, 2, "view", 1.0, '{"k": 3}')
+    add(t0 + dt.timedelta(minutes=30), 2, "view", 1.0, '{"k": 4}')
+    add(t0 + dt.timedelta(minutes=59, seconds=59, microseconds=999999), 2, "view", 1.0, None)
+    # (c) midnight day boundary: 23:59:59.999999 vs 00:00:00
+    add(dt.datetime(2024, 2, 2, 23, 59, 59, 999999), 3, "error", 5.0, '{"k": 5}')
+    add(dt.datetime(2024, 2, 3, 0, 0, 0), 3, "click", 5.0, '{"k": 6}')
+    # (d) 2-hour interval-join band edge: click exactly error_ts + 2h,
+    # and one at +2h +1us (outside)
+    err_ts = dt.datetime(2024, 2, 4, 6, 0, 0)
+    add(err_ts, 4, "error", 1.0, '{"k": 7}')
+    add(err_ts + dt.timedelta(hours=2), 4, "click", 1.0, '{"k": 8}')
+    add(err_ts + dt.timedelta(hours=2, microseconds=1), 4, "click", 1.0, '{"k": 9}')
+    # (e) NULL value and NULL/odd props
+    add(t0 + dt.timedelta(hours=1), 5, "purchase", None, None)
+    add(t0 + dt.timedelta(hours=2), 5, "purchase", 0.0, "{}")
+    add(t0 + dt.timedelta(hours=3), 5, "purchase", -7.25, '{"k": -1}')
+    # (f) extreme values — int32-safe: the reference's "level"
+    # semantics CAST value to INT in both engines, so beyond ±2^31 both
+    # raise identically and nothing is compared
+    add(t0 + dt.timedelta(hours=4), 6, "signup", 1e9, '{"k": 0}')
+    add(t0 + dt.timedelta(hours=5), 6, "signup", -1e9, '{"k": 0}')
+    # (g) single-event user and single-row event type
+    add(t0 + dt.timedelta(days=2), 7, "view", 3.5, '{"k": 10}')
+    # (h) a burst: 20 events in one minute for one user (dense session)
+    for i in range(20):
+        add(t0 + dt.timedelta(days=3, seconds=3 * i), 8, "click", float(i), '{"k": %d}' % i)
+    # (i) interleaved error/click ladder across users
+    for i in range(10):
+        u = 9 + (i % 2)
+        add(t0 + dt.timedelta(days=4, minutes=11 * i), u,
+            "error" if i % 3 == 0 else "click", float(i % 5), '{"k": %d}' % i)
+    return rows
+
+
+@pytest.fixture(scope="module")
+def adv_events_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("adversarial_events")
+    rows = _adv_events()
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def adv_events_con(adv_events_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{adv_events_dir}/events.parquet'"
+    )
+    yield con
+    con.close()
+
+
+#: every registry entry whose Spark plan AND oracle read only `events`
+EVENTS_ONLY_ENTRIES = [
+    "a1_range_sum",
+    "a3_last_value_wins",
+    "a5_poll_minutes",
+    "agg_array_agg_sorted",
+    "agg_corr_stats",
+    "agg_distinct_count",
+    "agg_mode",
+    "agg_percentile",
+    "agg_pivot",
+    "agg_session_windows",
+    "c5_try_int",
+    "c7_json_extract",
+    "c7b_variant_extract",
+    "dq_drift_histogram",
+    "dq_profile_events",
+    "e3_daily_online_time",
+    "e3_period_online_time",
+    "f1_min_value_filter",
+    "f6_typeguard_projection",
+    "j1_snapshot_diff",
+    # j3_accumulating_merge: oracle is events-only but the Spark plan also
+    # reads the region dimension — cannot run on the events-only dir
+    "j4_period_rollup",
+    "j7_asof_join",
+    "j8_range_join",
+    "scd2_intervals",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    # sql_daily_rollup: register_views registers the FULL catalog (all ten
+    # tables) before its spark.sql — cannot run on the events-only dir
+    "stream_daily_counts",
+    "stream_dedup_keys",
+    "stream_session_windows",
+    "stream_sliding_counts",
+    "stream_stream_join",
+    "stream_stream_left_join",
+    "w2_level_rank",
+    "w3_multikey_rank",
+    "wx_lag_delta",
+    "wx_last_nonnull",
+    "wx_moving_sum",
+    "wx_range_frame",
+]
+
+
+@pytest.mark.parametrize("name", EVENTS_ONLY_ENTRIES)
+def test_events_entry_matches_oracle_on_adversarial_corpus(
+    spark, adv_events_dir, adv_events_con, name
+):
+    got = QUERIES[name](spark, adv_events_dir)
+    want = adv_events_con.execute(ORACLE[name]).fetchdf()
+    compare(got, want, name=f"{name}@adversarial-events")
