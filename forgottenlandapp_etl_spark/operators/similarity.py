@@ -37,7 +37,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero (or all-zero-after-corruption) vector has no
+    # defined cosine — NULL, not an ANSI DIVIDE_BY_ZERO that would kill a
+    # 100 TB job on one bad row; threshold filters drop the NULLs and
+    # desc ordering sorts them last in both engines (adversarial-corpus
+    # tested against the oracles' NULLIF form)
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def brute_force_topk(

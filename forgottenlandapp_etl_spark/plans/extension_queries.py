@@ -585,8 +585,9 @@ def text_winnow_fingerprint(spark, sf_dir):
 
 _SQL_EMB = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
 _SQL_COS = (
+    # NULLIF mirrors the plan's try_divide: zero-norm vectors yield NULL
     "list_dot_product({a}, {b}) / "
-    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    "NULLIF(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})), 0)"
 )
 
 

@@ -261,3 +261,90 @@ def test_events_entry_matches_oracle_on_adversarial_corpus(
     got = QUERIES[name](spark, adv_events_dir)
     want = adv_events_con.execute(ORACLE[name]).fetchdf()
     compare(got, want, name=f"{name}@adversarial-events")
+
+
+# ---------------------------------------------------------------------------
+# embeddings family: zero vectors, duplicates, collinear pairs, extremes
+# ---------------------------------------------------------------------------
+
+def _adv_embeddings(dim=64):
+    """Hazard shapes for the similarity tier: the all-zero vector (norm 0
+    — cosine's divide-by-zero), exact duplicate vectors (top-k tiebreak
+    stress), a collinear pair (cosine exactly 1 at different magnitudes),
+    sign-flipped pairs (cosine exactly -1), tiny and large magnitudes
+    (quantization scale stress), one-hot vectors, and a cluster of
+    near-identical vectors (near-dup recall edge)."""
+    import math
+
+    vecs = []
+
+    def add(v, label):
+        vecs.append((len(vecs), [float(x) for x in v], label))
+
+    add([0.0] * dim, 0)                                  # zero vector
+    add([1.0] + [0.0] * (dim - 1), 1)                    # one-hot
+    add([1.0] + [0.0] * (dim - 1), 1)                    # exact duplicate
+    add([2.5] + [0.0] * (dim - 1), 2)                    # collinear (cos=1)
+    add([-1.0] + [0.0] * (dim - 1), 2)                   # sign-flip (cos=-1)
+    add([1e-6] * dim, 3)                                 # tiny magnitude
+    add([100.0] * dim, 3)                                # large magnitude
+    add([(-1.0) ** i for i in range(dim)], 4)            # alternating signs
+    # near-identical cluster
+    base = [math.sin(i * 0.1) for i in range(dim)]
+    for j in range(4):
+        add([x + (1e-4 * j) for x in base], 5)
+    # a spread of deterministic pseudo-random vectors
+    for s in range(40):
+        add([math.cos(0.37 * s * (i + 1)) for i in range(dim)], s % 10)
+    return vecs
+
+
+@pytest.fixture(scope="module")
+def adv_emb_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("adversarial_embeddings")
+    rows = _adv_embeddings()
+    table = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(table, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def adv_emb_con(adv_emb_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{adv_emb_dir}/embeddings.parquet'"
+    )
+    yield con
+    con.close()
+
+
+EMB_ONLY_ENTRIES = [
+    "sim_bruteforce_topk",
+    "emb_quantize_int8",
+    "sim_quantized_topk",
+    "sim_rp_lsh_topk",
+    "sim_ivf_topk",
+    "emb_near_dup_pairs",
+    "emb_near_dup_rhp",
+    "emb_random_projection",
+    "emb_near_dup_bucketed",
+    "emb_centroid_per_label",
+]
+
+
+@pytest.mark.parametrize("name", EMB_ONLY_ENTRIES)
+def test_emb_entry_matches_oracle_on_adversarial_corpus(
+    spark, adv_emb_dir, adv_emb_con, name
+):
+    got = QUERIES[name](spark, adv_emb_dir)
+    want = adv_emb_con.execute(ORACLE[name]).fetchdf()
+    compare(got, want, name=f"{name}@adversarial-embeddings")
