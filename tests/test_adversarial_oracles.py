@@ -78,6 +78,15 @@ DOC_ONLY_ENTRIES = [
     "pipeline_leakage_safe_split",
     "pii_redact",
     "c9_posexplode_tokens",
+    "mm_frame_dedup",
+    "mm_frame_index",
+    "mm_media_features",
+    "pipeline_clean_corpus",
+    "pipeline_dedup_corpus",
+    "decontaminate",
+    "text_lang_id",
+    "sample_stratified",
+    "pipeline_training_ready",
 ]
 
 
