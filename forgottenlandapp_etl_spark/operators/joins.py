@@ -185,18 +185,24 @@ def asof_join(
     Spark has no ASOF JOIN; the naive form is a range join that explodes to
     |left|×|right| per key. This is the scalable union formulation: tag both
     sides, sort once per key by (ts, side, tiebreak) with right rows ordered
-    before left rows at equal ts (<= semantics), and carry the last non-null
-    right value forward with an unbounded-preceding frame. ONE shuffle on
-    the key — linear, skew governed by the key like any window.
+    before left rows at equal ts (<= semantics), and carry the last right
+    ROW forward with an unbounded-preceding frame. The carried marker is a
+    STRUCT wrapping the value — non-null whenever a right row exists — so a
+    right row whose value is legitimately NULL still wins (``last(value,
+    ignorenulls)`` would skip past it to an older non-null row; true ASOF
+    semantics return the most recent row's value, NULL included — the fuzz
+    oracle suite caught the difference against DuckDB's ASOF JOIN). ONE
+    shuffle on the key — linear, skew governed by the key like any window.
 
-    Output: every left row + ``asof_<value>`` (null when no prior right row).
+    Output: every left row + ``asof_<value>`` (null when no prior right row
+    OR when the most recent prior right row's value is null).
     """
     tb = [F.col(tiebreak)] if tiebreak else []
     lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
     rt = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
-        F.col(value).alias("__rv"),
+        F.struct(F.col(value).alias("v")).alias("__rv"),
         *( [F.col(tiebreak)] if tiebreak and tiebreak in right.columns else [] ),
     ).withColumn("__side", F.lit(0))
     for c in lt.columns:
@@ -211,7 +217,7 @@ def asof_join(
         .orderBy(F.col("__ts"), F.col("__side"), *tb)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = u.withColumn("__asof", F.last("__rv", ignorenulls=True).over(w))
+    out = u.withColumn("__asof", F.last("__rv", ignorenulls=True).over(w)["v"])
     return (
         out.where(F.col("__side") == 1)
         .drop("__ts", "__side", "__rv")

@@ -323,11 +323,11 @@ _J3_ORACLE = """
 WITH b AS (SELECT MAX(CAST(ts AS DATE)) AS dmax FROM events),
 acc AS (
   SELECT user_id, CAST(5 * COUNT(*) AS BIGINT) AS minutes,
-         CAST(FLOOR(MAX_BY(value, event_id)) AS INT) AS level
+         CAST(FLOOR(MAX_BY(struct_pack(v := value), event_id).v) AS INT) AS level
   FROM events, b WHERE CAST(ts AS DATE) < b.dmax GROUP BY user_id
 ),
 batch AS (
-  SELECT user_id, CAST(FLOOR(MAX_BY(value, event_id)) AS INT) AS level
+  SELECT user_id, CAST(FLOOR(MAX_BY(struct_pack(v := value), event_id).v) AS INT) AS level
   FROM events, b WHERE CAST(ts AS DATE) = b.dmax GROUP BY user_id
 )
 SELECT COALESCE(a.user_id, x.user_id) AS user_id,
@@ -369,7 +369,7 @@ f AS (
 )
 SELECT user_id,
        CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
-       MAX_BY(event_type, event_id) AS last_type,
+       MAX_BY(struct_pack(v := event_type), event_id).v AS last_type,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM f GROUP BY user_id
 """
@@ -469,8 +469,12 @@ def a2_horizontal_sum(spark, sf_dir):
 @query(
     "a3_last_value_wins",
     """
-    SELECT user_id, MAX_BY(value, event_id) AS last_value,
-           MAX_BY(event_type, event_id) AS last_type
+    -- struct_pack: DuckDB's MAX_BY skips NULL args while Spark's max_by
+    -- returns the value AT the greatest ordering, NULL included (probed;
+    -- fuzz-corpus finding). Wrapping in a never-NULL struct makes DuckDB
+    -- track the row, matching true last-seen-wins semantics.
+    SELECT user_id, MAX_BY(struct_pack(v := value), event_id).v AS last_value,
+           MAX_BY(struct_pack(v := event_type), event_id).v AS last_type
     FROM events GROUP BY user_id
     """,
 )
@@ -538,7 +542,7 @@ def w1_rank_desc(spark, sf_dir):
     "w2_level_rank",
     """
     WITH lvl AS (
-      SELECT user_id, CAST(FLOOR(MAX_BY(value, event_id)) AS INT) AS level
+      SELECT user_id, CAST(FLOOR(MAX_BY(struct_pack(v := value), event_id).v) AS INT) AS level
       FROM events GROUP BY user_id
     )
     SELECT user_id, level,

@@ -357,3 +357,118 @@ def test_emb_entry_matches_oracle_on_adversarial_corpus(
     got = QUERIES[name](spark, adv_emb_dir)
     want = adv_emb_con.execute(ORACLE[name]).fetchdf()
     compare(got, want, name=f"{name}@adversarial-embeddings")
+
+
+# ---------------------------------------------------------------------------
+# seeded fuzz corpora: randomized shapes, deterministic seeds
+# ---------------------------------------------------------------------------
+
+def _fuzz_texts(seed, n=100):
+    """Random documents over a hazard-rich vocabulary (BPE boundary
+    fragments, unicode, punctuation, digits), with empty docs, repeated
+    docs, and double-space empty tokens sprinkled in — deterministic per
+    seed so failures reproduce."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = (
+        "sta ta st a stack the quick brown érable 中文 x1 9.5 end. (p) "
+        "merge mer er in ow aaaa aa w" .split()
+    )
+    texts = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.05:
+            texts.append("")
+        elif r < 0.10 and texts:
+            texts.append(rng.choice(texts))  # exact duplicate
+        else:
+            sep = "  " if rng.random() < 0.1 else " "
+            texts.append(sep.join(rng.choice(vocab) for _ in range(rng.randint(1, 40))))
+    return texts
+
+
+def _fuzz_events(seed, n=400):
+    """Random events at microsecond resolution over a 10-day window:
+    clustered users (ties likely), NULL values/props, a rare event type."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(seed)
+    t0 = dt.datetime(2024, 3, 1)
+    types = ["click", "view", "error", "purchase", "signup", "rare"]
+    rows = []
+    for i in range(n):
+        ts = t0 + dt.timedelta(
+            seconds=rng.randint(0, 10 * 86400), microseconds=rng.randint(0, 999999)
+        )
+        rows.append(
+            (
+                i,
+                ts,
+                rng.randint(1, 20),
+                rng.choices(types, weights=[30, 30, 20, 10, 9, 1])[0],
+                None if rng.random() < 0.1 else round(rng.uniform(-100, 100), 2),
+                None if rng.random() < 0.1 else '{"k": %d}' % rng.randint(-5, 99),
+            )
+        )
+    return rows
+
+
+@pytest.fixture(scope="module", params=[101, 202])
+def fuzz_docs_setup(tmp_path_factory, request):
+    d = tmp_path_factory.mktemp(f"fuzz_docs_{request.param}")
+    texts = _fuzz_texts(request.param)
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": [f"s{i % 3}" for i in range(len(texts))],
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(d / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    yield str(d), con
+    con.close()
+
+
+@pytest.fixture(scope="module", params=[303, 404])
+def fuzz_events_setup(tmp_path_factory, request):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp(f"fuzz_events_{request.param}")
+    rows = _fuzz_events(request.param)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    yield str(d), con
+    con.close()
+
+
+@pytest.mark.parametrize("name", DOC_ONLY_ENTRIES)
+def test_doc_entry_matches_oracle_on_fuzz_corpus(spark, fuzz_docs_setup, name):
+    d, con = fuzz_docs_setup
+    compare(QUERIES[name](spark, d), con.execute(ORACLE[name]).fetchdf(),
+            name=f"{name}@fuzz-docs")
+
+
+@pytest.mark.parametrize("name", EVENTS_ONLY_ENTRIES)
+def test_events_entry_matches_oracle_on_fuzz_corpus(spark, fuzz_events_setup, name):
+    d, con = fuzz_events_setup
+    compare(QUERIES[name](spark, d), con.execute(ORACLE[name]).fetchdf(),
+            name=f"{name}@fuzz-events")
