@@ -472,3 +472,51 @@ def test_events_entry_matches_oracle_on_fuzz_corpus(spark, fuzz_events_setup, na
     d, con = fuzz_events_setup
     compare(QUERIES[name](spark, d), con.execute(ORACLE[name]).fetchdf(),
             name=f"{name}@fuzz-events")
+
+
+def _fuzz_embeddings(seed, n=60, dim=64):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.05:
+            v = [0.0] * dim                      # zero vector
+        elif r < 0.12 and rows:
+            v = list(rng.choice(rows)[1])        # exact duplicate
+        else:
+            mag = 10.0 ** rng.uniform(-4, 3)     # magnitude spread
+            v = [rng.uniform(-1, 1) * mag for _ in range(dim)]
+        rows.append((i, v, rng.randint(0, 9)))
+    return rows
+
+
+@pytest.fixture(scope="module", params=[505, 606])
+def fuzz_emb_setup(tmp_path_factory, request):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp(f"fuzz_emb_{request.param}")
+    rows = _fuzz_embeddings(request.param)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+                "label": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'")
+    yield str(d), con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EMB_ONLY_ENTRIES)
+def test_emb_entry_matches_oracle_on_fuzz_corpus(spark, fuzz_emb_setup, name):
+    d, con = fuzz_emb_setup
+    compare(QUERIES[name](spark, d), con.execute(ORACLE[name]).fetchdf(),
+            name=f"{name}@fuzz-embeddings")
