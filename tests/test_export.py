@@ -444,3 +444,65 @@ def test_clustered_write_disjoint_ranges_and_pruning(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id" in plan
+
+
+def test_compact_crash_at_every_rename_point(spark, tmp_path, monkeypatch):
+    """State-machine sweep: kill the compaction at EVERY os.rename call
+    site in turn (park, staged-swap, repair moves — the full durability
+    surface), then run a clean compaction and assert the table holds
+    exactly the expected rows — no loss, no duplication — whatever the
+    crash point. Each iteration appends a fresh batch first so there is
+    always real compaction work in flight."""
+    import itertools
+    import os as _os
+
+    from forgottenlandapp_etl_spark.sources import sinks
+
+    path = str(tmp_path / "t")
+    expected: set[int] = set()
+
+    def append(vals, date):
+        df = spark.createDataFrame(
+            [(v, date) for v in vals], "v long, date string"
+        ).repartition(2)
+        sinks.insert_snapshot(df, path, ("date",))
+        expected.update(vals)
+
+    append(range(0, 8), "2024-07-01")
+    append(range(8, 16), "2024-07-02")
+
+    real_rename = _os.rename
+    counter = itertools.count()
+    limit = [10**9]
+
+    def flaky_rename(src, dst):
+        if next(counter) + 1 == limit[0]:
+            raise OSError(f"injected crash at rename #{limit[0]}: {src}")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", flaky_rename)
+    fail_at = 0
+    while True:
+        fail_at += 1
+        # fresh fragmentation so every sweep iteration has real work
+        append(range(100 * fail_at, 100 * fail_at + 4), "2024-07-01")
+        counter = itertools.count()
+        limit[0] = fail_at
+        try:
+            sinks.compact_partitions(spark, path, ("date",), target_rows_per_file=1000)
+            crashed = False
+        except OSError as e:
+            assert "injected crash" in str(e)
+            crashed = True
+        # clean run: repair + full compaction must restore exactly expected
+        counter = itertools.count()
+        limit[0] = 10**9
+        sinks.compact_partitions(spark, path, ("date",), target_rows_per_file=1000)
+        got = {r["v"] for r in spark.read.parquet(path).collect()}
+        assert got == expected, (
+            f"fail_at={fail_at} crashed={crashed}: "
+            f"missing={sorted(expected - got)[:5]} extra={sorted(got - expected)[:5]}"
+        )
+        if not crashed:
+            break  # the sweep passed the last rename call site
+    assert fail_at > 3  # the sweep really covered multiple call sites
