@@ -106,6 +106,8 @@ HEADLINE = [
     "pipeline_pack_ffd",
     "stream_dedup_keys",
     "stream_stream_join",
+    # round 5b: the derived-partsupp family's heavy member (6-table join)
+    "tpch_q9_product_type_profit",
 ]
 
 

@@ -48,6 +48,7 @@ CROSS_JOIN_OK = {
     "sim_quantized_topk",  # deliberate query-set broadcast (same as sim_bruteforce_topk)
     "pipeline_training_ready",  # 1-row mixture-totals broadcast (same as mix_temperature_sample)
     "quality_bigram_lm",  # 1-row vocabulary-size scalar broadcast (Laplace V)
+    "tpch_q11_important_stock",  # 1-row national-total broadcast (HAVING fraction)
 }
 
 
