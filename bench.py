@@ -108,6 +108,11 @@ HEADLINE = [
     "stream_stream_join",
     # round 5b: the derived-partsupp family's heavy member (6-table join)
     "tpch_q9_product_type_profit",
+    # round 5c: constant-broadcast Bloom decontamination and the exact
+    # IQR outlier gate
+    "decontaminate_bloom",
+    "dq_outlier_iqr",
+    "pipeline_curriculum_phases",
 ]
 
 

@@ -16,10 +16,27 @@ possible shape: one pass + one keyed aggregation.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import dedup
+
+# --- Bloom-filter membership tier -----------------------------------------
+# m = 2^16 bits packed into 32-bit words held in BIGINTs: shifts never
+# exceed 2^31, so the bit math is overflow-free (and therefore identical)
+# in both Spark and DuckDB. k = 4 universal hashes over the 31-bit
+# token-hash domain, coefficients seeded so the generated DuckDB oracle
+# shares the exact same filter (the MINHASH_COEFFS discipline,
+# dedup.py:32-37).
+BLOOM_BITS = 1 << 16
+BLOOM_WORD = 32
+_rng = random.Random(1337)
+BLOOM_COEFFS: list[tuple[int, int]] = [
+    (_rng.randrange(1, dedup.MERSENNE_31), _rng.randrange(0, dedup.MERSENNE_31))
+    for _ in range(4)
+]
 
 
 def contamination_overlap(
@@ -64,4 +81,98 @@ def contamination_overlap(
         )
         .cast("int")
         .alias("is_contaminated"),
+    )
+
+
+def _bloom_positions(h: F.Column) -> list[F.Column]:
+    """The k bit positions a token hash sets/probes: universal hash per
+    coefficient pair, folded from the 31-bit domain onto the m-bit filter.
+    All-positive BIGINT math — `%` agrees across engines."""
+    return [
+        ((F.lit(a) * h + F.lit(b)) % F.lit(dedup.MERSENNE_31)) % F.lit(BLOOM_BITS)
+        for a, b in BLOOM_COEFFS
+    ]
+
+
+def bloom_bits(
+    benchmark: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Build the benchmark's Bloom bitset as a ``(widx, w)`` relation:
+    word index → 32-bit word (in a BIGINT) with the members' bits OR-ed in.
+
+    At most ``BLOOM_BITS / BLOOM_WORD`` = 2048 rows ≈ 8 KB regardless of
+    benchmark size — this relation IS the broadcast Bloom filter. Unlike
+    the exact tier's distinct-shingle broadcast (contamination_overlap),
+    its size is CONSTANT: a benchmark of a billion shingles still ships
+    8 KB to every executor, at the price of a bounded false-positive rate
+    (k=4, m=65536 → ~(1-e^{-kn/m})^k).
+    """
+    sh = dedup.shingles(benchmark, id_col, text_col, n).select("shingle").distinct()
+    h = dedup.token_hash(F.col("shingle"))
+    pos = sh.select(F.explode(F.array(*_bloom_positions(h))).alias("pos")).distinct()
+    # shiftleft's bit count must be a column here, so the bit expressions are
+    # SQL fragments (F.shiftleft the Python API takes only literal counts)
+    word_bit = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD} AS INT))"
+    )
+    return (
+        pos.groupBy((F.col("pos") / BLOOM_WORD).cast("long").alias("widx"))
+        .agg(F.bit_or(word_bit).alias("w"))
+    )
+
+
+def bloom_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    flag_threshold: float = 0.2,
+) -> DataFrame:
+    """Bloom-filter decontamination: the constant-size-broadcast variant of
+    ``contamination_overlap``.
+
+    Per corpus document: ``(id, n_shingles, n_bloom_hits, bloom_frac,
+    is_flagged)`` where a shingle "hits" iff ALL k of its Bloom positions
+    are set. No false negatives (every truly-shared shingle hits), bounded
+    false positives — so the filter's verdict is a conservative SUPERSET of
+    the exact tier's, which is exactly what an eval-hygiene gate wants.
+
+    Scale shape: corpus scanned once; each shingle probes the ≤2048-row
+    bits relation via a broadcast left join on the word index (the
+    relational form of an 8 KB bitset lookup — Catalyst broadcasts it, the
+    probe is a hash lookup per position); missing words coalesce to 0. One
+    shuffle keyed by (id, shingle) to AND the k probes, one by id for the
+    rollup.
+    """
+    bits = bloom_bits(benchmark, id_col, text_col, n)
+    c_sh = dedup.shingles(corpus, id_col, text_col, n)
+    h = dedup.token_hash(F.col("shingle"))
+    probe = c_sh.select(
+        id_col,
+        "shingle",
+        F.explode(F.array(*_bloom_positions(h))).alias("pos"),
+    )
+    hit = F.coalesce(
+        F.expr(f"shiftright(w, CAST(pos % {BLOOM_WORD} AS INT)) & CAST(1 AS BIGINT)")
+        .cast("int"),
+        F.lit(0),
+    )
+    per_shingle = (
+        probe.withColumn("widx", (F.col("pos") / BLOOM_WORD).cast("long"))
+        .join(F.broadcast(bits), "widx", "left")
+        .select(id_col, "shingle", hit.alias("hit"))
+        .groupBy(id_col, "shingle")
+        .agg(F.min("hit").alias("maybe"))
+    )
+    return per_shingle.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum("maybe").cast("long").alias("n_bloom_hits"),
+        (F.sum("maybe").cast("double") / F.count(F.lit(1))).alias("bloom_frac"),
+        (
+            (F.sum("maybe").cast("double") / F.count(F.lit(1)))
+            >= F.lit(flag_threshold)
+        )
+        .cast("int")
+        .alias("is_flagged"),
     )

@@ -1243,6 +1243,99 @@ def quality_linear_score(spark, sf_dir):
     return classifier.hashed_score(d, "doc_id", "text")
 
 
+def _curriculum_oracle() -> str:
+    from ..operators.classifier import N_BUCKETS, WEIGHT_A, WEIGHT_B
+
+    h_tok = _SQL_TOKEN_HASH.format(col="tok")
+    ord_key = (
+        "CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':curriculum'), 1, 15)"
+        " AS BIGINT)"
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             ({WEIGHT_A} * (({h_tok}) % {N_BUCKETS}) + {WEIGHT_B}) % {MERSENNE_31} AS w_int
+      FROM tok
+    ),
+    sc AS (
+      SELECT doc_id,
+             (CAST(SUM(w_int) AS DOUBLE) / COUNT(*)) / {float(MERSENNE_31)!r} AS score
+      FROM w GROUP BY doc_id
+    ),
+    t AS (
+      SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY score) AS t1,
+             percentile_disc(0.50) WITHIN GROUP (ORDER BY score) AS t2,
+             percentile_disc(0.75) WITHIN GROUP (ORDER BY score) AS t3
+      FROM sc
+    )
+    SELECT doc_id, score,
+           CAST(1 + CASE WHEN score > t1 THEN 1 ELSE 0 END
+                  + CASE WHEN score > t2 THEN 1 ELSE 0 END
+                  + CASE WHEN score > t3 THEN 1 ELSE 0 END AS INT) AS phase,
+           {ord_key} AS ord_key
+    FROM sc CROSS JOIN t
+    """
+
+
+@ext_query("pipeline_curriculum_phases", _curriculum_oracle())
+def pipeline_curriculum_phases(spark, sf_dir):
+    """Curriculum assignment for staged pretraining: documents are binned
+    into 4 quality phases (train low→high quality, the standard curriculum
+    schedule) with a deterministic intra-phase shuffle key.
+
+    The 100 TB shape is the point: a naive `ntile(4) OVER (ORDER BY
+    score)` is a GLOBAL sort into 4 window partitions — two scale-killers
+    in one expression. Instead the phase thresholds are computed as an
+    aggregate (percentile_disc over the score relation — |docs| rows in,
+    ONE row out) and broadcast back; phase assignment is then three
+    comparisons per row, embarrassingly parallel. The curriculum order is
+    (phase, ord_key) where ord_key is the portable md5 fold — consumers
+    sortWithinPartitions at write time (the export_global_shuffle
+    discipline) rather than materializing a global rank. Strict `>` on the
+    thresholds puts boundary ties in the lower phase, deterministically.
+    Scores are the hashed-linear-classifier's (bit-identical cross-engine,
+    proven by quality_linear_score's hash-exact gate), so the selected
+    threshold elements — and therefore every phase — match exactly.
+
+    Tier note (the rule-6 discipline): exact corpus-wide percentile_disc
+    gathers the score column to one aggregation buffer — the price of a
+    hash-exact oracle, fine at |docs|×8 bytes but not the billion-doc
+    path. Production swaps it for approx_percentile (partial-aggregatable
+    t-digest sketch, agg_approx_percentile is that tier) with the
+    identical broadcast-threshold downstream shape."""
+    from ..operators import classifier
+
+    d = _docs(spark, sf_dir, fan_out=True)
+    sc = classifier.hashed_score(d, "doc_id", "text").select("doc_id", "score")
+    t = sc.agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY score)").alias("t1"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY score)").alias("t2"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY score)").alias("t3"),
+    )
+    phase = (
+        F.lit(1)
+        + (F.col("score") > F.col("t1")).cast("int")
+        + (F.col("score") > F.col("t2")).cast("int")
+        + (F.col("score") > F.col("t3")).cast("int")
+    ).cast("int")
+    ord_key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":curriculum"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        sc.crossJoin(F.broadcast(t))
+        .select("doc_id", "score", phase.alias("phase"), ord_key.alias("ord_key"))
+    )
+
+
 def _cms_oracle() -> str:
     from ..operators.sketches import CMS_COEFFS, CMS_WIDTH
 
@@ -2274,6 +2367,139 @@ def decontaminate(spark, sf_dir):
     bench = d.where(F.col("doc_id") % 97 == 0)
     corpus = d.where(F.col("doc_id") % 97 != 0)
     return contamination.contamination_overlap(
+        corpus, bench, "doc_id", "text", n=3, flag_threshold=0.2
+    )
+
+
+@ext_query(
+    "dq_outlier_iqr",
+    """
+    WITH q AS (
+      SELECT source,
+             CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)
+                  AS BIGINT) AS q1,
+             CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)
+                  AS BIGINT) AS q3
+      FROM documents GROUP BY 1
+    )
+    SELECT d.source, q.q1, q.q3,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN 2 * d.n_chars < 5 * q.q1 - 3 * q.q3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN 2 * d.n_chars > 5 * q.q3 - 3 * q.q1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM documents d JOIN q USING (source)
+    GROUP BY 1, 2, 3
+    """,
+)
+def dq_outlier_iqr(spark, sf_dir):
+    """Robust per-source length-outlier audit: Tukey 1.5×IQR fences over
+    exact discrete quartiles (percentile_disc — both engines pick the same
+    data element, so quartiles of an integer column are integers and the
+    whole computation is integer-exact; the fences are cross-multiplied,
+    `2n < 5·q1 − 3·q3`, so no fraction ever materializes). The standard
+    data-quality gate a corpus pipeline runs per ingestion source: a
+    source whose length distribution sprouts a heavy tail (boilerplate,
+    truncation, concatenation bugs) shows up as n_low/n_high drift.
+
+    Shape at scale: pass 1 groups by source for the quartiles — a sort
+    within each source's partitions, output is |sources| rows; pass 2
+    re-scans and broadcast-joins the tiny quartile relation back, one
+    aggregation keyed by source. For corpora where even per-source sorting
+    is too dear, the approx tier exists as agg_approx_percentile — this is
+    the exact tier of that pair."""
+    d = _docs(spark, sf_dir)
+    q = d.groupBy("source").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("long")
+        .alias("q1"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("long")
+        .alias("q3"),
+    )
+    j = d.join(F.broadcast(q), "source")
+    low = (2 * F.col("n_chars") < 5 * F.col("q1") - 3 * F.col("q3")).cast("int")
+    high = (2 * F.col("n_chars") > 5 * F.col("q3") - 3 * F.col("q1")).cast("int")
+    return j.groupBy("source", "q1", "q3").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(low).cast("long").alias("n_low"),
+        F.sum(high).cast("long").alias("n_high"),
+    )
+
+
+def _bloom_oracle_sql() -> str:
+    """Generated from operators.contamination's constants (the
+    MINHASH_COEFFS one-source-of-truth discipline): same k coefficient
+    pairs, same m, same 32-bit word packing — the DuckDB filter is
+    bit-identical to the Spark one."""
+    from ..operators import contamination as ct
+
+    h = _SQL_TOKEN_HASH.format(col="shingle")
+    pos_exprs = [
+        f"(({a} * h + {b}) % {MERSENNE_31}) % {ct.BLOOM_BITS}"
+        for a, b in ct.BLOOM_COEFFS
+    ]
+    bpos = "\n      UNION\n      ".join(
+        f"SELECT {p} AS pos FROM bhash" for p in pos_exprs
+    )
+    probe = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, shingle, {p} AS pos FROM chash" for p in pos_exprs
+    )
+    w = ct.BLOOM_WORD
+    return f"""
+    WITH {_SQL_SHINGLES.strip()},
+    bhash AS (
+      SELECT {h} AS h FROM (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+    ),
+    bpos AS (
+      {bpos}
+    ),
+    bits AS (
+      SELECT pos // {w} AS widx,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % {w} AS INT)) AS w
+      FROM bpos GROUP BY 1
+    ),
+    chash AS (
+      SELECT doc_id, shingle, {h} AS h FROM sh WHERE doc_id % 97 <> 0
+    ),
+    probe AS (
+      {probe}
+    ),
+    per_shingle AS (
+      SELECT p.doc_id, p.shingle,
+             MIN(COALESCE((b.w >> CAST(p.pos % {w} AS INT)) & 1, 0)) AS maybe
+      FROM probe p LEFT JOIN bits b ON p.pos // {w} = b.widx
+      GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(maybe) AS BIGINT) AS n_bloom_hits,
+           CAST(SUM(maybe) AS DOUBLE) / COUNT(*) AS bloom_frac,
+           CAST(CASE WHEN CAST(SUM(maybe) AS DOUBLE) / COUNT(*) >= 0.2
+                     THEN 1 ELSE 0 END AS INT) AS is_flagged
+    FROM per_shingle GROUP BY 1
+    """
+
+
+@ext_query("decontaminate_bloom", _bloom_oracle_sql())
+def decontaminate_bloom(spark, sf_dir):
+    """Bloom-filter decontamination — the constant-size-broadcast tier of
+    the eval-hygiene gate. Same split as `decontaminate` (every 97th doc
+    plays the benchmark), but the benchmark ships as a ≤2048-row / 8 KB
+    bitset relation instead of its distinct-shingle set: at 100 TB a
+    billion-shingle eval suite still broadcasts 8 KB, trading a bounded
+    false-positive rate (k=4, m=2^16) for constant memory. No false
+    negatives, so its flags are a conservative superset of the exact
+    tier's (asserted in tests/test_extensions.py). All bit math is 32-bit
+    words inside BIGINTs — overflow-free and identical in both engines,
+    which is what makes an APPROXIMATE membership structure hash-exact
+    verifiable."""
+    from ..operators import contamination
+
+    d = _docs(spark, sf_dir, fan_out=True)
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    return contamination.bloom_contamination(
         corpus, bench, "doc_id", "text", n=3, flag_threshold=0.2
     )
 

@@ -84,6 +84,9 @@ DOC_ONLY_ENTRIES = [
     "pipeline_clean_corpus",
     "pipeline_dedup_corpus",
     "decontaminate",
+    "decontaminate_bloom",
+    "dq_outlier_iqr",
+    "pipeline_curriculum_phases",
     "text_lang_id",
     "sample_stratified",
     "pipeline_training_ready",

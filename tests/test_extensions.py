@@ -398,6 +398,116 @@ def test_contamination_overlap_semantics(spark):
     assert out[3]["n_contaminated"] == 0 and out[3]["is_contaminated"] == 0
 
 
+def test_curriculum_phases_are_balanced_quartiles(spark, sf_dir):
+    """Discrete quartile thresholds with strict-greater assignment: each
+    phase holds between 15% and 35% of documents (exact quarters up to
+    threshold ties), phases are 1..4, and phase is monotone in score."""
+    from forgottenlandapp_etl_spark.plans.extension_queries import (
+        pipeline_curriculum_phases,
+    )
+
+    rows = pipeline_curriculum_phases(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    by_phase = {}
+    for r in rows:
+        assert 1 <= r["phase"] <= 4
+        by_phase.setdefault(r["phase"], []).append(r["score"])
+    assert set(by_phase) == {1, 2, 3, 4}
+    for p, scores in by_phase.items():
+        assert 0.15 * n <= len(scores) <= 0.35 * n, (p, len(scores), n)
+    # monotone: every phase-p score <= every phase-(p+1) score
+    for p in (1, 2, 3):
+        assert max(by_phase[p]) <= min(by_phase[p + 1])
+
+
+def test_outlier_iqr_fences_are_exact_tukey(spark):
+    """Hand-computable fixture: 11 values 100..200 step 10 plus one wild
+    point per side. q1=120, q3=180 (discrete quartiles of the 13 values
+    shift to the actual elements), fences follow 2n < 5*q1 - 3*q3 — assert
+    against an independently computed Tukey bound."""
+    rows = [(i, "s", v) for i, v in enumerate(
+        [1, 100, 110, 120, 130, 140, 150, 160, 170, 180, 190, 200, 900]
+    )]
+    d = spark.createDataFrame(rows, "doc_id long, source string, n_chars int")
+    q = d.groupBy("source").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("long").alias("q1"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("long").alias("q3"),
+    )
+    row = q.collect()[0]
+    q1, q3 = row["q1"], row["q3"]
+    vals = sorted(v for _, _, v in rows)
+    # discrete percentile: least element with cume_dist >= p
+    import math
+    assert q1 == vals[math.ceil(0.25 * len(vals)) - 1]
+    assert q3 == vals[math.ceil(0.75 * len(vals)) - 1]
+    lo_cnt = sum(1 for v in vals if 2 * v < 5 * q1 - 3 * q3)
+    hi_cnt = sum(1 for v in vals if 2 * v > 5 * q3 - 3 * q1)
+    assert lo_cnt >= 1 and hi_cnt >= 1  # the two wild points are fenced
+    j = d.join(F.broadcast(q), "source")
+    flagged = j.select(
+        ((2 * F.col("n_chars") < 5 * F.col("q1") - 3 * F.col("q3")).cast("int")).alias("lo"),
+        ((2 * F.col("n_chars") > 5 * F.col("q3") - 3 * F.col("q1")).cast("int")).alias("hi"),
+    ).groupBy().sum().collect()[0]
+    assert (flagged[0], flagged[1]) == (lo_cnt, hi_cnt)
+
+
+def test_bloom_contamination_superset_of_exact(spark, sf_dir):
+    """The Bloom tier may only ever OVER-report: every shingle the exact
+    tier counts as contaminated must bloom-hit (no false negatives), so
+    per-document n_bloom_hits >= n_contaminated and every exactly-flagged
+    doc is bloom-flagged. Run over the real fixture corpus with the same
+    97-way split the registry entries use."""
+    from forgottenlandapp_etl_spark.operators import contamination
+    from forgottenlandapp_etl_spark import catalog
+
+    d = catalog.table(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    exact = {
+        r["doc_id"]: r
+        for r in contamination.contamination_overlap(corpus, bench).collect()
+    }
+    bloom = {
+        r["doc_id"]: r
+        for r in contamination.bloom_contamination(corpus, bench).collect()
+    }
+    assert set(exact) == set(bloom)  # same documents scored
+    n_fp_docs = 0
+    for doc_id, e in exact.items():
+        b = bloom[doc_id]
+        assert b["n_shingles"] == e["n_shingles"]
+        assert b["n_bloom_hits"] >= e["n_contaminated"], doc_id
+        if e["is_contaminated"]:
+            assert b["is_flagged"] == 1, doc_id
+        if b["n_bloom_hits"] > e["n_contaminated"]:
+            n_fp_docs += 1
+    # k=4 / m=65536 on a fixture-size benchmark: false positives must be
+    # rare, not rampant — a bit-packing bug (wrong word width, shift
+    # overflow) floods this instantly.
+    assert n_fp_docs <= max(5, len(exact) // 20)
+
+
+def test_bloom_bits_relation_is_bounded_and_nonzero(spark):
+    """The bits relation never exceeds m/word rows (the constant-broadcast
+    claim) and every word is nonzero (empty words are absent, not stored)."""
+    from forgottenlandapp_etl_spark.operators import contamination
+
+    bench = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    rows = contamination.bloom_bits(bench).collect()
+    assert 0 < len(rows) <= contamination.BLOOM_BITS // contamination.BLOOM_WORD
+    for r in rows:
+        assert r["w"] != 0
+        assert 0 <= r["widx"] < contamination.BLOOM_BITS // contamination.BLOOM_WORD
+        # 32-bit words in a BIGINT: the top 32 bits stay clear by construction
+        assert 0 < r["w"] < (1 << contamination.BLOOM_WORD)
+
+
 def test_repetition_flags_boilerplate(spark):
     """A doc that repeats one bigram scores near 1.0 on both signals; a doc
     of all-distinct bigrams scores 0.0 on both."""

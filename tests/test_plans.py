@@ -49,6 +49,7 @@ CROSS_JOIN_OK = {
     "pipeline_training_ready",  # 1-row mixture-totals broadcast (same as mix_temperature_sample)
     "quality_bigram_lm",  # 1-row vocabulary-size scalar broadcast (Laplace V)
     "tpch_q11_important_stock",  # 1-row national-total broadcast (HAVING fraction)
+    "pipeline_curriculum_phases",  # 1-row quantile-thresholds broadcast (SCALE.md rule 10)
 }
 
 
