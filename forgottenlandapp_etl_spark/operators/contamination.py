@@ -138,32 +138,37 @@ def bloom_contamination(
     false positives — so the filter's verdict is a conservative SUPERSET of
     the exact tier's, which is exactly what an eval-hygiene gate wants.
 
-    Scale shape: corpus scanned once; each shingle probes the ≤2048-row
-    bits relation via a broadcast left join on the word index (the
-    relational form of an 8 KB bitset lookup — Catalyst broadcasts it, the
-    probe is a hash lookup per position); missing words coalesce to 0. One
-    shuffle keyed by (id, shingle) to AND the k probes, one by id for the
-    rollup.
+    Scale shape: corpus scanned once; the ≤2048-entry bits relation is
+    folded into a ONE-ROW ``map<widx,w>`` (still ≤8 KB — the literal
+    broadcast form of the bitset) and cross-joined in, so all k probes are
+    ROW-LOCAL column math: ``element_at(map, pos div 32)``, shift, AND.
+    No per-position explode, no (id, shingle) shuffle to recombine the k
+    probes — the only corpus-side shuffles are the shingle distinct and
+    the per-document rollup. Missing words coalesce to 0.
     """
     bits = bloom_bits(benchmark, id_col, text_col, n)
+    bitmap = bits.agg(
+        F.map_from_entries(F.collect_list(F.struct("widx", "w"))).alias("bm")
+    )
     c_sh = dedup.shingles(corpus, id_col, text_col, n)
     h = dedup.token_hash(F.col("shingle"))
-    probe = c_sh.select(
-        id_col,
-        "shingle",
-        F.explode(F.array(*_bloom_positions(h))).alias("pos"),
-    )
-    hit = F.coalesce(
-        F.expr(f"shiftright(w, CAST(pos % {BLOOM_WORD} AS INT)) & CAST(1 AS BIGINT)")
-        .cast("int"),
-        F.lit(0),
-    )
-    per_shingle = (
-        probe.withColumn("widx", (F.col("pos") / BLOOM_WORD).cast("long"))
-        .join(F.broadcast(bits), "widx", "left")
-        .select(id_col, "shingle", hit.alias("hit"))
-        .groupBy(id_col, "shingle")
-        .agg(F.min("hit").alias("maybe"))
+
+    def probe_one(pos: F.Column) -> F.Column:
+        word = F.coalesce(
+            F.element_at(F.col("bm"), (pos / BLOOM_WORD).cast("long")),
+            F.lit(0).cast("long"),
+        )
+        # 2^bit as the mask: exact in doubles for bit < 32 (≪ 2^53), and
+        # pow takes a column exponent where shiftleft's Python API doesn't
+        mask = F.pow(F.lit(2.0), (pos % BLOOM_WORD).cast("double")).cast("long")
+        return (word.bitwiseAND(mask) > 0).cast("int")
+
+    probes = [probe_one(p) for p in _bloom_positions(h)]
+    maybe = probes[0]
+    for p in probes[1:]:
+        maybe = maybe * p  # all k bits must be set
+    per_shingle = c_sh.crossJoin(F.broadcast(bitmap)).select(
+        id_col, "shingle", maybe.alias("maybe")
     )
     return per_shingle.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_shingles"),
