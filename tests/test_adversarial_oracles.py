@@ -363,6 +363,52 @@ def test_emb_entry_matches_oracle_on_adversarial_corpus(
 
 
 # ---------------------------------------------------------------------------
+# degenerate source groups for the IQR outlier gate: a single-document
+# source (q1 = q3 = the one value; both fences collapse onto it, nothing
+# is flagged) and a constant-length source (IQR = 0; same collapse).
+# Neither shape exists in the fixture or the fuzz corpora above.
+
+@pytest.fixture(scope="module")
+def degenerate_sources_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("degenerate_sources")
+    texts = (
+        ["one lonely document here"]                      # source 'solo': 1 doc
+        + ["same same same"] * 7                           # 'const': IQR = 0
+        + [" ".join(["w"] * k) for k in (1, 2, 3, 40)]     # 'spread': real IQR + outlier
+    )
+    sources = ["solo"] + ["const"] * 7 + ["spread"] * 4
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": sources,
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_outlier_iqr_degenerate_sources(spark, degenerate_sources_dir):
+    from forgottenlandapp_etl_spark.plans.registry import ORACLE, QUERIES
+
+    d = degenerate_sources_dir
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    try:
+        got = QUERIES["dq_outlier_iqr"](spark, d)
+        want = con.execute(ORACLE["dq_outlier_iqr"]).fetchdf()
+        compare(got, want, name="dq_outlier_iqr@degenerate")
+        rows = {r["source"]: r for r in got.collect()}
+        assert rows["solo"]["q1"] == rows["solo"]["q3"]
+        assert rows["solo"]["n_low"] == rows["solo"]["n_high"] == 0
+        assert rows["const"]["q1"] == rows["const"]["q3"]
+        assert rows["const"]["n_low"] == rows["const"]["n_high"] == 0
+        assert rows["spread"]["n_high"] >= 1  # the 40-token doc is fenced
+    finally:
+        con.close()
+
+
 # seeded fuzz corpora: randomized shapes, deterministic seeds
 # ---------------------------------------------------------------------------
 
