@@ -113,6 +113,7 @@ HEADLINE = [
     "decontaminate_bloom",
     "dq_outlier_iqr",
     "pipeline_curriculum_phases",
+    "emb_kmeans_exact",
 ]
 
 

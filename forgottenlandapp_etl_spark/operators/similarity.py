@@ -695,3 +695,112 @@ def rp_lsh_topk(emb: DataFrame, id_col: str = "vec_id", k: int = 5) -> DataFrame
     out = out.localCheckpoint(eager=True)
     q.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# deterministic exact-arithmetic k-means (the hash-verifiable learned tier)
+# ---------------------------------------------------------------------------
+
+# k centroids, fixed Lloyd rounds — module constants so the generated DuckDB
+# oracle unrolls the identical training (the MINHASH_COEFFS discipline).
+KMEANS_EXACT_K = 8
+KMEANS_EXACT_ROUNDS = 2
+# offset-integer quantization domain: clip to [-1, 1], scale by 127,
+# round-half-up via floor, shift to [0, 254] so every later sum/mean is
+# nonnegative and floor-division agrees across engines (DuckDB's // floors,
+# Spark/Python truncate — identical only for nonnegative operands).
+KMEANS_U_OFFSET = 127
+
+
+def _u8_offset(x: Column) -> Column:
+    xc = F.greatest(F.lit(-1.0), F.least(F.lit(1.0), x.cast("double")))
+    return (F.floor(xc * 127.0 + 0.5) + KMEANS_U_OFFSET).cast("long")
+
+
+def kmeans_exact_assign(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = KMEANS_EXACT_K,
+    rounds: int = KMEANS_EXACT_ROUNDS,
+) -> DataFrame:
+    """Deterministic k-means with EXACT integer arithmetic end-to-end —
+    the learned-clustering tier that, unlike MLlib's (sim_ivf_kmeans_topk,
+    rows-only by float-accumulation order), hash-matches an independent
+    DuckDB derivation bit-for-bit.
+
+    Training: vectors quantize to the offset-integer domain; the k seeds
+    are the vectors with the k lowest portable md5 id-folds (ties
+    impossible: the id is in the sort key); each of the fixed ``rounds``
+    Lloyd iterations assigns by integer squared-L2 (≤ dim·254² ≪ 2^63 —
+    overflow-free) with argmin ties to the LOWEST centroid index, then
+    recomputes centroids as floor-mean (empty clusters keep their previous
+    centroid). Every operation is order-free integer math, so engine,
+    partitioning, and parallelism cannot move a single assignment.
+
+    Scale shape: the model stays driver-side — per round one distributed
+    job reduces to ≤ k·dim (512) rows collected as the next centroid
+    literal, exactly MLlib's own architecture. The RETURNED assignment
+    plan is a single narrow scan with row-local array math against the
+    final centroid literal: zero shuffles, zero joins — embarrassingly
+    parallel at any corpus size. Training cost is rounds × (one pass +
+    one k·dim-keyed partial agg), with map-side combine keeping the
+    (cluster, pos) hot keys cheap.
+    """
+    q = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), _u8_offset).alias("u"),
+    )
+    hid = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    seed_rows = q.select(id_col, "u", hid.alias("h")).orderBy("h", id_col).limit(k).collect()
+    cents: list[list[int]] = [list(r["u"]) for r in seed_rows]
+    dim = len(cents[0])
+
+    def cent_lit() -> Column:
+        return F.array(
+            *[F.array(*[F.lit(int(v)).cast("long") for v in c]) for c in cents]
+        )
+
+    def best(u: Column) -> Column:
+        """(dist, cidx) argmin struct — lexicographic array_min gives the
+        min distance with ties to the lowest centroid index."""
+        dists = F.transform(
+            cent_lit(),
+            lambda c: F.aggregate(
+                F.zip_with(u, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return F.array_min(
+            F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+        )
+
+    for _ in range(rounds):
+        assigned = q.select(
+            F.col(id_col), F.col("u"), best(F.col("u"))["i"].alias("cluster")
+        )
+        sums = (
+            assigned.select("cluster", F.posexplode("u").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        agg: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            agg.setdefault(int(r["cluster"]), {})[int(r["pos"])] = (
+                int(r["s"]),
+                int(r["n"]),
+            )
+        for ci in range(len(cents)):
+            if ci in agg:
+                cents[ci] = [agg[ci][p][0] // agg[ci][p][1] for p in range(dim)]
+            # else: empty cluster keeps its previous centroid
+    b = best(F.col("u"))
+    return q.select(
+        F.col(id_col),
+        b["i"].cast("int").alias("cluster"),
+        b["d"].cast("long").alias("dist"),
+    )

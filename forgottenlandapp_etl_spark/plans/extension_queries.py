@@ -1243,6 +1243,98 @@ def quality_linear_score(spark, sf_dir):
     return classifier.hashed_score(d, "doc_id", "text")
 
 
+def _kmeans_exact_oracle() -> str:
+    """Unrolled Lloyd training in pure SQL — the oracle DERIVES the
+    centroids independently from the raw table (nothing Spark-computed is
+    baked in), sharing only the k/rounds/offset constants with the plan."""
+    from ..operators.similarity import (
+        KMEANS_EXACT_K,
+        KMEANS_EXACT_ROUNDS,
+        KMEANS_U_OFFSET,
+    )
+
+    k = KMEANS_EXACT_K
+    parts = [
+        f"""
+    WITH q AS (
+      SELECT vec_id, i - 1 AS pos,
+             CAST(floor(GREATEST(-1.0, LEAST(1.0, CAST(embedding[i] AS DOUBLE)))
+                        * 127.0 + 0.5) AS BIGINT) + {KMEANS_U_OFFSET} AS u
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) g(i)
+    ),
+    seeds AS (
+      SELECT vec_id, cidx FROM (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY CAST('0x' || SUBSTR(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                               AS BIGINT), vec_id
+               ) - 1 AS cidx
+        FROM (SELECT DISTINCT vec_id FROM embeddings)
+      ) WHERE cidx < {k}
+    ),
+    c0 AS (SELECT s.cidx, q.pos, q.u AS c FROM seeds s JOIN q USING (vec_id))"""
+    ]
+    prev = "c0"
+    for r in range(1, KMEANS_EXACT_ROUNDS + 1):
+        parts.append(
+            f""",
+    d{r} AS (
+      SELECT q.vec_id, c.cidx, SUM((q.u - c.c) * (q.u - c.c)) AS dist
+      FROM q JOIN {prev} c USING (pos) GROUP BY 1, 2
+    ),
+    a{r} AS (
+      SELECT vec_id, cidx FROM (
+        SELECT vec_id, cidx,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+        FROM d{r}
+      ) WHERE rn = 1
+    ),
+    m{r} AS (
+      SELECT a.cidx, q.pos, CAST(SUM(q.u) // COUNT(*) AS BIGINT) AS c
+      FROM a{r} a JOIN q USING (vec_id) GROUP BY 1, 2
+    ),
+    c{r} AS (
+      SELECT p.cidx, p.pos, COALESCE(m.c, p.c) AS c
+      FROM {prev} p LEFT JOIN m{r} m USING (cidx, pos)
+    )"""
+        )
+        prev = f"c{r}"
+    fr = KMEANS_EXACT_ROUNDS + 1
+    parts.append(
+        f""",
+    d{fr} AS (
+      SELECT q.vec_id, c.cidx, SUM((q.u - c.c) * (q.u - c.c)) AS dist
+      FROM q JOIN {prev} c USING (pos) GROUP BY 1, 2
+    )
+    SELECT vec_id, CAST(cidx AS INT) AS cluster, CAST(dist AS BIGINT) AS dist
+    FROM (
+      SELECT vec_id, cidx, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+      FROM d{fr}
+    ) WHERE rn = 1"""
+    )
+    return "".join(parts)
+
+
+@ext_query("emb_kmeans_exact", _kmeans_exact_oracle())
+def emb_kmeans_exact(spark, sf_dir):
+    """Deterministic exact-arithmetic k-means clustering of the embedding
+    corpus (k=8, 2 Lloyd rounds) — the learned tier made HASH-VERIFIABLE:
+    where sim_ivf_kmeans_topk's MLlib training is rows-only by float
+    accumulation order, this trains in offset-integer space (clip→int8→
+    +127) with md5-rank seeding, integer squared-L2 assignment (lowest-
+    index tiebreak), and floor-mean updates, so an independent SQL
+    derivation reproduces every assignment bit-for-bit. The served plan is
+    a single narrow scan with row-local array math against the final
+    centroid literal — zero shuffles, zero joins; training reduces to
+    ≤ k·dim rows per round collected driver-side (MLlib's own model
+    architecture). See operators/similarity.py:kmeans_exact_assign."""
+    from ..operators import similarity
+
+    e = catalog.table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_exact_assign(e, "embedding", "vec_id")
+
+
 def _curriculum_oracle() -> str:
     from ..operators.classifier import N_BUCKETS, WEIGHT_A, WEIGHT_B
 

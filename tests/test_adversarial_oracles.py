@@ -350,6 +350,7 @@ EMB_ONLY_ENTRIES = [
     "emb_random_projection",
     "emb_near_dup_bucketed",
     "emb_centroid_per_label",
+    "emb_kmeans_exact",
 ]
 
 

@@ -398,6 +398,38 @@ def test_contamination_overlap_semantics(spark):
     assert out[3]["n_contaminated"] == 0 and out[3]["is_contaminated"] == 0
 
 
+def test_kmeans_exact_fewer_vectors_than_k(spark, tmp_path):
+    """n < k: seeding yields only n centroids and the algorithm still
+    matches the SQL derivation (the LIMIT-k / cidx<k paths agree)."""
+    import duckdb
+    import pandas as pd
+
+    from forgottenlandapp_etl_spark.plans.registry import ORACLE, QUERIES
+
+    d = str(tmp_path)
+    vecs = [
+        (0, [0.9] * 4 + [0.0] * 60, 0),
+        (1, [-0.9] * 4 + [0.0] * 60, 1),
+        (2, [0.0] * 64, 2),
+    ]
+    pd.DataFrame(
+        {"vec_id": [v[0] for v in vecs],
+         "embedding": [v[1] for v in vecs],
+         "label": [v[2] for v in vecs]}
+    ).to_parquet(f"{d}/embeddings.parquet")
+    got = {r["vec_id"]: r for r in QUERIES["emb_kmeans_exact"](spark, d).collect()}
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'")
+        want = {r[0]: r for r in con.execute(ORACLE["emb_kmeans_exact"]).fetchall()}
+    finally:
+        con.close()
+    assert set(got) == set(want) == {0, 1, 2}
+    for vid in got:
+        assert (got[vid]["cluster"], got[vid]["dist"]) == (want[vid][1], want[vid][2])
+        assert got[vid]["dist"] == 0  # 3 vectors, 3 singleton clusters
+
+
 def test_curriculum_phases_are_balanced_quartiles(spark, sf_dir):
     """Discrete quartile thresholds with strict-greater assignment: each
     phase holds between 15% and 35% of documents (exact quarters up to
