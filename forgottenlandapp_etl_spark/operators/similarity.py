@@ -759,9 +759,12 @@ def kmeans_exact_assign(
     dim = len(cents[0])
 
     def cent_lit() -> Column:
-        return F.array(
-            *[F.array(*[F.lit(int(v)).cast("long") for v in c]) for c in cents]
-        )
+        # ONE py4j literal call for the whole k×dim model: element-wise
+        # F.lit construction costs ~1.5 s of driver round trips per use
+        # (3 uses per training) — measured 5.5× cheaper as a single nested
+        # literal. Centroid values are ≤ 254, so array<array<int>> is
+        # exact; the zip_with against the long u column promotes to long.
+        return F.lit([[int(v) for v in c] for c in cents])
 
     def best(u: Column) -> Column:
         """(dist, cidx) argmin struct — lexicographic array_min gives the
