@@ -118,8 +118,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 # Round-6 rotation candidates (same mechanism, after these go multi-round
 # green): swap out a2_horizontal_sum / c1_skill_points / w5_points_from_rank
-# for never-windowed hard entries — e.g. tpch_q4_order_priority,
-# pipeline_decontaminate, sketch_hll_daily_merge.
+# for never-windowed hard entries — strongest: emb_kmeans_exact (the
+# hash-exact learned tier, new r5), decontaminate_bloom (exact-verified
+# approximate membership, new r5), tpch_q9_product_type_profit (derived
+# partsupp, 6-table join), plus tpch_q4_order_priority and
+# sketch_hll_daily_merge's hash-exact CMS sibling if slots remain.
 
 _missing = [n for n in DRIVER_WINDOW if n not in _ALL_QUERIES]
 if _missing:

@@ -446,6 +446,38 @@ def test_clustered_write_disjoint_ranges_and_pruning(spark, sf_dir, tmp_path):
     assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id" in plan
 
 
+def test_ivf_index_lifecycle_partition_pruned_probe(spark, sf_dir, tmp_path):
+    """The at-scale ANN serving shape end-to-end: cluster the corpus with
+    the exact k-means, WRITE it partitioned by cluster (the persisted IVF
+    index), then probe nprobe=2 clusters and assert the scan plans
+    PartitionFilters — the probe reads 2/k of the corpus, not all of it —
+    and returns exactly the rows a full-scan filter would."""
+    from forgottenlandapp_etl_spark import catalog
+    from forgottenlandapp_etl_spark.operators import similarity
+
+    e = catalog.table(spark, sf_dir, "embeddings")
+    assign = similarity.kmeans_exact_assign(e)
+    path = str(tmp_path / "ivf_index")
+    (
+        e.join(assign.select("vec_id", "cluster"), "vec_id")
+        .write.partitionBy("cluster")
+        .parquet(path)
+    )
+
+    back = spark.read.parquet(path)
+    probe_clusters = [r["cluster"] for r in assign.select("cluster").distinct().limit(2).collect()]
+    probed = back.where(F.col("cluster").isin(probe_clusters))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+
+    got = {r["vec_id"] for r in probed.select("vec_id").collect()}
+    want = {
+        r["vec_id"]
+        for r in assign.where(F.col("cluster").isin(probe_clusters)).collect()
+    }
+    assert got == want and got  # nonempty and exactly the probed buckets
+
+
 def test_compact_crash_at_every_rename_point(spark, tmp_path, monkeypatch):
     """State-machine sweep: kill the compaction at EVERY os.rename call
     site in turn (park, staged-swap, repair moves — the full durability
