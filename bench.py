@@ -114,6 +114,7 @@ HEADLINE = [
     "dq_outlier_iqr",
     "pipeline_curriculum_phases",
     "emb_kmeans_exact",
+    "sketch_cms_daily_merge",
 ]
 
 

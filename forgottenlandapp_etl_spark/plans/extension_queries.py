@@ -1484,6 +1484,107 @@ def sketch_count_min(spark, sf_dir):
     return top.join(est, "token").select("token", "n_true", "n_est")
 
 
+def _cms_daily_merge_oracle() -> str:
+    from ..operators.sketches import CMS_COEFFS, CMS_WIDTH
+
+    h_key = _SQL_TOKEN_HASH.format(col="CAST(user_id AS VARCHAR)")
+    build = "\n      UNION ALL\n      ".join(
+        f"SELECT day, {r} AS row, ((({a} * h + {b}) % {MERSENNE_31}) % {CMS_WIDTH}) AS bucket FROM hh"
+        for r, (a, b) in enumerate(CMS_COEFFS)
+    )
+    lookup = "\n      UNION ALL\n      ".join(
+        f"SELECT user_id, {r} AS row, ((({a} * ({h_key}) + {b}) % {MERSENNE_31}) % {CMS_WIDTH}) AS bucket FROM top"
+        for r, (a, b) in enumerate(CMS_COEFFS)
+    )
+    return f"""
+    WITH ev AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id FROM events
+    ),
+    hh AS (SELECT day, {h_key} AS h FROM ev),
+    daily AS (
+      SELECT day, row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      {build}
+      ) GROUP BY day, row, bucket
+    ),
+    merged AS (
+      SELECT row, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM daily GROUP BY row, bucket
+    ),
+    exact AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_true FROM ev GROUP BY 1),
+    top AS (SELECT user_id, n_true FROM exact ORDER BY n_true DESC, user_id LIMIT 10),
+    lk AS (
+      {lookup}
+    ),
+    est AS (
+      SELECT l.user_id, MIN(m.cnt) AS n_est
+      FROM lk l JOIN merged m USING (row, bucket) GROUP BY l.user_id
+    )
+    SELECT t.user_id, t.n_true, CAST(est.n_est AS BIGINT) AS n_est,
+           CAST((SELECT COUNT(DISTINCT day) FROM ev) AS BIGINT) AS n_days_merged
+    FROM top t JOIN est USING (user_id)
+    """
+
+
+@ext_query("sketch_cms_daily_merge", _cms_daily_merge_oracle())
+def sketch_cms_daily_merge(spark, sf_dir):
+    """Count-min sketches built PER DAY and merged by counter addition —
+    the hash-exact sibling of sketch_hll_daily_merge, demonstrating the
+    linearity that makes sketches the 100 TB answer: each day's events
+    reduce to a ≤ DEPTH×WIDTH counter relation, and any date range's
+    sketch is the SUM of its days' counters — no rescan, and (unlike HLL's
+    opaque binary union) the merged estimates are integer-exact, so the
+    whole build→merge→probe path hash-matches DuckDB. The per-user
+    estimates from the merged sketch are IDENTICAL to a direct global
+    sketch (CMS is a linear projection of the count vector) — asserted in
+    tests/test_extensions.py::test_cms_daily_merge_equals_direct.
+
+    Shape: one scan, narrow day projection, per-day hash aggregate with
+    map-side combine (≤ days × DEPTH × WIDTH rows), a second tiny
+    aggregation to merge, broadcast probe join for the exact top-10."""
+    from ..operators import sketches
+
+    ev = catalog.table(spark, sf_dir, "events").select(
+        F.to_date("ts").cast("string").alias("day"),
+        F.col("user_id").cast("string").alias("user_key"),
+        "user_id",
+    )
+    h = dedup.token_hash(F.col("user_key"))
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), sketches.cms_bucket(h, r).alias("bucket")
+            )
+            for r in range(sketches.CMS_DEPTH)
+        ]
+    )
+    daily = (
+        ev.select("day", F.explode(pairs).alias("rb"))
+        .groupBy("day", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merged = daily.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_true"))
+    from ..operators import windows
+
+    top = windows.top_k(exact, [F.desc("n_true"), F.asc("user_id")], 10)
+    probes = top.select(F.col("user_id").cast("string").alias("user_key"), "user_id")
+    est = sketches.probe_count_min(merged, probes, "user_key").select(
+        "user_key", "n_est"
+    )
+    n_days = ev.agg(F.countDistinct("day").alias("n_days_merged"))
+    return (
+        top.join(probes, "user_id")
+        .join(est, "user_key")
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            "user_id",
+            F.col("n_true").cast("long").alias("n_true"),
+            F.col("n_est").cast("long").alias("n_est"),
+            F.col("n_days_merged").cast("long").alias("n_days_merged"),
+        )
+    )
+
+
 @ext_query("sketch_hll_daily_merge")
 def sketch_hll_daily_merge(spark, sf_dir):
     """Re-aggregatable distinct counts via Apache DataSketches HLL

@@ -235,6 +235,7 @@ EVENTS_ONLY_ENTRIES = [
     "c7b_variant_extract",
     "dq_drift_histogram",
     "dq_profile_events",
+    "sketch_cms_daily_merge",
     "e3_daily_online_time",
     "e3_period_online_time",
     "f1_min_value_filter",

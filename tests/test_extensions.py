@@ -398,6 +398,43 @@ def test_contamination_overlap_semantics(spark):
     assert out[3]["n_contaminated"] == 0 and out[3]["is_contaminated"] == 0
 
 
+def test_cms_daily_merge_equals_direct(spark, sf_dir):
+    """CMS linearity: summing per-day counter relations yields the exact
+    same sketch — counter for counter — as one global build over the same
+    occurrences, so pre-aggregated daily sketches answer any date-range
+    query with zero accuracy loss (the property the 100 TB design banks
+    on; HLL union only approximately preserves its estimate)."""
+    from forgottenlandapp_etl_spark import catalog
+    from forgottenlandapp_etl_spark.operators import sketches
+
+    ev = catalog.table(spark, sf_dir, "events").select(
+        F.to_date("ts").cast("string").alias("day"),
+        F.col("user_id").cast("string").alias("user_key"),
+    )
+    direct = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in sketches.build_count_min(ev.select("user_key"), "user_key").collect()
+    }
+    h = sketches.token_hash(F.col("user_key"))
+    pairs = F.array(
+        *[
+            F.struct(F.lit(r).alias("row"), sketches.cms_bucket(h, r).alias("bucket"))
+            for r in range(sketches.CMS_DEPTH)
+        ]
+    )
+    merged = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in (
+            ev.select("day", F.explode(pairs).alias("rb"))
+            .groupBy("day", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        ).collect()
+    }
+    assert merged == direct and len(direct) > 0
+
+
 def test_kmeans_exact_fewer_vectors_than_k(spark, tmp_path):
     """n < k: seeding yields only n centroids and the algorithm still
     matches the SQL derivation (the LIMIT-k / cidx<k paths agree)."""

@@ -51,6 +51,7 @@ CROSS_JOIN_OK = {
     "tpch_q11_important_stock",  # 1-row national-total broadcast (HAVING fraction)
     "pipeline_curriculum_phases",  # 1-row quantile-thresholds broadcast (SCALE.md rule 10)
     "decontaminate_bloom",  # 1-row 8 KB bitset-map broadcast (SCALE.md rule 10)
+    "sketch_cms_daily_merge",  # 1-row day-count scalar broadcast
 }
 
 
