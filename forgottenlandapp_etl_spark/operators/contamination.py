@@ -32,7 +32,13 @@ from . import dedup
 # dedup.py:32-37).
 BLOOM_BITS = 1 << 16
 BLOOM_WORD = 32
-_rng = random.Random(1337)
+# Seed mixes a module tag so the Bloom pairs are INDEPENDENT of
+# sketches.CMS_COEFFS and dedup.MINHASH_COEFFS (which share the 1337
+# stream): identical coefficient streams across operators would correlate
+# their hash functions if the structures ever compose (r5 ADVICE finding).
+# The generated DuckDB oracle reads this same constant, so the filter stays
+# bit-identical cross-engine.
+_rng = random.Random("bloom:1337")
 BLOOM_COEFFS: list[tuple[int, int]] = [
     (_rng.randrange(1, dedup.MERSENNE_31), _rng.randrange(0, dedup.MERSENNE_31))
     for _ in range(4)

@@ -754,7 +754,27 @@ def kmeans_exact_assign(
     hid = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
-    seed_rows = q.select(id_col, "u", hid.alias("h")).orderBy("h", id_col).limit(k).collect()
+    # Seed from id-DEDUPLICATED rows, matching the oracle's
+    # SELECT DISTINCT vec_id seeding: a duplicated id would otherwise yield
+    # duplicate centroids and diverge (r5 ADVICE finding). The id space is
+    # expected unique; dropDuplicates is the cheap belt-and-braces (vectors
+    # for a duplicated id are assumed identical — the only case where the
+    # arbitrary-row pick is still deterministic).
+    seed_rows = (
+        q.dropDuplicates([id_col])
+        .select(id_col, "u", hid.alias("h"))
+        .orderBy("h", id_col)
+        .limit(k)
+        .collect()
+    )
+    if not seed_rows:
+        # n=0: no seeds, no model — return an empty assignment with the
+        # declared schema instead of IndexError (r5 ADVICE finding).
+        return q.select(
+            F.col(id_col),
+            F.lit(0).cast("int").alias("cluster"),
+            F.lit(0).cast("long").alias("dist"),
+        ).limit(0)
     cents: list[list[int]] = [list(r["u"]) for r in seed_rows]
     dim = len(cents[0])
 
