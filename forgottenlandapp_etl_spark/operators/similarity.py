@@ -717,6 +717,92 @@ def _u8_offset(x: Column) -> Column:
     return (F.floor(xc * 127.0 + 0.5) + KMEANS_U_OFFSET).cast("long")
 
 
+def _kmeans_cent_lit(cents: list[list[int]]) -> Column:
+    # ONE py4j literal call for the whole k×dim model: element-wise
+    # F.lit construction costs ~1.5 s of driver round trips per use
+    # (3 uses per training) — measured 5.5× cheaper as a single nested
+    # literal. Centroid values are ≤ 254, so array<array<int>> is
+    # exact; the zip_with against the long u column promotes to long.
+    return F.lit([[int(v) for v in c] for c in cents])
+
+
+def _kmeans_dists(cents: list[list[int]], u: Column) -> Column:
+    """Per-centroid integer squared-L2 distances of ``u`` to the model —
+    an array<long> aligned with centroid index. Row-local array math."""
+    return F.transform(
+        _kmeans_cent_lit(cents),
+        lambda c: F.aggregate(
+            F.zip_with(u, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def _kmeans_best(cents: list[list[int]], u: Column) -> Column:
+    """(dist, cidx) argmin struct — lexicographic array_min gives the
+    min distance with ties to the lowest centroid index."""
+    return F.array_min(
+        F.transform(
+            _kmeans_dists(cents, u),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        )
+    )
+
+
+def _kmeans_exact_train(
+    q: DataFrame, id_col: str, k: int, rounds: int
+) -> list[list[int]]:
+    """Train the exact-integer Lloyd model over ``q`` = (id, u) and return
+    the final centroids (u-space). Driver-side model, distributed passes:
+    per round one job reduces to ≤ k·dim rows collected as the next
+    centroid literal — MLlib's own model architecture. Returns ``[]`` on an
+    empty input (no seeds → no model; callers emit their empty shape)."""
+    hid = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    # Seed from id-DEDUPLICATED rows, matching the oracle's
+    # SELECT DISTINCT vec_id seeding: a duplicated id would otherwise yield
+    # duplicate centroids and diverge (r5 ADVICE finding). The id space is
+    # expected unique; dropDuplicates is the cheap belt-and-braces (vectors
+    # for a duplicated id are assumed identical — the only case where the
+    # arbitrary-row pick is still deterministic).
+    seed_rows = (
+        q.dropDuplicates([id_col])
+        .select(id_col, "u", hid.alias("h"))
+        .orderBy("h", id_col)
+        .limit(k)
+        .collect()
+    )
+    if not seed_rows:
+        return []
+    cents: list[list[int]] = [list(r["u"]) for r in seed_rows]
+    dim = len(cents[0])
+    for _ in range(rounds):
+        assigned = q.select(
+            F.col(id_col),
+            F.col("u"),
+            _kmeans_best(cents, F.col("u"))["i"].alias("cluster"),
+        )
+        sums = (
+            assigned.select("cluster", F.posexplode("u").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        agg: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            agg.setdefault(int(r["cluster"]), {})[int(r["pos"])] = (
+                int(r["s"]),
+                int(r["n"]),
+            )
+        for ci in range(len(cents)):
+            if ci in agg:
+                cents[ci] = [agg[ci][p][0] // agg[ci][p][1] for p in range(dim)]
+            # else: empty cluster keeps its previous centroid
+    return cents
+
+
 def kmeans_exact_assign(
     emb: DataFrame,
     vec_col: str = "embedding",
@@ -751,23 +837,8 @@ def kmeans_exact_assign(
         F.col(id_col),
         F.transform(F.col(vec_col), _u8_offset).alias("u"),
     )
-    hid = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    # Seed from id-DEDUPLICATED rows, matching the oracle's
-    # SELECT DISTINCT vec_id seeding: a duplicated id would otherwise yield
-    # duplicate centroids and diverge (r5 ADVICE finding). The id space is
-    # expected unique; dropDuplicates is the cheap belt-and-braces (vectors
-    # for a duplicated id are assumed identical — the only case where the
-    # arbitrary-row pick is still deterministic).
-    seed_rows = (
-        q.dropDuplicates([id_col])
-        .select(id_col, "u", hid.alias("h"))
-        .orderBy("h", id_col)
-        .limit(k)
-        .collect()
-    )
-    if not seed_rows:
+    cents = _kmeans_exact_train(q, id_col, k, rounds)
+    if not cents:
         # n=0: no seeds, no model — return an empty assignment with the
         # declared schema instead of IndexError (r5 ADVICE finding).
         return q.select(
@@ -775,55 +846,115 @@ def kmeans_exact_assign(
             F.lit(0).cast("int").alias("cluster"),
             F.lit(0).cast("long").alias("dist"),
         ).limit(0)
-    cents: list[list[int]] = [list(r["u"]) for r in seed_rows]
-    dim = len(cents[0])
-
-    def cent_lit() -> Column:
-        # ONE py4j literal call for the whole k×dim model: element-wise
-        # F.lit construction costs ~1.5 s of driver round trips per use
-        # (3 uses per training) — measured 5.5× cheaper as a single nested
-        # literal. Centroid values are ≤ 254, so array<array<int>> is
-        # exact; the zip_with against the long u column promotes to long.
-        return F.lit([[int(v) for v in c] for c in cents])
-
-    def best(u: Column) -> Column:
-        """(dist, cidx) argmin struct — lexicographic array_min gives the
-        min distance with ties to the lowest centroid index."""
-        dists = F.transform(
-            cent_lit(),
-            lambda c: F.aggregate(
-                F.zip_with(u, c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ),
-        )
-        return F.array_min(
-            F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
-        )
-
-    for _ in range(rounds):
-        assigned = q.select(
-            F.col(id_col), F.col("u"), best(F.col("u"))["i"].alias("cluster")
-        )
-        sums = (
-            assigned.select("cluster", F.posexplode("u").alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        agg: dict[int, dict[int, tuple[int, int]]] = {}
-        for r in sums:
-            agg.setdefault(int(r["cluster"]), {})[int(r["pos"])] = (
-                int(r["s"]),
-                int(r["n"]),
-            )
-        for ci in range(len(cents)):
-            if ci in agg:
-                cents[ci] = [agg[ci][p][0] // agg[ci][p][1] for p in range(dim)]
-            # else: empty cluster keeps its previous centroid
-    b = best(F.col("u"))
+    b = _kmeans_best(cents, F.col("u"))
     return q.select(
         F.col(id_col),
         b["i"].cast("int").alias("cluster"),
         b["d"].cast("long").alias("dist"),
+    )
+
+
+def ivf_exact_topk(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = KMEANS_EXACT_K,
+    rounds: int = KMEANS_EXACT_ROUNDS,
+    topk: int = 5,
+    nprobe: int = 2,
+    query_mod: int = 50,
+) -> DataFrame:
+    """Learned-centroid IVF ANN, HASH-EXACT end-to-end: the production
+    shape of sim_ivf_kmeans_topk (train coarse quantizer → bucket corpus →
+    probe nprobe buckets per query → exact-verify within candidates) with
+    every stage in the exact-integer domain, so the final ANN RESULT —
+    trained model included — matches an independent SQL derivation
+    bit-for-bit. The rows-only MLlib variant stays beside this as the
+    float sibling.
+
+    Stages and their 100 TB shape:
+
+    1. Train: ``_kmeans_exact_train`` (offset-integer Lloyd, k·dim rows
+       collected per round — MLlib's model architecture).
+    2. Bucket the corpus: argmin integer L2 against the centroid literal —
+       row-local array math, ZERO shuffles; each vector lands in exactly
+       one bucket, so multi-probe never duplicates a candidate.
+    3. Probe: the query side (``id % query_mod = 0`` — the registry's
+       standing deterministic query-set convention) takes its ``nprobe``
+       nearest centroids via array_sort over (dist, cidx) structs +
+       slice — still row-local, no window, no shuffle.
+    4. Candidate equi-join on bucket with the query side BROADCAST
+       (queries ≪ corpus by construction): candidates grow linearly with
+       nprobe, never quadratically — the piece that scales.
+    5. Exact verify: integer squared-L2 (≤ dim·254² ≪ 2^63) ranked
+       ascending per query, ties to the lower neighbor id; one window over
+       the candidate set only. METRIC-CONSISTENT by design: a k-means
+       coarse quantizer is an L2 structure, so candidates are ranked by
+       the same L2 the quantizer preserves (the classic IVF trap is
+       bucketing by one metric and ranking by another). Fixture note: the
+       synthetic embeddings are near-uniform on the sphere (top-5
+       neighbors share a label 10% of the time; even IDEAL label
+       centroids read 44% recall at nprobe=2), so measured recall ~38%
+       sits near the data's intrinsic ceiling and well above the 25%
+       coverage baseline — the recall test bounds against that baseline,
+       and full-probe equality with exact search pins the machinery.
+
+    The only wide exchange in the whole plan is the rank window over
+    candidates (|queries|·avg-bucket-size rows — the IVF point is exactly
+    that this is tiny relative to the corpus).
+    """
+    q = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), _u8_offset).alias("u"),
+    )
+    cents = _kmeans_exact_train(q, id_col, k, rounds)
+    if not cents:
+        return q.select(
+            F.col(id_col).alias("query_id"),
+            F.lit(0).cast("int").alias("bucket"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0).cast("long").alias("qdist"),
+            F.lit(0).cast("int").alias("rank"),
+        ).limit(0)
+    corpus = q.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("u").alias("cu"),
+        _kmeans_best(cents, F.col("u"))["i"].cast("int").alias("bucket"),
+    )
+    probes = (
+        q.where(F.col(id_col) % query_mod == 0)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("u").alias("qu"),
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            _kmeans_dists(cents, F.col("u")),
+                            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                        )
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("probe"),
+        )
+        .select("query_id", "qu", F.col("probe")["i"].cast("int").alias("bucket"))
+    )
+    # offset cancels in the difference, so no centering is needed
+    sq_l2 = F.aggregate(
+        F.zip_with(F.col("qu"), F.col("cu"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), on="bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("qdist", sq_l2)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("qdist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "bucket", "neighbor_id", "qdist", "rank")
     )

@@ -1243,10 +1243,14 @@ def quality_linear_score(spark, sf_dir):
     return classifier.hashed_score(d, "doc_id", "text")
 
 
-def _kmeans_exact_oracle() -> str:
-    """Unrolled Lloyd training in pure SQL — the oracle DERIVES the
-    centroids independently from the raw table (nothing Spark-computed is
-    baked in), sharing only the k/rounds/offset constants with the plan."""
+def _kmeans_training_sql() -> tuple[str, str]:
+    """Unrolled Lloyd training in pure SQL, shared by the k-means and the
+    learned-IVF oracles — DERIVES the centroids independently from the raw
+    table (nothing Spark-computed is baked in), sharing only the
+    k/rounds/offset constants with the plan. Returns ``(with_body,
+    final_dists)`` where ``with_body`` opens the WITH clause (q/seeds/
+    c0…c{R} plus the final per-(vec,centroid) distance relation) and
+    ``final_dists`` is the name of that last CTE."""
     from ..operators.similarity import (
         KMEANS_EXACT_K,
         KMEANS_EXACT_ROUNDS,
@@ -1305,15 +1309,65 @@ def _kmeans_exact_oracle() -> str:
     d{fr} AS (
       SELECT q.vec_id, c.cidx, SUM((q.u - c.c) * (q.u - c.c)) AS dist
       FROM q JOIN {prev} c USING (pos) GROUP BY 1, 2
+    )"""
     )
+    return "".join(parts), f"d{fr}"
+
+
+def _kmeans_exact_oracle() -> str:
+    body, dfin = _kmeans_training_sql()
+    return (
+        body
+        + f"""
     SELECT vec_id, CAST(cidx AS INT) AS cluster, CAST(dist AS BIGINT) AS dist
     FROM (
       SELECT vec_id, cidx, dist,
              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
-      FROM d{fr}
+      FROM {dfin}
     ) WHERE rn = 1"""
     )
-    return "".join(parts)
+
+
+def _ivf_exact_oracle() -> str:
+    """Learned-IVF ANN oracle: replay the unrolled training, bucket every
+    vector by argmin distance, probe each query's 2 nearest buckets, then
+    exact integer squared-L2 rank within candidates (metric-consistent
+    with the k-means quantizer) — the full train→bucket→probe→verify
+    pipeline derived independently in SQL."""
+    body, dfin = _kmeans_training_sql()
+    return (
+        body
+        + f""",
+    corpus AS (
+      SELECT vec_id AS neighbor_id, CAST(cidx AS INT) AS bucket FROM (
+        SELECT vec_id, cidx,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+        FROM {dfin}
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, CAST(cidx AS INT) AS bucket FROM (
+        SELECT vec_id, cidx,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+        FROM {dfin} WHERE vec_id % 50 = 0
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, c.bucket, c.neighbor_id,
+             CAST(SUM((qa.u - qb.u) * (qa.u - qb.u)) AS BIGINT) AS qdist
+      FROM probes p
+      JOIN corpus c USING (bucket)
+      JOIN q qa ON qa.vec_id = p.query_id
+      JOIN q qb ON qb.vec_id = c.neighbor_id AND qb.pos = qa.pos
+      WHERE c.neighbor_id <> p.query_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT query_id, bucket, neighbor_id, qdist, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY qdist ASC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5"""
+    )
 
 
 @ext_query("emb_kmeans_exact", _kmeans_exact_oracle())
@@ -1333,6 +1387,25 @@ def emb_kmeans_exact(spark, sf_dir):
 
     e = catalog.table(spark, sf_dir, "embeddings")
     return similarity.kmeans_exact_assign(e, "embedding", "vec_id")
+
+
+@ext_query("sim_ivf_exact_topk", _ivf_exact_oracle())
+def sim_ivf_exact_topk(spark, sf_dir):
+    """Learned-centroid IVF ANN, hash-exact END-TO-END (round-6 flagship):
+    exact-integer k-means training (emb_kmeans_exact's model) → zero-
+    shuffle corpus bucketing against the centroid literal → row-local
+    nprobe=2 probe selection (array_sort + slice, no window) → broadcast
+    candidate equi-join on bucket → exact centered-int8 dot verification →
+    top-5 per query. The production IVF shape with a hard external oracle:
+    the SQL side re-derives the trained model, the buckets, the probes, and
+    the ranking independently from the raw table. The MLlib float sibling
+    (sim_ivf_kmeans_topk) stays beside it as the rows-only tier. See
+    operators/similarity.py:ivf_exact_topk for the per-stage 100 TB
+    argument."""
+    from ..operators import similarity
+
+    e = catalog.table(spark, sf_dir, "embeddings")
+    return similarity.ivf_exact_topk(e, "embedding", "vec_id")
 
 
 def _curriculum_oracle() -> str:
