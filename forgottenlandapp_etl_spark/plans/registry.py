@@ -49,17 +49,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "j7_asof_join",
     "j8_range_join",
     # §2.5 aggregations
-    "a2_horizontal_sum",
-    # (a4_count_nonempty / w2_level_rank / c6_date_functions rotated out
+    # (a2_horizontal_sum rotated out r6 after five green rounds;
+    # a4_count_nonempty / w2_level_rank / c6_date_functions rotated out
     # after three driver-green rounds — same r3-verdict-item-2 mechanism)
     # §2.6 windows / ranks
-    "w1_rank_desc",
+    # (w1_rank_desc / w5_points_from_rank rotated out r6 after five green
+    # rounds; w3_multikey_rank keeps the multi-key sort family's driver row)
     "w3_multikey_rank",
-    "w5_points_from_rank",
     "wx_partitioned_rank",
     "wx_range_frame",
     # §2.8 scalar functions
-    "c1_skill_points",
+    # (c1_skill_points rotated out r6 after five green rounds — the
+    # skill-points formula stays exercised inside w5/j2's gate entries)
     "c7_json_extract",
     # (c7b_variant_extract, text_fingerprint, text_token_count rotated out
     # after two driver-green rounds — same mechanism as the r3 quantization
@@ -78,16 +79,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "k5_row_merge",
     "scd2_intervals",
     # LLM-pipeline extension families
-    "dedup_exact",
+    # (dedup_exact / text_stats / text_quality / pipeline_train_val_split
+    # rotated out r6 after five green rounds each — their families keep
+    # strictly harder representatives in the window: minhash/simhash/
+    # components/levenshtein/substring for dedup, chunk-overlap + bigram-LM
+    # for text, clean_corpus for pipelines; split semantics stay pinned by
+    # the leakage-safe split gate entries)
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_components",
-    "text_stats",
-    "text_quality",
     "text_lang_id",
     "pipeline_clean_corpus",
-    "pipeline_train_val_split",
     "sim_bruteforce_topk",
     # int8 quantization tier (promoted r3: new, exactly-oracle-checkable)
     "emb_quantize_int8",
@@ -115,14 +118,25 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_substring",
     "sketch_count_min",
     "tpch_q21_waiting_supplier",
+    # round-6 promotions (r5 verdict items 1, 2, 8): the hash-exact learned
+    # tiers (exact k-means and its new IVF-ANN serving form), Bloom
+    # decontamination, the mergeable CMS sketch, two more TPC-H shapes
+    # (q9's 6-table derived-partsupp join; q4's exists-semi), and the two
+    # never-windowed streaming entries
+    "emb_kmeans_exact",
+    "sim_ivf_exact_topk",
+    "decontaminate_bloom",
+    "sketch_cms_daily_merge",
+    "tpch_q9_product_type_profit",
+    "tpch_q4_order_priority",
+    "stream_stream_join",
+    "stream_dedup_keys",
 )
-# Round-6 rotation candidates (same mechanism, after these go multi-round
-# green): swap out a2_horizontal_sum / c1_skill_points / w5_points_from_rank
-# for never-windowed hard entries — strongest: emb_kmeans_exact (the
-# hash-exact learned tier, new r5), decontaminate_bloom (exact-verified
-# approximate membership, new r5), tpch_q9_product_type_profit (derived
-# partsupp, 6-table join), plus tpch_q4_order_priority and
-# sketch_hll_daily_merge's hash-exact CMS sibling if slots remain.
+# Round-7 rotation candidates (same mechanism, once the r6 promotions go
+# multi-round green): swap out j2_enrichment_join / j3_accumulating_merge /
+# text_lang_id-class entries for never-windowed hard rows — strongest:
+# tpch_q8_market_share / tpch_q20_potential_promotion (derived-partsupp
+# family), wx_window family, set-op entries, stream_sliding_counts.
 
 _missing = [n for n in DRIVER_WINDOW if n not in _ALL_QUERIES]
 if _missing:
