@@ -344,3 +344,30 @@ def test_chunk_overlap_is_shuffle_free(spark, sf_dir):
     assert all("REPARTITION_BY_NUM" in e for e in exchanges), exchanges
     assert len(exchanges) <= 1, exchanges
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_no_unjustified_global_exchange_anywhere(spark, sf_dir):
+    """SCALE rule 10 as a UNIVERSAL gate (r5 verdict item 7): every
+    registry entry's physical plan is walked structurally; a single-
+    partition or range exchange is benign only when its consumer is a
+    global scalar reduction (empty grouping keys — partial agg upstream,
+    one row out) or a limit. Anything else — a true global sort or global
+    window — must carry a named bounded-size justification in
+    tools/gen_scale_report.GLOBAL_SORT_ALLOWLIST, and stale justifications
+    fail too, so the allowlist can never outlive the shapes it excuses.
+    ~90 s for all plans: the whole-registry scale audit, priced in."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_scale_report",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "gen_scale_report.py"),
+    )
+    gsr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gsr)
+
+    detail, violations = gsr.check_global_exchanges(spark, sf_dir, QUERIES)
+    assert violations == [], violations
+    # and the benign classification is doing real work: the fixture plans
+    # DO contain scalar-reduction singles that the walk must not flag
+    assert set(detail) == set(gsr.GLOBAL_SORT_ALLOWLIST)
