@@ -538,3 +538,81 @@ def test_compact_crash_at_every_rename_point(spark, tmp_path, monkeypatch):
         if not crashed:
             break  # the sweep passed the last rename call site
     assert fail_at > 3  # the sweep really covered multiple call sites
+
+
+def test_compact_live_concurrent_appender_zero_loss(spark, tmp_path):
+    """LIVE writer race (r5 verdict item 5): a real appender thread
+    commits one-row files (tmp write + rename — a task commit, retried on
+    the swap window like any real committer) at full speed into both
+    partitions while the main thread runs compact_partitions six times.
+    Every committed row must survive EXACTLY once — no loss to a parked
+    dir, no double-read from debris — across whatever interleavings the
+    scheduler produces (dozens of appends land in every compaction phase:
+    pre-snapshot, staged, mid-swap, post-swap)."""
+    import os
+    import threading
+    import uuid
+
+    import pandas as pd
+
+    from forgottenlandapp_etl_spark.sources import sinks
+
+    path = str(tmp_path / "t")
+    for run in range(2):
+        df = spark.createDataFrame(
+            [(run * 10 + i, f"2024-06-0{1 + i % 2}") for i in range(6)],
+            "v long, date string",
+        ).repartition(3)
+        sinks.insert_snapshot(df, path, ("date",))
+    initial = sorted(r["v"] for r in spark.read.parquet(path).collect())
+
+    committed: list[int] = []
+    stop = threading.Event()
+    appender_err: list[BaseException] = []
+
+    def appender():
+        v = 1000
+        try:
+            while not stop.is_set():
+                date = f"2024-06-0{1 + v % 2}"
+                part = os.path.join(path, f"date={date}")
+                pdf = pd.DataFrame({"v": [v]})
+                # task-commit protocol: write invisible tmp, rename into
+                # place; retry from scratch if the swap moved the dir
+                # between the two steps (rename-by-name hits ENOENT)
+                while True:
+                    try:
+                        os.makedirs(part, exist_ok=True)
+                        tmp = os.path.join(part, f".tmp-{uuid.uuid4().hex}")
+                        pdf.to_parquet(tmp)
+                        os.rename(tmp, os.path.join(part, f"part-{uuid.uuid4().hex}.parquet"))
+                        break
+                    except OSError:
+                        continue  # the swap moved the dir mid-attempt; redo
+                committed.append(v)
+                v += 1
+        except BaseException as exc:  # surface thread crashes in the test
+            appender_err.append(exc)
+
+    t = threading.Thread(target=appender)
+    t.start()
+    try:
+        for _ in range(6):
+            sinks.compact_partitions(spark, path, ("date",))
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    assert not appender_err, appender_err
+    # enough pressure to hit every phase; the thread runs unthrottled
+    assert len(committed) >= 20
+
+    vals = [r["v"] for r in spark.read.parquet(path).collect()]
+    from collections import Counter
+
+    c = Counter(vals)
+    dupes = {v: n for v, n in c.items() if n > 1}
+    assert dupes == {}, f"double-read rows: {dupes}"
+    missing = (set(initial) | set(committed)) - set(vals)
+    assert missing == set(), f"lost rows: {missing}"
+    extra = set(vals) - (set(initial) | set(committed))
+    assert extra == set(), f"phantom rows: {extra}"
