@@ -85,41 +85,125 @@ def media_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
-def decode_media(df: DataFrame, target_size: tuple[int, int] = (224, 224)) -> DataFrame:
-    """Decode + resize stage, real when a codec is importable.
+def _decode_stdlib(data: bytes) -> tuple[int, int, list[int]]:
+    """Pure-stdlib image decode to 8-bit grayscale: binary PPM (P6) / PGM
+    (P5) and uncompressed 24/32-bit bottom-up BMP — the formats whose spec
+    fits in a page and needs no codec library. Grayscale via the ITU-R
+    601-2 integer luma (299R+587G+114B)//1000. Raises ValueError on
+    anything it can't prove it parsed correctly — a media pipeline must
+    never emit pixels it guessed."""
+    import struct
 
-    With Pillow present each payload is decoded as an image, converted to
-    8-bit grayscale and resized to ``target_size`` — emitted as a flat
-    ``pixels`` array with the same schema the deterministic fake uses, so
-    downstream stages are codec-agnostic. Without a codec (this container)
-    the stage raises; use :func:`fake_decode_media` for plumbing tests.
-    The Pillow import happens INSIDE the Arrow batch function — on a real
-    cluster the probe must hold on executors, not just the driver, and a
-    missing executor-side codec should fail the task loudly.
+    if data[:2] in (b"P6", b"P5"):
+        # token-based header parse: magic, width, height, maxval, single
+        # whitespace, then the raster; '#' comments allowed between tokens
+        pos, toks = 2, []
+        while len(toks) < 3:
+            while pos < len(data) and data[pos : pos + 1].isspace():
+                pos += 1
+            if data[pos : pos + 1] == b"#":
+                while pos < len(data) and data[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            toks.append(int(data[start:pos]))
+        pos += 1  # the single whitespace byte after maxval
+        w, h, maxval = toks
+        if maxval != 255:
+            raise ValueError(f"PPM/PGM maxval {maxval} unsupported (want 255)")
+        ch = 3 if data[:2] == b"P6" else 1
+        raster = data[pos : pos + w * h * ch]
+        if len(raster) != w * h * ch:
+            raise ValueError("truncated PPM/PGM raster")
+        if ch == 1:
+            return w, h, list(raster)
+        return w, h, [
+            (299 * raster[i] + 587 * raster[i + 1] + 114 * raster[i + 2]) // 1000
+            for i in range(0, len(raster), 3)
+        ]
+    if data[:2] == b"BM":
+        off, = struct.unpack_from("<I", data, 10)
+        hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
+        planes, bpp = struct.unpack_from("<HH", data, 26)
+        comp, = struct.unpack_from("<I", data, 30)
+        if hdr_size < 40 or planes != 1 or comp != 0 or bpp not in (24, 32):
+            raise ValueError(f"BMP variant unsupported (bpp={bpp}, comp={comp})")
+        flip, h = h > 0, abs(h)
+        nb = bpp // 8
+        stride = ((w * nb + 3) // 4) * 4
+        px: list[int] = []
+        for row in range(h):
+            base = off + (h - 1 - row if flip else row) * stride
+            for col in range(w):
+                b, g, r = data[base + col * nb : base + col * nb + 3]
+                px.append((299 * r + 587 * g + 114 * b) // 1000)
+        return w, h, px
+    raise ValueError(f"unrecognized image magic {data[:2]!r}")
+
+
+def _resize_nearest(
+    w: int, h: int, px: list[int], tw: int, th: int
+) -> list[int]:
+    """Nearest-neighbor resample (pixel-center mapping) — deterministic
+    integer-only resize for the stdlib decode branch."""
+    return [
+        px[min(h - 1, (y * 2 + 1) * h // (2 * th)) * w
+           + min(w - 1, (x * 2 + 1) * w // (2 * tw))]
+        for y in range(th)
+        for x in range(tw)
+    ]
+
+
+def decode_media(df: DataFrame, target_size: tuple[int, int] = (224, 224)) -> DataFrame:
+    """Decode + resize stage — REAL in every environment.
+
+    Each payload is decoded to 8-bit grayscale and resized to
+    ``target_size``, emitted as a flat ``pixels`` array with the same
+    schema the deterministic fake uses, so downstream stages are
+    codec-agnostic. Decoder resolution, per payload, INSIDE the Arrow
+    batch function (on a real cluster the probe must hold on executors,
+    not just the driver): Pillow when importable (any format, bicubic
+    resize); otherwise the pure-stdlib PPM/PGM/uncompressed-BMP decoder
+    with nearest-neighbor resize (:func:`_decode_stdlib` — closes the
+    this-container codec gap with formats whose spec fits in a page);
+    otherwise the task fails loudly with NotImplementedError — a missing
+    executor-side codec must never silently fake pixels
+    (:func:`fake_decode_media` is the clearly-marked fake for plumbing
+    tests). The two decode branches differ in resampling filter by design;
+    pipelines needing bit-stable features across environments must pin the
+    decoder, exactly as they would pin a codec build.
     """
-    if not _real_decoder_available():
-        raise NotImplementedError(
-            "media codec not available in this environment; use "
-            "fake_decode_media() for plumbing tests or install a codec"
-        )
     w, h = target_size
     out_schema = "media_id BIGINT, width INT, height INT, pixels ARRAY<INT>"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
-        from PIL import Image
+        use_pil = _real_decoder_available()
+        if use_pil:
+            from PIL import Image
 
         for pdf in it:
             ids, px = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = (
-                    Image.open(io.BytesIO(bytes(payload)))
-                    .convert("L")
-                    .resize((w, h))
-                )
+                raw = bytes(payload)
+                if use_pil:
+                    img = Image.open(io.BytesIO(raw)).convert("L").resize((w, h))
+                    pix = [int(v) for v in img.getdata()]
+                else:
+                    try:
+                        sw, sh, spx = _decode_stdlib(raw)
+                    except ValueError as exc:
+                        raise NotImplementedError(
+                            f"media_id={mid}: no codec for this payload in "
+                            f"this environment ({exc}); install Pillow or "
+                            "use fake_decode_media() for plumbing tests"
+                        ) from exc
+                    pix = _resize_nearest(sw, sh, spx, w, h)
                 ids.append(mid)
-                px.append([int(v) for v in img.getdata()])
+                px.append(pix)
             yield pd.DataFrame(
                 {"media_id": ids, "width": w, "height": h, "pixels": px}
             )
