@@ -115,6 +115,10 @@ HEADLINE = [
     "pipeline_curriculum_phases",
     "emb_kmeans_exact",
     "sketch_cms_daily_merge",
+    # round 6 additions: the hash-exact learned-IVF ANN and the newly
+    # driver-windowed q4
+    "sim_ivf_exact_topk",
+    "tpch_q4_order_priority",
 ]
 
 
@@ -122,33 +126,39 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1).rstrip(".")) if m else None
-    spark = build_session(app_name="forgottenlandapp-etl-spark-bench")
-    spark.sparkContext.setLogLevel("ERROR")
+# Host-mode canary (BENCH_NOTES r3→r5 finding): the measurement host is
+# BIMODAL — a slow-JIT/CPU state inflates unrelated entries up to ~1.7×
+# with unchanged code, and whole runs by ~9%. dedup_minhash_lsh has been
+# the round-over-round signature of the mode (1.3 s steady vs 1.8–2.2
+# slow at sf0.1), so each pass measures it FIRST (untimed region) and the
+# artifact records the per-pass canary values: a pass whose canary reads
+# >1.3× the best observed canary is flagged slow_host, turning the
+# "which mode did this run land in?" judgment from eyeballed to recorded.
+CANARY = "dedup_minhash_lsh"
+CANARY_SLOW_RATIO = 1.3
 
-    names = [n for n in HEADLINE if n in QUERIES]
 
-    # Steady-state methodology: one warmup run pays JVM JIT + codegen
-    # (one-time costs that amortize to zero at production scale), then the
-    # min of three measured runs is recorded — the min filters out transient
-    # host noise, which on a busy 32-thread box can inflate a single run
-    # by 10x. Each run fully materializes through the noop sink.
-    # Cache-building queries (the LSH dedup persists its shingle/signature
-    # relations) get the cache cleared between runs: each measured run pays
-    # its own materialization, so the number is the honest per-execution
-    # cost, not a cache-hit — and caches can't accumulate across the list.
-    #
-    # Session recycling: one long JVM accumulates heap/GC/codegen-cache
-    # pressure that inflates LATE queries 2-3x regardless of their plans
-    # (measured round 3: text_winnow 0.71 s solo vs 2.39 s at position 33;
-    # the round-2 TPC-H "regression" was the same artifact). Rebuilding the
-    # session every RESTART_EVERY queries bounds that drift; the rebuild
-    # happens OUTSIDE the timed region so per-query numbers only get
-    # cleaner, and each fresh session re-warms on its first (untimed) run.
-    restart_every = int(os.environ.get("SPARK_GRAFT_BENCH_RESTART", "12"))
+def run_pass(spark, sf_dir: str, names: list[str], restart_every: int):
+    """One full measurement pass: per entry 1 warmup + min of 3 measured
+    runs (the min filters transient host noise within a pass; the MEDIAN
+    ACROSS PASSES in main() absorbs the cross-pass host bimodality).
+    Cache-building queries get the cache cleared between runs — each
+    measured run pays its own materialization. Session recycling every
+    ``restart_every`` entries bounds long-JVM heap/GC/codegen drift
+    (round 3: text_winnow 0.71 s solo vs 2.39 s at position 33); the
+    rebuild happens OUTSIDE the timed region. Returns (times, canary_sec,
+    spark) — the possibly-recycled session comes back to the caller."""
+    canary = None
+    if CANARY in QUERIES:
+        materialize(QUERIES[CANARY](spark, sf_dir))
+        spark.catalog.clearCache()
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            materialize(QUERIES[CANARY](spark, sf_dir))
+            spark.catalog.clearCache()
+            runs.append(time.perf_counter() - t0)
+        canary = round(min(runs), 4)
     times: dict[str, float] = {}
     for i, name in enumerate(names):
         if restart_every > 0 and i > 0 and i % restart_every == 0:
@@ -164,6 +174,52 @@ def main() -> None:
             spark.catalog.clearCache()
             measured.append(time.perf_counter() - t0)
         times[name] = round(min(measured), 4)
+    return times, canary, spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    spark = build_session(app_name="forgottenlandapp-etl-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    restart_every = int(os.environ.get("SPARK_GRAFT_BENCH_RESTART", "12"))
+    # Passes: the committed local artifacts use 3 full passes and report
+    # per-entry MEDIANS across passes (r5 verdict item 3 — the robust
+    # aggregate the round-over-round tables compare); the driver's own run
+    # defaults to 1 pass to stay inside its time budget, with its canary
+    # recording which host mode it landed in.
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "1")))
+    pass_times: list[dict[str, float]] = []
+    canaries: list[float] = []
+    for _ in range(passes):
+        times, canary, spark = run_pass(spark, sf_dir, names, restart_every)
+        pass_times.append(times)
+        if canary is not None:
+            canaries.append(canary)
+
+    def median(vals: list[float]) -> float:
+        s = sorted(vals)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+    times = {n: round(median([p[n] for p in pass_times]), 4) for n in names}
+    # cross-pass spread per entry (max/min) — the quantified variance bound
+    spreads = sorted(
+        (round(max(p[n] for p in pass_times) / max(min(p[n] for p in pass_times), 1e-9), 3), n)
+        for n in names
+    )
+    variance = {
+        "passes": passes,
+        "canary_sec": canaries,
+        "slow_host_passes": sum(
+            1 for c in canaries if canaries and c > CANARY_SLOW_RATIO * min(canaries)
+        ),
+        "spread_p50": spreads[len(spreads) // 2][0] if spreads else None,
+        "spread_max": [spreads[-1][1], spreads[-1][0]] if spreads else None,
+    }
 
     out = {
         "metric": "headline_queries_total_runtime",
@@ -171,8 +227,12 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
-        "runs_per_query": 4,
-        "policy": "steady-state: 1 warmup run, min of 3 measured runs",
+        "runs_per_query": 4 * passes,
+        "variance": variance,
+        "policy": (
+            "steady-state: per pass 1 warmup + min of 3 measured; "
+            f"median across {passes} pass(es); canary={CANARY}"
+        ),
     }
     # Two JSON lines: the full per-query dict first (humans, side files),
     # then a SHORT totals-only line LAST — the driver's capture keeps only
@@ -185,6 +245,8 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(times),
+        "passes": passes,
+        "slow_host_passes": variance["slow_host_passes"],
         "queries": {},
         "detail": "per-query timings: previous stdout line / SPARK_GRAFT_BENCH_OUT file",
     }

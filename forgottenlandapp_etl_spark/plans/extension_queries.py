@@ -1541,15 +1541,20 @@ def sketch_count_min(spark, sf_dir):
     corpus), probe is a broadcast equi-join + MIN. The exact top-20 tokens
     are probed and both true and estimated counts returned — the oracle
     checks the sketch's integer math exactly, the CMS ≥-guarantee has a
-    property test."""
-    from pyspark import StorageLevel
+    property test.
 
+    The token relation is deliberately NOT persisted between its two
+    consumers (exact counts + sketch build): exploded tokens are several
+    times the source column's size, so caching them costs more than the
+    second pruned text-column scan it saves — at fixture scale measured
+    1.68 s persisted vs 1.18 s rescanned (the r5→r6 'regression' was
+    exactly this persist), and at 100 TB the ratio only worsens. Rule-7
+    persistence is for relations SMALLER than their rebuild cost (LSH
+    signatures), not fan-outs."""
     from ..operators import sketches, windows
 
     d = _docs(spark, sf_dir, fan_out=True)
-    tok = d.select(F.explode(F.split("text", " ")).alias("token")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
     exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_true"))
     top = windows.top_k(exact, [F.desc("n_true"), F.asc("token")], 20)
     sk = sketches.build_count_min(tok, "token")
