@@ -119,6 +119,7 @@ HEADLINE = [
     # driver-windowed q4
     "sim_ivf_exact_topk",
     "tpch_q4_order_priority",
+    "dedup_semantic",
 ]
 
 

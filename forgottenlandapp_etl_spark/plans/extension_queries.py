@@ -1389,6 +1389,72 @@ def emb_kmeans_exact(spark, sf_dir):
     return similarity.kmeans_exact_assign(e, "embedding", "vec_id")
 
 
+def _semantic_dedup_oracle() -> str:
+    """SemDeDup oracle: unrolled training → cluster assignment → within-
+    cluster integer-L2 edge set → recursive-CTE transitive closure → min-id
+    keeper. The whole pipeline, model included, derived independently."""
+    from ..operators.similarity import SEMANTIC_DUP_SQDIST
+
+    body, dfin = _kmeans_training_sql()
+    # the closure needs WITH RECURSIVE; DuckDB accepts the keyword with a
+    # mixed recursive/non-recursive CTE list
+    body = body.replace("WITH q AS", "WITH RECURSIVE q AS", 1)
+    return (
+        body
+        + f""",
+    assign AS (
+      SELECT vec_id, CAST(cidx AS INT) AS cluster FROM (
+        SELECT vec_id, cidx,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+        FROM {dfin}
+      ) WHERE rn = 1
+    ),
+    prs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assign a
+      JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN q qa ON qa.vec_id = a.vec_id
+      JOIN q qb ON qb.vec_id = b.vec_id AND qb.pos = qa.pos
+      GROUP BY 1, 2
+      HAVING SUM((qa.u - qb.u) * (qa.u - qb.u)) <= {SEMANTIC_DUP_SQDIST}
+    ),
+    sedges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION
+      SELECT id_b, id_a FROM prs
+    ),
+    sreach(a, b) AS (
+      SELECT src, dst FROM sedges
+      UNION
+      SELECT r.a, e.dst FROM sreach r JOIN sedges e ON r.b = e.src
+    ),
+    scomp AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS component FROM sreach GROUP BY a)
+    SELECT s.vec_id, s.cluster,
+           COALESCE(c.component, s.vec_id) AS component,
+           CAST(COALESCE(c.component, s.vec_id) = s.vec_id AS INT) AS is_kept
+    FROM assign s LEFT JOIN scomp c USING (vec_id)"""
+    )
+
+
+@ext_query("dedup_semantic", _semantic_dedup_oracle())
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) hash-exact end-to-end: exact-integer
+    k-means clusters the embedding corpus, near-duplicate edges are drawn
+    only within clusters (integer squared-L2 ≤ threshold), connected
+    components close them into duplicate groups, and the min-id
+    representative is kept — embedding-space semantic dedup, the step
+    after string-level dedup removes literal copies. The generated oracle
+    re-derives the trained model, the clusters, the edge set, and the
+    transitive closure independently (recursive CTE). See
+    operators/similarity.py:semantic_dedup for the per-stage 100 TB
+    argument (Σ|cluster|² candidates with k grown to bound cluster size —
+    the paper's own regime — never n²)."""
+    from ..operators import similarity
+
+    e = catalog.table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(e, "embedding", "vec_id")
+
+
 @ext_query("sim_ivf_exact_topk", _ivf_exact_oracle())
 def sim_ivf_exact_topk(spark, sf_dir):
     """Learned-centroid IVF ANN, hash-exact END-TO-END (round-6 flagship):

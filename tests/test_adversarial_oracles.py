@@ -352,6 +352,8 @@ EMB_ONLY_ENTRIES = [
     "emb_near_dup_bucketed",
     "emb_centroid_per_label",
     "emb_kmeans_exact",
+    "sim_ivf_exact_topk",
+    "dedup_semantic",
 ]
 
 

@@ -1329,3 +1329,36 @@ def test_bpe_oracles_on_adversarial_corpus(spark, tmp_path):
     ]
     want_t = sorted(map(tuple, con.sql(X._bpe_train_oracle()).fetchall()))
     assert sorted(got_t) == want_t
+
+
+def test_semantic_dedup_semantics(spark, tmp_path):
+    """SemDeDup invariants on a crafted corpus: exact-duplicate vectors
+    co-component with one keeper (the min id); a distant vector stays a
+    kept singleton; every component's representative is its min member;
+    clusters never straddle a component (edges are within-cluster only)."""
+    import pandas as pd
+
+    from forgottenlandapp_etl_spark.operators import similarity
+
+    dim = 64
+    base = [0.5] * 8 + [0.0] * (dim - 8)
+    far = [-0.5] * 8 + [0.0] * (dim - 8)
+    rows = [
+        (0, base), (1, base), (2, base),          # exact triplicate
+        (3, [x + 0.001 for x in base]),           # near-dup of the triplet
+        (10, far),                                # distant singleton
+        (11, [(-1.0) ** i * 0.3 for i in range(dim)]),
+    ]
+    pd.DataFrame(
+        {"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows],
+         "label": [0] * len(rows)}
+    ).to_parquet(f"{tmp_path}/embeddings.parquet")
+    e = spark.read.parquet(f"{tmp_path}/embeddings.parquet")
+    out = {r["vec_id"]: r for r in similarity.semantic_dedup(e).collect()}
+    assert len(out) == len(rows)
+    assert out[0]["component"] == out[1]["component"] == out[2]["component"] == 0
+    assert out[3]["component"] == 0  # 0.001 shift quantizes within threshold
+    assert [out[i]["is_kept"] for i in (0, 1, 2, 3)] == [1, 0, 0, 0]
+    assert out[10]["component"] == 10 and out[10]["is_kept"] == 1
+    for r in out.values():
+        assert r["is_kept"] == (1 if r["component"] == r["vec_id"] else 0)
