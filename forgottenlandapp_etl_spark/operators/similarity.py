@@ -750,6 +750,46 @@ def _kmeans_best(cents: list[list[int]], u: Column) -> Column:
     )
 
 
+# Two-tier training threshold (SCALE.md rule 8 — execution tier sized by
+# MEASURED input): at or below this many vectors the whole Lloyd fixed
+# point runs in one local numpy step on the collected (id, u) relation
+# (65536 × 64 dims × 8 B ≈ 32 MB — the same bounded-collect class as the
+# per-round k·dim model pull, just amortized), eliminating the ~5 jobs of
+# per-round scheduling that dominated the fixture-scale cost (measured:
+# 1.8–1.9 s distributed vs <0.3 s local for 2000 vectors, identical
+# centroids). Above it, the distributed per-round loop is the path.
+KMEANS_DRIVER_ROWS = 65536
+
+
+def _kmeans_hid(x) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(int(x)).encode()).hexdigest()[:15], 16)
+
+
+def _kmeans_train_local(pdf, id_col: str, k: int, rounds: int) -> list[list[int]]:
+    """Single-step numpy Lloyd — EXACTLY the distributed recurrence
+    (md5-rank seeding, argmin ties to lowest index via argmin's
+    first-occurrence rule, floor-mean updates, empty clusters keep their
+    centroid), asserted equal tier-to-tier in tests. All int64: U ≤ 254 so
+    nothing here can overflow or round."""
+    import numpy as np
+
+    ids = [int(v) for v in pdf[id_col].tolist()]
+    U = np.array(pdf["u"].tolist(), dtype=np.int64)
+    order = sorted(range(len(ids)), key=lambda j: (_kmeans_hid(ids[j]), ids[j]))
+    cents = U[order[:k]].copy()
+    for _ in range(rounds):
+        # n×k distances via per-centroid passes (never the n×k×dim cube)
+        d = np.stack([((U - c) ** 2).sum(axis=1) for c in cents], axis=1)
+        a = d.argmin(axis=1)
+        for ci in range(len(cents)):
+            m = a == ci
+            if m.any():
+                cents[ci] = U[m].sum(axis=0) // int(m.sum())
+    return [[int(v) for v in c] for c in cents]
+
+
 def _kmeans_exact_train(
     q: DataFrame, id_col: str, k: int, rounds: int
 ) -> list[list[int]]:
@@ -757,7 +797,14 @@ def _kmeans_exact_train(
     the final centroids (u-space). Driver-side model, distributed passes:
     per round one job reduces to ≤ k·dim rows collected as the next
     centroid literal — MLlib's own model architecture. Returns ``[]`` on an
-    empty input (no seeds → no model; callers emit their empty shape)."""
+    empty input (no seeds → no model; callers emit their empty shape).
+    Two-tier by measured size: see KMEANS_DRIVER_ROWS."""
+    uniq = q.dropDuplicates([id_col])
+    n = uniq.count()
+    if n == 0:
+        return []
+    if n <= KMEANS_DRIVER_ROWS:
+        return _kmeans_train_local(uniq.toPandas(), id_col, k, rounds)
     hid = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
@@ -768,14 +815,11 @@ def _kmeans_exact_train(
     # for a duplicated id are assumed identical — the only case where the
     # arbitrary-row pick is still deterministic).
     seed_rows = (
-        q.dropDuplicates([id_col])
-        .select(id_col, "u", hid.alias("h"))
+        uniq.select(id_col, "u", hid.alias("h"))
         .orderBy("h", id_col)
         .limit(k)
         .collect()
     )
-    if not seed_rows:
-        return []
     cents: list[list[int]] = [list(r["u"]) for r in seed_rows]
     dim = len(cents[0])
     for _ in range(rounds):
@@ -1022,22 +1066,37 @@ def semantic_dedup(
         F.col("u"),
         _kmeans_best(cents, F.col("u"))["i"].cast("int").alias("cluster"),
     )
-    a = assigned.select(
-        F.col(id_col).alias("id_a"), F.col("u").alias("ua"), "cluster"
-    )
-    b = assigned.select(
-        F.col(id_col).alias("id_b"), F.col("u").alias("ub"), "cluster"
-    )
-    sq = F.aggregate(
-        F.zip_with(F.col("ua"), F.col("ub"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    pairs = (
-        a.join(b, on="cluster")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(sq <= threshold)
-        .select("id_a", "id_b")
+
+    # Within-cluster pairwise via ONE Arrow group per cluster (the paper's
+    # own per-cluster batch pairwise), not a self-equi-join on cluster: a
+    # join on k keys shuffles the full u arrays of BOTH sides into at most
+    # k hot partitions and evaluates the distance as a per-pair zip_with —
+    # measured 3.4 s vs 0.3 s for this shape at fixture scale. Here the
+    # corpus shuffles ONCE (rows, not pairs), and each cluster computes
+    # its integer Gram matrix in numpy: d² = ‖a‖² + ‖b‖² − 2a·b, all
+    # int64, exact (per-element bound dim·254² ≪ 2^63). Per-cluster
+    # memory is the SemDeDup regime's design bound — k grows with the
+    # corpus so clusters stay batch-sized.
+    thr = int(threshold)
+
+    def cluster_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        U = np.array(pdf["u"].tolist(), dtype=np.int64)
+        ids = pdf[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        g = U @ U.T
+        n2 = np.diag(g)
+        d2 = n2[:, None] + n2[None, :] - 2 * g
+        ii, jj = np.nonzero(np.triu(d2 <= thr, k=1))
+        id_a = np.minimum(ids[ii], ids[jj])
+        id_b = np.maximum(ids[ii], ids[jj])
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b})
+
+    pairs = assigned.groupBy("cluster").applyInPandas(
+        cluster_pairs, schema="id_a long, id_b long"
     )
     comp = dedup.connected_components(pairs).withColumnRenamed("id", "__cid")
     out = assigned.select(id_col, "cluster").join(

@@ -1389,6 +1389,35 @@ def emb_kmeans_exact(spark, sf_dir):
     return similarity.kmeans_exact_assign(e, "embedding", "vec_id")
 
 
+@ext_query(
+    "src_python_datasource",
+    """
+    SELECT doc_id, lang, n_chars FROM documents WHERE n_chars >= 200
+    """,
+)
+def src_python_datasource(spark, sf_dir):
+    """Spark 4 Python DataSource API end-to-end: the documents table read
+    through the custom ``arrow_rowgroups`` source (sources/
+    python_datasource.py — row-group partition planning, footer-stats scan
+    pruning via pushFilters, Arrow RecordBatch emission) instead of the
+    native parquet reader, then filtered and projected in Spark. The
+    pushed ``n_chars >= 200`` comparison reaches the source's planner,
+    which prunes row groups whose stats exclude it; every filter is also
+    re-evaluated by Spark, so the result — and the oracle comparison — is
+    exact regardless of how much pruning fires. This is the engine's
+    custom-ingestion tier: executor-parallel, Arrow-batched, never
+    driver-side."""
+    from ..sources import python_datasource
+
+    python_datasource.register(spark)
+    d = (
+        spark.read.format(python_datasource.FORMAT_NAME)
+        .option("path", f"{sf_dir}/documents.parquet")
+        .load()
+    )
+    return d.where(F.col("n_chars") >= 200).select("doc_id", "lang", "n_chars")
+
+
 def _semantic_dedup_oracle() -> str:
     """SemDeDup oracle: unrolled training → cluster assignment → within-
     cluster integer-L2 edge set → recursive-CTE transitive closure → min-id

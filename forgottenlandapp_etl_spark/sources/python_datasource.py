@@ -1,0 +1,146 @@
+"""Spark 4 Python DataSource API: an Arrow-batched parquet reader with
+row-group partition planning and statistics-based scan pruning.
+
+This is the engine's escape hatch for formats Spark lacks a native reader
+for (proprietary shard formats, exotic scientific containers): implement
+``DataSourceReader`` in Python, yield ``pyarrow.RecordBatch`` objects, and
+the data still flows executor-side over Arrow — never through the driver,
+never row-at-a-time. The demonstration source reads parquet (so its output
+is exactly oracle-checkable against DuckDB on the same file) but exercises
+the three pieces any real custom source needs:
+
+- **Partition planning**: one ``InputPartition`` per parquet row group —
+  the same physical-split mapping Spark's own parquet reader uses, so a
+  100 TB directory of well-sized row groups parallelizes across the
+  cluster with no driver-side data movement (the planner touches only
+  footer metadata).
+- **Filter pushdown** (``pushFilters``, Spark 4.1): comparison filters on
+  top-level columns are retained and used to PRUNE row groups by their
+  footer min/max statistics before any data is read. Every filter is also
+  returned to Spark for exact post-scan evaluation, so pruning is a
+  may-skip optimization that can never change results — the sound default
+  for stats-based pushdown (a group the stats cannot exclude still gets
+  scanned and re-filtered).
+- **Arrow batch emission**: ``read()`` yields RecordBatches straight from
+  pyarrow; Spark's Python data source runtime moves them into the JVM as
+  columnar batches.
+
+Reference parity note: the reference ingests its API pages row-at-a-time
+in Dart (`lib/src/etl.dart:71-93`); this module is the Spark-4-native
+answer to "custom ingestion protocol" — partition-planned, Arrow-batched,
+pushdown-aware.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+FORMAT_NAME = "arrow_rowgroups"
+
+
+class RowGroupPartition(InputPartition):
+    def __init__(self, index: int):
+        self.index = index
+
+
+def _stats_may_match(stats, flt) -> bool:
+    """Can a row group with column min/max ``stats`` contain rows matching
+    ``flt``? Conservative: missing stats → True (never prune blind)."""
+    if stats is None or not stats.has_min_max:
+        return True
+    lo, hi = stats.min, stats.max
+    v = flt.value
+    try:
+        if isinstance(flt, EqualTo):
+            return lo <= v <= hi
+        if isinstance(flt, GreaterThan):
+            return hi > v
+        if isinstance(flt, GreaterThanOrEqual):
+            return hi >= v
+        if isinstance(flt, LessThan):
+            return lo < v
+        if isinstance(flt, LessThanOrEqual):
+            return lo <= v
+    except TypeError:
+        return True  # incomparable types (stats decode mismatch) → keep
+    return True
+
+
+class ArrowRowGroupReader(DataSourceReader):
+    """Reader state is exactly (path, pushed filters) — tiny and picklable;
+    executors re-open the file themselves (no driver-held handles)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("arrow_rowgroups requires .option('path', ...)")
+        self.pushed: list = []
+
+    def pushFilters(self, filters):
+        # keep the stats-prunable comparisons on top-level columns; return
+        # EVERY filter (by reference, as the contract requires) so Spark
+        # still evaluates them exactly — pruning stays a pure optimization
+        for f in filters:
+            if isinstance(
+                f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+            ) and len(f.attribute) == 1:
+                self.pushed.append(f)
+        return filters
+
+    def partitions(self):
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(self.path)
+        cols = {pf.schema_arrow.names[i]: i for i in range(len(pf.schema_arrow.names))}
+        out = []
+        for rg in range(pf.num_row_groups):
+            meta = pf.metadata.row_group(rg)
+            keep = True
+            for f in self.pushed:
+                ci = cols.get(f.attribute[0])
+                if ci is None:
+                    continue
+                if not _stats_may_match(meta.column(ci).statistics, f):
+                    keep = False
+                    break
+            if keep:
+                out.append(RowGroupPartition(rg))
+        return out
+
+    def read(self, partition):
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(self.path)
+        yield from pf.read_row_group(partition.index).to_batches()
+
+
+class ArrowRowGroupDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self):
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("arrow_rowgroups requires .option('path', ...)")
+        return from_arrow_schema(pq.ParquetFile(path).schema_arrow)
+
+    def reader(self, schema):
+        return ArrowRowGroupReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent format registration (re-register is a cheap overwrite)."""
+    spark.dataSource.register(ArrowRowGroupDataSource)

@@ -1362,3 +1362,23 @@ def test_semantic_dedup_semantics(spark, tmp_path):
     assert out[10]["component"] == 10 and out[10]["is_kept"] == 1
     for r in out.values():
         assert r["is_kept"] == (1 if r["component"] == r["vec_id"] else 0)
+
+
+def test_kmeans_training_tiers_agree(spark, sf_dir, monkeypatch):
+    """The local-numpy and distributed Lloyd tiers must produce IDENTICAL
+    centroids (rule-8 discipline: two-tier by measured size, both tiers
+    the same integer recurrence — same guarantee as
+    test_graph_two_tiers_agree)."""
+    from pyspark.sql import functions as Fn
+
+    from forgottenlandapp_etl_spark.operators import similarity
+
+    e = catalog.table(spark, sf_dir, "embeddings")
+    q = e.select(
+        Fn.col("vec_id"),
+        Fn.transform(Fn.col("embedding"), similarity._u8_offset).alias("u"),
+    )
+    local = similarity._kmeans_exact_train(q, "vec_id", 8, 2)
+    monkeypatch.setattr(similarity, "KMEANS_DRIVER_ROWS", 0)
+    dist = similarity._kmeans_exact_train(q, "vec_id", 8, 2)
+    assert local == dist and len(local) == 8

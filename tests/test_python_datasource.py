@@ -1,0 +1,112 @@
+"""The Spark 4 Python DataSource tier (sources/python_datasource.py):
+row-group partition planning, footer-stats pruning soundness, and the
+end-to-end Arrow read path against the native parquet reader."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from forgottenlandapp_etl_spark.sources import python_datasource as pds
+
+
+def _three_group_file(path: str) -> None:
+    """doc_id 0..29 in three 10-row row groups: stats ranges [0,9],
+    [10,19], [20,29]."""
+    pdf = pd.DataFrame({"doc_id": range(30), "val": [i * 2 for i in range(30)]})
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path, row_group_size=10)
+
+
+class _Opts(dict):
+    pass
+
+
+def _reader(path, filters=()):
+    r = pds.ArrowRowGroupReader(_Opts(path=path))
+    if filters:
+        returned = r.pushFilters(list(filters))
+        # contract: every input filter comes back (pruning is an
+        # optimization, Spark re-evaluates exactly)
+        assert list(returned) == list(filters)
+    return r
+
+
+def test_partition_planning_and_stats_pruning(tmp_path):
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThan,
+        StringContains,
+    )
+
+    f = str(tmp_path / "t.parquet")
+    _three_group_file(f)
+    assert pq.ParquetFile(f).num_row_groups == 3
+
+    # no filters: one partition per row group
+    assert [p.index for p in _reader(f).partitions()] == [0, 1, 2]
+    # doc_id >= 20 prunes the first two groups
+    assert [p.index for p in _reader(f, [GreaterThanOrEqual(("doc_id",), 20)]).partitions()] == [2]
+    # doc_id > 19 likewise (strict boundary: hi=19 of group 1 fails > 19)
+    assert [p.index for p in _reader(f, [GreaterThan(("doc_id",), 19)]).partitions()] == [2]
+    # equality inside the middle group's range
+    assert [p.index for p in _reader(f, [EqualTo(("doc_id",), 15)]).partitions()] == [1]
+    # conjunction: AND of two filters intersects the surviving groups
+    assert [
+        p.index
+        for p in _reader(
+            f, [GreaterThanOrEqual(("doc_id",), 10), LessThan(("doc_id",), 20)]
+        ).partitions()
+    ] == [1]
+    # contradictory range: nothing survives
+    assert _reader(f, [GreaterThan(("doc_id",), 100)]).partitions() == []
+    # unsupported filter class: ignored for pruning (all groups kept) but
+    # still returned to Spark for exact evaluation
+    r = pds.ArrowRowGroupReader(_Opts(path=f))
+    flts = [StringContains(("doc_id",), "x")]
+    assert list(r.pushFilters(flts)) == flts
+    assert [p.index for p in r.partitions()] == [0, 1, 2]
+
+
+def test_read_yields_exact_rowgroup_batches(tmp_path):
+    f = str(tmp_path / "t.parquet")
+    _three_group_file(f)
+    r = _reader(f)
+    got = []
+    for p in r.partitions():
+        for batch in r.read(p):
+            got.extend(batch.to_pylist())
+    assert [row["doc_id"] for row in got] == list(range(30))
+
+
+def test_end_to_end_matches_native_reader(spark, sf_dir):
+    """Reading documents through the custom source must equal the native
+    parquet reader row-for-row, pushed filter applied — including when the
+    pruning CANNOT help (single row group at fixture scale): soundness is
+    'never changes results', not 'always prunes'."""
+    pds.register(spark)
+    path = f"{sf_dir}/documents.parquet"
+    custom = (
+        spark.read.format(pds.FORMAT_NAME)
+        .option("path", path)
+        .load()
+        .where(F.col("n_chars") >= 200)
+        .select("doc_id", "n_chars")
+    )
+    native = (
+        spark.read.parquet(path)
+        .where(F.col("n_chars") >= 200)
+        .select("doc_id", "n_chars")
+    )
+    a = sorted((r["doc_id"], r["n_chars"]) for r in custom.collect())
+    b = sorted((r["doc_id"], r["n_chars"]) for r in native.collect())
+    assert a == b and len(a) > 0
+
+
+def test_missing_path_option_raises(spark):
+    with pytest.raises(Exception, match="path"):
+        pds.ArrowRowGroupReader(_Opts())
