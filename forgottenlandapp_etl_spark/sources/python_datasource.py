@@ -142,5 +142,10 @@ class ArrowRowGroupDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent format registration (re-register is a cheap overwrite)."""
+    """Idempotent format registration (re-register is a cheap overwrite).
+    Also enables Python-data-source filter pushdown — a runtime-settable
+    SQL conf that defaults to false in Spark 4.1 and, when false, makes
+    ANY reader implementing pushFilters fail at planning (vanilla driver
+    sessions won't have it set)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ArrowRowGroupDataSource)
