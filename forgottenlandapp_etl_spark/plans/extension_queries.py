@@ -1418,6 +1418,61 @@ def src_python_datasource(spark, sf_dir):
     return d.where(F.col("n_chars") >= 200).select("doc_id", "lang", "n_chars")
 
 
+@ext_query(
+    "stream_python_datasource",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+    FROM events WHERE event_id % 5 = 0 GROUP BY event_type
+    """,
+)
+def stream_python_datasource(spark, sf_dir):
+    """Custom STREAMING source through the Python DataSource API: the
+    events table replayed in deterministic micro-batch chunks by the
+    ``events_replay`` SimpleDataSourceStreamReader (sources/
+    python_datasource.py — positional offsets, recovery via
+    readBetweenOffsets re-slicing the identical rows), aggregated in
+    complete mode, drained to a memory sink. Because the replay is
+    deterministic, the streamed aggregate equals the batch aggregate
+    EXACTLY and the entry is hash-checked against DuckDB — a streaming
+    custom-protocol ingestion with a hard external oracle."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources import python_datasource as pds
+
+    pds.register_stream(spark)
+    stream = (
+        spark.readStream.format(pds.STREAM_FORMAT_NAME)
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("mod", "5")
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").alias("sum_event_id"),
+    )
+    qname = f"stream_pyds_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        out = spark.table(qname).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(qname)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
 def _semantic_dedup_oracle() -> str:
     """SemDeDup oracle: unrolled training → cluster assignment → within-
     cluster integer-L2 edge set → recursive-CTE transitive closure → min-id

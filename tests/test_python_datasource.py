@@ -110,3 +110,56 @@ def test_end_to_end_matches_native_reader(spark, sf_dir):
 def test_missing_path_option_raises(spark):
     with pytest.raises(Exception, match="path"):
         pds.ArrowRowGroupReader(_Opts())
+
+
+def test_stream_reader_offsets_and_recovery(tmp_path):
+    """Positional offset protocol: chunked advance, empty-at-exhaustion
+    (same offset back — processAllAvailable's termination condition), and
+    readBetweenOffsets replaying the IDENTICAL slice (recovery
+    determinism)."""
+    import pandas as pd
+
+    f = str(tmp_path / "events.parquet")
+    pd.DataFrame(
+        {
+            "event_id": range(100),
+            "user_id": [i % 7 for i in range(100)],
+            "event_type": [f"t{i % 3}" for i in range(100)],
+        }
+    ).to_parquet(f)
+    r = pds.ParquetReplayStreamReader(_Opts(path=f, mod="2"))
+    r2 = pds.ParquetReplayStreamReader(_Opts(path=f, mod="2"))
+
+    assert r.initialOffset() == {"pos": 0}
+    it, off = r.read({"pos": 0})
+    rows = list(it)
+    assert off == {"pos": 50} and len(rows) == 50  # 100 rows, mod 2
+    assert rows[0] == (0, 0, "t0") and rows[1] == (2, 2, "t2")
+    # exhausted: same offset, empty iterator
+    it2, off2 = r.read(off)
+    assert off2 == off and list(it2) == []
+    # recovery: a FRESH reader re-slices the identical rows
+    assert list(r2.readBetweenOffsets({"pos": 10}, {"pos": 20})) == rows[10:20]
+
+
+def test_stream_chunking_boundary(tmp_path):
+    """A table larger than one chunk advances in STREAM_CHUNK_ROWS steps
+    with no row lost or duplicated across micro-batches."""
+    import pandas as pd
+
+    n = pds.STREAM_CHUNK_ROWS + 100
+    f = str(tmp_path / "events.parquet")
+    pd.DataFrame(
+        {"event_id": range(n), "user_id": [0] * n, "event_type": ["x"] * n}
+    ).to_parquet(f)
+    r = pds.ParquetReplayStreamReader(_Opts(path=f))
+    seen = []
+    off = r.initialOffset()
+    while True:
+        it, nxt = r.read(off)
+        batch = list(it)
+        if not batch and nxt == off:
+            break
+        seen.extend(batch)
+        off = nxt
+    assert [row[0] for row in seen] == list(range(n))
