@@ -135,8 +135,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # Round-7 rotation candidates (same mechanism, once the r6 promotions go
 # multi-round green): swap out j2_enrichment_join / j3_accumulating_merge /
 # text_lang_id-class entries for never-windowed hard rows — strongest:
-# tpch_q8_market_share / tpch_q20_potential_promotion (derived-partsupp
-# family), wx_window family, set-op entries, stream_sliding_counts.
+# dedup_semantic (SemDeDup end-to-end incl. recursive-closure oracle, new
+# r6), stream_python_datasource / src_python_datasource (the custom
+# source tier, new r6), tpch_q8_market_share / tpch_q20_excess_stock
+# (derived-partsupp family), wx_window family, set-op entries,
+# stream_sliding_counts.
 
 _missing = [n for n in DRIVER_WINDOW if n not in _ALL_QUERIES]
 if _missing:
