@@ -90,6 +90,11 @@ DOC_ONLY_ENTRIES = [
     "text_lang_id",
     "sample_stratified",
     "pipeline_training_ready",
+    "sketch_count_min",
+    "mix_temperature_sample",
+    "pipeline_pack_sequences",
+    "pipeline_pack_ffd",
+    "text_udtf_chunks",
 ]
 
 

@@ -371,3 +371,33 @@ def test_no_unjustified_global_exchange_anywhere(spark, sf_dir):
     # and the benign classification is doing real work: the fixture plans
     # DO contain scalar-reduction singles that the walk must not flag
     assert set(detail) == set(gsr.GLOBAL_SORT_ALLOWLIST)
+
+
+def test_ivf_exact_plan_shape(spark, sf_dir):
+    """sim_ivf_exact_topk's candidate stage must be a BROADCAST equi-join
+    on bucket (the query side is small by construction) with no cartesian
+    product anywhere; the only wide exchange is the per-query rank window
+    over candidates."""
+    plan = plan_of(QUERIES["sim_ivf_exact_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    wide = [
+        e
+        for e in re.findall(r"Exchange [^\n]*", plan)
+        if "SinglePartition" in e or "rangepartitioning" in e
+    ]
+    assert wide == [], wide
+
+
+def test_semantic_dedup_plan_shape(spark, sf_dir):
+    """dedup_semantic's served plan: no cartesian product, no join of the
+    corpus against itself on the k cluster keys (the pair stage is one
+    Arrow group per cluster), no single-partition exchange — the closure
+    ran eagerly at build into a checkpointed relation."""
+    plan = plan_of(QUERIES["dedup_semantic"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # final keeper join broadcasts
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
