@@ -89,3 +89,155 @@ def probe_count_min(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("n_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog in exact integer arithmetic
+# ---------------------------------------------------------------------------
+#
+# Flajolet et al. 2007: hash each key, split the hash into a bucket index
+# (low p bits here, since the 31-bit token_hash has no high-bit slack) and a
+# quotient q; register[bucket] = max over keys of rho(q), the 1-based
+# position of q's leading 1-bit counted from the top of its fixed width.
+# The estimate is alpha_m * m^2 / sum_b 2^(-reg_b).
+#
+# Spark's own hll_sketch_agg (and approx_count_distinct) serialize
+# engine-specific binaries no other system can read — the reason
+# sketch_hll_daily_merge is rows-only. This tier rebuilds the SAME
+# structure as a plain (group, bucket, rho) relation in the cross-engine
+# md5 hash domain, so:
+#
+# - the register table AND the estimate are exactly reproducible in any
+#   SQL engine (the oracle generates the identical CASE/shift math from
+#   these constants),
+# - merge is GROUP BY bucket -> MAX(rho) — idempotent and commutative, so
+#   re-merging overlapping periods is safe (unlike CMS counter addition),
+# - the estimate's harmonic sum is computed SCALED BY 2^HLL_RHO_MAX so it
+#   stays in BIGINT: sum_b 2^(RHO_MAX - reg_b) is exact integer math, and
+#   alpha enters as an exact rational (paper constants / the 0.7213
+#   formula), making the fixed-point estimate bit-identical everywhere.
+#
+# HLL_P = 4 (m = 16 registers) keeps the fixture-scale per-group
+# cardinalities (~100 distinct users/day) inside raw-HLL's valid range
+# (n > 2.5m); production would raise p — every function below takes the
+# constants from here, and the scaled numerator alpha_num * 2^(32+p) only
+# needs DECIMAL(38,0) widening past p = 11 (guarded below).
+
+HLL_P = 4
+HLL_M = 1 << HLL_P
+#: token_hash() < 2^31, so after the p bucket bits the quotient has 31-p
+HLL_Q_BITS = 31 - HLL_P
+#: rho of an all-zero quotient (q == 0) — one past the last bit position
+HLL_RHO_MAX = HLL_Q_BITS + 1
+
+
+def hll_alpha(m: int) -> tuple[int, int]:
+    """The paper's bias-correction constant alpha_m as an EXACT rational
+    (numerator, denominator) — float alpha would break cross-engine
+    bit-equality of the fixed-point estimate."""
+    if m == 16:
+        return 673, 1000
+    if m == 32:
+        return 697, 1000
+    if m == 64:
+        return 709, 1000
+    # alpha_m = 0.7213 / (1 + 1.079/m) for m >= 128, kept rational
+    return 7213 * m, 10000 * m + 10790
+
+
+def hll_estimate_scale(m: int | None = None) -> tuple[int, int]:
+    """(numerator, alpha_den) of the integer estimate: with the harmonic
+    sum scaled by 2^RHO_MAX, E = num // (alpha_den * s_scaled). Reads the
+    module constant at CALL time so precision-override tests stay
+    consistent with the register builders."""
+    m = HLL_M if m is None else m
+    p = m.bit_length() - 1
+    rho_max = 31 - p + 1
+    a_num, a_den = hll_alpha(m)
+    num = a_num * m * m * (1 << rho_max)
+    if num >= 1 << 63:  # p >= 12: widen before this overflows BIGINT
+        raise ValueError(f"HLL_P={p} needs DECIMAL(38,0) widening for the estimate")
+    return num, a_den
+
+
+def hll_bucket(h: Column) -> Column:
+    """Register index: low HLL_P bits of the pre-hashed key."""
+    return (h % F.lit(HLL_M)).cast("int")
+
+
+def hll_rho(h: Column) -> Column:
+    """1-based leading-1-bit position of the hash quotient within its
+    HLL_Q_BITS width — a pure comparison ladder (exact integer branches,
+    no log/float), mirrored verbatim by the generated SQL oracle."""
+    q = F.shiftright(h.cast("int"), HLL_P)
+    expr = F.lit(HLL_RHO_MAX)
+    # build the CASE bottom-up so the first WHEN (largest threshold) wins
+    for r in range(HLL_Q_BITS, 0, -1):
+        expr = F.when(q >= F.lit(1 << (HLL_Q_BITS - r)), F.lit(r)).otherwise(expr)
+    return expr.cast("int")
+
+
+def hll_rho_sql(h_expr: str) -> str:
+    """DuckDB CASE ladder identical to hll_rho — generated from the same
+    constants so Spark and the oracle share one definition."""
+    branches = " ".join(
+        f"WHEN (({h_expr}) >> {HLL_P}) >= {1 << (HLL_Q_BITS - r)} THEN {r}"
+        for r in range(1, HLL_Q_BITS + 1)
+    )
+    return f"CASE {branches} ELSE {HLL_RHO_MAX} END"
+
+
+def build_hll_registers(
+    keys: DataFrame, key_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """(group..., bucket, rho) register relation — at most m rows per
+    group whatever the input size, built by one hash aggregate with
+    map-side combine (rho max-combines partially exactly like a sum)."""
+    group_cols = group_cols or []
+    h = token_hash(F.col(key_col))
+    return (
+        keys.select(*group_cols, hll_bucket(h).alias("bucket"), hll_rho(h).alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def merge_hll_registers(
+    regs: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Union-merge register relations: MAX per bucket. Idempotent, so
+    overlapping or repeated periods merge safely — the property that makes
+    pre-aggregated daily registers answer ANY date-range distinct query
+    without rescanning (the 100 TB COUNT(DISTINCT) replacement)."""
+    group_cols = group_cols or []
+    return regs.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Fixed-point raw HLL estimate per group from a register relation.
+
+    The harmonic sum is scaled: s = sum_occupied 2^(RHO_MAX - rho) +
+    (m - n_occupied) * 2^RHO_MAX (absent buckets are empty registers), so
+    E = alpha_num * m^2 * 2^RHO_MAX // (alpha_den * s) — integer end to
+    end. Emits n_occupied too: consumers apply the paper's small-range
+    linear-counting correction (needs V = m - n_occupied) outside the
+    hash-compared path, since ln() is not cross-engine bit-stable."""
+    group_cols = group_cols or []
+    num, a_den = hll_estimate_scale()
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - rho)")
+        ).alias("s_occ"),
+        F.count(F.lit(1)).alias("n_occupied"),
+    )
+    return agg.select(
+        *group_cols,
+        F.col("n_occupied").cast("long").alias("n_occupied"),
+        # coalesce: an ungrouped aggregate over ZERO rows still emits one
+        # row (s_occ NULL, n_occupied 0) — the all-empty-register sum is 0
+        F.expr(
+            f"CAST({num} div ({a_den} * "
+            f"(coalesce(s_occ, 0) + ({HLL_M} - n_occupied) * {1 << HLL_RHO_MAX}))"
+            " AS BIGINT)"
+        ).alias("n_est"),
+    )

@@ -1844,6 +1844,98 @@ def sketch_hll_daily_merge(spark, sf_dir):
     return out
 
 
+def _hll_exact_oracle() -> str:
+    from ..operators import sketches
+
+    h_key = _SQL_TOKEN_HASH.format(col="uk")
+    rho = sketches.hll_rho_sql("h")
+    num, a_den = sketches.hll_estimate_scale()
+    m, rho_max = sketches.HLL_M, sketches.HLL_RHO_MAX
+    return f"""
+    WITH ev AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(user_id AS VARCHAR) AS uk
+      FROM events
+    ),
+    hh AS (SELECT day, {h_key} AS h FROM ev),
+    hb AS (SELECT day, h % {m} AS bucket, {rho} AS rho FROM hh),
+    regs AS (SELECT day, bucket, MAX(rho) AS rho FROM hb GROUP BY 1, 2),
+    r2 AS (
+      SELECT * FROM regs
+      UNION ALL
+      SELECT 'ALL' AS day, bucket, MAX(rho) AS rho FROM regs GROUP BY 2
+    ),
+    est AS (
+      SELECT day, COUNT(*) AS n_occ,
+             SUM(CAST(1 AS BIGINT) << ({rho_max} - rho)) AS s_occ
+      FROM r2 GROUP BY 1
+    ),
+    truth AS (
+      SELECT day, CAST(COUNT(DISTINCT uk) AS BIGINT) AS n_true FROM ev GROUP BY 1
+      UNION ALL
+      SELECT 'ALL', CAST(COUNT(DISTINCT uk) AS BIGINT) FROM ev
+    )
+    SELECT e.day, CAST(e.n_occ AS BIGINT) AS n_occupied,
+           CAST({num} // ({a_den} * (s_occ + ({m} - n_occ) * {1 << rho_max}))
+                AS BIGINT) AS n_est,
+           t.n_true
+    FROM est e JOIN truth t USING (day)
+    """
+
+
+@ext_query("sketch_hll_exact_daily_merge", _hll_exact_oracle())
+def sketch_hll_exact_daily_merge(spark, sf_dir):
+    """HyperLogLog rebuilt in exact integer arithmetic (operators/
+    sketches.py) — the hash-exact promotion of sketch_hll_daily_merge,
+    closing the one family the r5 verdict left rows-only "by necessity":
+    the necessity was DataSketches' opaque binary, not HLL itself. Each
+    day's distinct-user registers are a ≤ m-row (day, bucket, rho)
+    relation in the cross-engine md5 hash domain; the period's registers
+    are GROUP BY bucket -> MAX(rho) over the DAILY relations (idempotent,
+    so overlapping ranges re-merge safely — strictly stronger than CMS's
+    add-only merge), and the fixed-point raw estimate is integer end to
+    end, so build -> merge -> estimate all hash-match DuckDB. n_occupied
+    travels with the estimate so consumers can apply the paper's
+    small-range linear-counting correction (float ln, deliberately outside
+    the hash-compared path); n_true rides along as the exactness yardstick.
+
+    100 TB shape: one narrow events scan, per-day hash aggregate with
+    map-side rho-max combine (≤ days×m rows), the merge and both estimates
+    run on that register relation — persisted because it is orders of
+    magnitude smaller than its rebuild cost (rule 7), released after the
+    days+1-row materialization. merged == direct-over-all-events is
+    asserted bit-exact in tests/test_extensions.py."""
+    from ..operators import sketches
+
+    ev = catalog.table(spark, sf_dir, "events").select(
+        F.to_date("ts").cast("string").alias("day"),
+        F.col("user_id").cast("string").alias("uk"),
+    )
+    regs = sketches.build_hll_registers(ev, "uk", ["day"]).persist()
+    merged = sketches.merge_hll_registers(
+        regs.select(F.lit("ALL").alias("day"), "bucket", "rho"), ["day"]
+    )
+    est = sketches.hll_estimate(regs, ["day"]).unionAll(
+        sketches.hll_estimate(merged, ["day"])
+    )
+    truth = (
+        ev.groupBy("day")
+        .agg(F.countDistinct("uk").alias("n_true"))
+        .unionAll(
+            ev.agg(F.countDistinct("uk").alias("n_true")).select(
+                F.lit("ALL").alias("day"), "n_true"
+            )
+        )
+    )
+    out = (
+        est.join(truth, "day")
+        .select("day", "n_occupied", "n_est", "n_true")
+        .localCheckpoint(eager=True)
+    )
+    regs.unpersist()
+    return out
+
+
 @ext_query(
     "stream_dedup_keys",
     """
