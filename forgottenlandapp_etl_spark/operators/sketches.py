@@ -241,3 +241,96 @@ def hll_estimate(regs: DataFrame, group_cols: list[str] | None = None) -> DataFr
             " AS BIGINT)"
         ).alias("n_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-width histogram quantiles
+# ---------------------------------------------------------------------------
+#
+# The distributed-quantile workhorse when you control the value domain:
+# quantize values to fixed point, bucket by a fixed width, and a (group,
+# bucket, cnt) relation is a SUM-mergeable summary whose q-quantile is
+# bounded within one bucket width of the exact order statistic — the same
+# partial-aggregate/merge contract as approx_percentile's KLL sketch
+# (agg_approx_percentile, rows-only because KLL internals are
+# engine-specific), but in plain integer math every engine reproduces
+# bit-identically. Spark's own QuantileSummaries does the rank bookkeeping
+# adaptively; the fixed grid trades adaptivity for exact cross-engine
+# verifiability and O(domain/width) summary size.
+#
+# Estimates are the bucket LOWER BOUND of the bucket holding the
+# ceil(q*N)-th element (percentile_disc semantics), so
+# est_fp <= exact_fp < est_fp + width — asserted in tests.
+
+#: fixed-point bucket width (value pre-scaled by consumers, e.g. cents);
+#: 256 keeps the events.value domain to a few hundred buckets per group
+HIST_WIDTH_FP = 256
+
+
+def build_histogram(
+    vals: DataFrame, val_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """(group..., bucket, cnt) over a NON-NEGATIVE fixed-point value
+    column — one hash aggregate with map-side combine; negatives clamp to
+    bucket 0 (Spark's `div` truncates toward zero where DuckDB's `//`
+    floors, so the clamp is what keeps the two engines identical)."""
+    group_cols = group_cols or []
+    bucket = F.expr(f"GREATEST({val_col}, 0) div {HIST_WIDTH_FP}")
+    return (
+        vals.select(*group_cols, bucket.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_histograms(
+    hists: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Union-merge histograms by counter addition (linear, like CMS)."""
+    group_cols = group_cols or []
+    return hists.groupBy(*group_cols, "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    quantiles: list[tuple[str, int, int]],
+    group_cols: list[str],
+) -> DataFrame:
+    """percentile_disc-style quantile estimates from a histogram: for each
+    (label, num, den) the smallest bucket whose cumulative count reaches
+    ceil(num/den * N), reported as its fixed-point lower bound.
+
+    Quantile fractions travel as exact rationals — ceil(q*N) =
+    (num*N + den - 1) div den in pure integers; a float q would put a
+    rounding boundary inside the hash-compared path. The cumulative walk
+    is a broadcast range self-join on the ≤ domain/width-row summary (the
+    histogram is constant-sized by construction — NOT a window over the
+    data), so nothing here scales with |input|."""
+    cum = (
+        hist.alias("a")
+        .join(
+            F.broadcast(hist.alias("b")),
+            [F.col(f"a.{g}") == F.col(f"b.{g}") for g in group_cols]
+            + [F.col("b.bucket") <= F.col("a.bucket")],
+        )
+        .groupBy(*[F.col(f"a.{g}").alias(g) for g in group_cols], F.col("a.bucket"))
+        .agg(F.sum("b.cnt").alias("cum"))
+    )
+    n = hist.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
+    parts = []
+    for label, num, den in quantiles:
+        target = F.expr(f"({num} * n + {den - 1}) div {den}")
+        parts.append(
+            cum.join(n, group_cols)
+            .where(F.col("cum") >= target)
+            .groupBy(*group_cols)
+            .agg(
+                F.max("n").alias("n"),
+                (F.min("bucket") * F.lit(HIST_WIDTH_FP)).alias("est_fp"),
+            )
+            .select(*group_cols, F.lit(label).alias("q"), "n", "est_fp")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

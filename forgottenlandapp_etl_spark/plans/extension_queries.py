@@ -1936,6 +1936,126 @@ def sketch_hll_exact_daily_merge(spark, sf_dir):
     return out
 
 
+def _hist_quantile_oracle() -> str:
+    from ..operators.sketches import HIST_WIDTH_FP as W
+
+    ests, exacts = [], []
+    for label, num, den in (("p50", 1, 2), ("p90", 9, 10)):
+        ests.append(
+            f"""SELECT c.event_type, '{label}' AS q, MAX(n.n) AS n,
+             MIN(c.bucket) * {W} AS est_fp
+      FROM cum c JOIN n USING (event_type)
+      WHERE c.cum >= ({num} * n.n + {den - 1}) // {den} GROUP BY 1"""
+        )
+        exacts.append(
+            f"""SELECT event_type, '{label}' AS q,
+             percentile_disc({num / den}) WITHIN GROUP (ORDER BY v_fp) AS exact_fp
+      FROM ev GROUP BY 1"""
+        )
+    est_sql = "\n      UNION ALL\n      ".join(ests)
+    exact_sql = "\n      UNION ALL\n      ".join(exacts)
+    return f"""
+    WITH ev AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS v_fp
+      FROM events
+      WHERE value > -1e15 AND value < 1e15
+    ),
+    daily AS (
+      SELECT day, event_type, GREATEST(v_fp, 0) // {W} AS bucket,
+             COUNT(*) AS cnt
+      FROM ev GROUP BY 1, 2, 3
+    ),
+    h AS (
+      SELECT event_type, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM daily GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT a.event_type, a.bucket, SUM(b.cnt) AS cum
+      FROM h a JOIN h b ON a.event_type = b.event_type AND b.bucket <= a.bucket
+      GROUP BY 1, 2
+    ),
+    n AS (SELECT event_type, SUM(cnt) AS n FROM h GROUP BY 1),
+    est AS (
+      {est_sql}
+    ),
+    exact AS (
+      {exact_sql}
+    )
+    SELECT e.event_type, e.q, CAST(e.n AS BIGINT) AS n,
+           CAST(e.est_fp AS BIGINT) AS est_fp,
+           CAST(x.exact_fp AS BIGINT) AS exact_fp
+    FROM est e JOIN exact x USING (event_type, q)
+    """
+
+
+@ext_query("sketch_quantile_histogram", _hist_quantile_oracle())
+def sketch_quantile_histogram(spark, sf_dir):
+    """Distributed quantiles WITHOUT a global sort, as a mergeable
+    fixed-width histogram (operators/sketches.py) — the hash-exact sibling
+    of agg_approx_percentile the same way the integer CMS/HLL tiers back
+    Spark's opaque sketch aggregates: values quantize to integer cents,
+    per-(day, event_type) histograms reduce each group to a
+    constant-size (bucket, cnt) relation, daily histograms SUM-merge into
+    the period's (CMS-style linearity — any date range is a counter add),
+    and each quantile is read off the merged summary as the bucket lower
+    bound holding the ceil(q*N)-th element. est_fp <= exact_fp < est_fp +
+    width by construction (asserted in tests); the exact percentile_disc
+    rides along as the yardstick. Quantile fractions travel as exact
+    rationals and every comparison is integer, so the whole
+    build -> merge -> extract path hash-matches DuckDB.
+
+    100 TB shape: one narrow scan, per-day hash aggregate with map-side
+    combine, then everything downstream (merge, cumulative walk, quantile
+    extraction) runs on constant-size summaries — the cumulative walk is a
+    broadcast range self-join on the histogram, NOT a window over data.
+    The exact yardstick's grouped percentile_disc gathers per-group
+    values; at the billion-row tier you drop the yardstick column and keep
+    the summary path (the same rule-6 split as the CMS top-20 probe)."""
+    from ..operators import sketches
+
+    ev = (
+        catalog.table(spark, sf_dir, "events")
+        # finite-domain guard: NULL fails both comparisons, and NaN/±inf
+        # fail one of them under BOTH engines' NaN-is-greatest ordering —
+        # without it ANSI CAST(floor(...) AS BIGINT) aborts on the first
+        # non-finite value and NULLs would land in bucket 0
+        .where((F.col("value") > F.lit(-1e15)) & (F.col("value") < F.lit(1e15)))
+        .select(
+            F.to_date("ts").cast("string").alias("day"),
+            "event_type",
+            F.expr("CAST(floor(value * 100) AS BIGINT)").alias("v_fp"),
+        )
+    )
+    daily = sketches.build_histogram(ev, "v_fp", ["day", "event_type"])
+    merged = sketches.merge_histograms(
+        daily.select("event_type", "bucket", "cnt"), ["event_type"]
+    )
+    est = sketches.histogram_quantiles(
+        merged, [("p50", 1, 2), ("p90", 9, 10)], ["event_type"]
+    )
+    exact = (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v_fp)").alias("x50"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY v_fp)").alias("x90"),
+        )
+        .select(
+            "event_type",
+            F.expr("stack(2, 'p50', x50, 'p90', x90) AS (q, exact_fp)"),
+        )
+    )
+    return est.join(exact, ["event_type", "q"]).select(
+        "event_type",
+        "q",
+        "n",
+        "est_fp",
+        # Spark's percentile_disc widens to DOUBLE; the yardstick is an
+        # exact order statistic of an integer column, so the cast is lossless
+        F.col("exact_fp").cast("long").alias("exact_fp"),
+    )
+
+
 @ext_query(
     "stream_dedup_keys",
     """

@@ -1472,3 +1472,52 @@ def test_hll_empty_and_degenerate(spark):
     one = spark.createDataFrame([("solo",)], "uk string")
     row1 = sketches.hll_estimate(sketches.build_hll_registers(one, "uk")).collect()[0]
     assert row1["n_occupied"] == 1 and 1 <= row1["n_est"] <= 16
+
+
+def test_histogram_daily_merge_equals_direct(spark, sf_dir):
+    """Histogram linearity (same guarantee as CMS): SUM-merging per-day
+    (bucket, cnt) relations equals one direct build over all values,
+    counter for counter."""
+    from forgottenlandapp_etl_spark.operators import sketches
+
+    ev = catalog.table(spark, sf_dir, "events").select(
+        F.to_date("ts").cast("string").alias("day"),
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("v_fp"),
+    )
+    direct = {
+        r["bucket"]: r["cnt"]
+        for r in sketches.build_histogram(ev.select("v_fp"), "v_fp").collect()
+    }
+    merged = {
+        r["bucket"]: r["cnt"]
+        for r in sketches.merge_histograms(
+            sketches.build_histogram(ev, "v_fp", ["day"]).drop("day")
+        ).collect()
+    }
+    assert merged == direct and len(direct) > 1
+
+
+def test_histogram_quantile_error_bound(spark, sf_dir):
+    """The deterministic accuracy contract: the estimate is the lower
+    bound of the bucket HOLDING the exact order statistic, so
+    est_fp <= exact_fp < est_fp + width for every (group, q) — not a
+    probabilistic bound like CMS/HLL, a construction guarantee (on the
+    non-negative domain the entry quantizes to)."""
+    from forgottenlandapp_etl_spark.operators.sketches import HIST_WIDTH_FP
+    from forgottenlandapp_etl_spark.plans.registry import QUERIES
+
+    rows = QUERIES["sketch_quantile_histogram"](spark, sf_dir).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["est_fp"] <= r["exact_fp"] < r["est_fp"] + HIST_WIDTH_FP, r
+
+
+def test_histogram_negative_clamp(spark):
+    """Negatives clamp into bucket 0 (documented domain guard): Spark
+    `div` truncates toward zero where DuckDB `//` floors, so WITHOUT the
+    clamp the engines would disagree on every negative value's bucket."""
+    from forgottenlandapp_etl_spark.operators import sketches
+
+    df = spark.createDataFrame([(-513,), (-1,), (0,), (255,), (256,)], "v_fp long")
+    out = {r["bucket"]: r["cnt"] for r in sketches.build_histogram(df, "v_fp").collect()}
+    assert out == {0: 4, 1: 1}
