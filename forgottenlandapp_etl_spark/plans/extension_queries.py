@@ -1844,15 +1844,17 @@ def sketch_hll_daily_merge(spark, sf_dir):
     return out
 
 
-def _hll_exact_oracle() -> str:
+def _hll_daily_cte() -> str:
+    """Shared oracle prefix: per-day HLL registers + the ALL merge + the
+    fixed-point estimate components — generated from the sketches-module
+    constants, used by both the batch and the streaming entry (the
+    streaming drain must equal the batch build exactly)."""
     from ..operators import sketches
 
     h_key = _SQL_TOKEN_HASH.format(col="uk")
     rho = sketches.hll_rho_sql("h")
-    num, a_den = sketches.hll_estimate_scale()
     m, rho_max = sketches.HLL_M, sketches.HLL_RHO_MAX
-    return f"""
-    WITH ev AS (
+    return f"""ev AS (
       SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
              CAST(user_id AS VARCHAR) AS uk
       FROM events
@@ -1869,15 +1871,30 @@ def _hll_exact_oracle() -> str:
       SELECT day, COUNT(*) AS n_occ,
              SUM(CAST(1 AS BIGINT) << ({rho_max} - rho)) AS s_occ
       FROM r2 GROUP BY 1
-    ),
+    )"""
+
+
+def _hll_est_select() -> str:
+    from ..operators import sketches
+
+    num, a_den = sketches.hll_estimate_scale()
+    m, rho_max = sketches.HLL_M, sketches.HLL_RHO_MAX
+    return (
+        f"CAST({num} // ({a_den} * (s_occ + ({m} - n_occ) * {1 << rho_max}))"
+        " AS BIGINT)"
+    )
+
+
+def _hll_exact_oracle() -> str:
+    return f"""
+    WITH {_hll_daily_cte()},
     truth AS (
       SELECT day, CAST(COUNT(DISTINCT uk) AS BIGINT) AS n_true FROM ev GROUP BY 1
       UNION ALL
       SELECT 'ALL', CAST(COUNT(DISTINCT uk) AS BIGINT) FROM ev
     )
     SELECT e.day, CAST(e.n_occ AS BIGINT) AS n_occupied,
-           CAST({num} // ({a_den} * (s_occ + ({m} - n_occ) * {1 << rho_max}))
-                AS BIGINT) AS n_est,
+           {_hll_est_select()} AS n_est,
            t.n_true
     FROM est e JOIN truth t USING (day)
     """
@@ -1934,6 +1951,31 @@ def sketch_hll_exact_daily_merge(spark, sf_dir):
     )
     regs.unpersist()
     return out
+
+
+def _stream_hll_oracle() -> str:
+    return f"""
+    WITH {_hll_daily_cte()}
+    SELECT day, CAST(n_occ AS BIGINT) AS n_occupied,
+           {_hll_est_select()} AS n_est
+    FROM est
+    """
+
+
+@ext_query("stream_distinct_hll", _stream_hll_oracle())
+def stream_distinct_hll(spark, sf_dir):
+    """Streaming per-day distinct-user estimation with CONSTANT state per
+    window: the integer-HLL registers fold as an ordinary streaming
+    MAX aggregate (m rows per open day window), sidestepping both Spark's
+    no-COUNT(DISTINCT)-in-streaming restriction and
+    dropDuplicatesWithinWatermark's per-key state. The drained registers
+    equal the batch build exactly (max is commutative — fold order can't
+    matter), so the post-drain fixed-point estimates hash-match the SAME
+    generated oracle the batch entry uses; the ALL row MAX-merges the
+    daily registers without re-reading events."""
+    from ..streaming.dedup import stream_distinct_user_hll
+
+    return stream_distinct_user_hll(spark, sf_dir)
 
 
 def _hist_quantile_oracle() -> str:

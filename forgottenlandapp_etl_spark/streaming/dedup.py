@@ -83,3 +83,51 @@ def stream_dedup_event_keys(
             .select("day", "user_id", "event_type")
         )
         return _drain_to_memory(keyed, "stream_dedup")
+
+
+def stream_distinct_user_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-day distinct-user estimation via the integer-HLL
+    registers (operators/sketches.py) — the sketch answer to Spark's
+    hard restriction that streaming aggregations cannot contain
+    COUNT(DISTINCT), and the bounded-state alternative to
+    dropDuplicatesWithinWatermark when only the COUNT is needed:
+
+    - stream_dedup_keys holds one state row PER DISTINCT KEY inside the
+      watermark horizon (the price of emitting the keys themselves);
+    - this holds exactly m register rows per open day window — constant
+      per window regardless of arrival rate, because rho-max is an
+      ordinary partial-aggregatable MAX the streaming agg state machine
+      already knows how to fold incrementally.
+
+    The drained (day, bucket, rho) registers are the SAME relation the
+    batch build produces (streaming fold order cannot matter — max is
+    commutative), so the post-drain estimate hash-matches the batch
+    oracle; the ALL row is MAX-merged from the daily registers without
+    touching the events again."""
+    from ..operators import sketches
+    from ..operators.dedup import token_hash
+    from .online import drain_events_stream
+
+    def transform(stream: DataFrame) -> DataFrame:
+        h = token_hash(F.col("user_id").cast("string"))
+        return (
+            stream.withWatermark("ets", "1 day")
+            .groupBy(
+                F.window("ets", "1 day").alias("w"),
+                sketches.hll_bucket(h).alias("bucket"),
+            )
+            .agg(F.max(sketches.hll_rho(h)).alias("rho"))
+            .select(
+                F.to_date(F.col("w.start")).cast("string").alias("day"),
+                "bucket",
+                "rho",
+            )
+        )
+
+    regs = drain_events_stream(spark, sf_dir, transform, "stream_distinct_hll")
+    merged = sketches.merge_hll_registers(
+        regs.select(F.lit("ALL").alias("day"), "bucket", "rho"), ["day"]
+    )
+    return sketches.hll_estimate(regs, ["day"]).unionAll(
+        sketches.hll_estimate(merged, ["day"])
+    )

@@ -261,6 +261,7 @@ EVENTS_ONLY_ENTRIES = [
     # tables) before its spark.sql — cannot run on the events-only dir
     "stream_daily_counts",
     "stream_dedup_keys",
+    "stream_distinct_hll",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_stream_join",

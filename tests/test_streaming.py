@@ -280,3 +280,37 @@ def test_input_bytes_walks_directories(tmp_path):
     f = tmp_path / "single.parquet"
     f.write_bytes(b"z" * 1234)
     assert ts.input_bytes(str(f)) == 1234
+
+
+def test_stream_distinct_hll_registers_match_batch(spark, sf_dir):
+    """The streaming HLL drain's register fold must equal the BATCH
+    register build bit-for-bit (max is commutative — arrival order cannot
+    matter), which is exactly why the streaming entry can share the batch
+    entry's generated oracle. Also pins the state-bound claim: per day the
+    register relation never exceeds m rows."""
+    from forgottenlandapp_etl_spark.operators import sketches
+    from forgottenlandapp_etl_spark.streaming.dedup import stream_distinct_user_hll
+
+    streamed = {
+        (r["day"], r["n_occupied"]): r["n_est"]
+        for r in stream_distinct_user_hll(spark, sf_dir).collect()
+    }
+
+    ev = catalog.table(spark, sf_dir, "events").select(
+        F.to_date("ts").cast("string").alias("day"),
+        F.col("user_id").cast("string").alias("uk"),
+    )
+    regs = sketches.build_hll_registers(ev, "uk", ["day"])
+    batch = sketches.hll_estimate(regs, ["day"]).unionAll(
+        sketches.hll_estimate(
+            sketches.merge_hll_registers(
+                regs.select(F.lit("ALL").alias("day"), "bucket", "rho"), ["day"]
+            ),
+            ["day"],
+        )
+    )
+    want = {(r["day"], r["n_occupied"]): r["n_est"] for r in batch.collect()}
+    assert streamed == want
+    days = sorted(d for d, _ in streamed if d != "ALL")
+    assert days and days[0] >= "2024-01-01" and days[-1] <= "2024-12-31"
+    assert all(n <= sketches.HLL_M for _, n in streamed)
