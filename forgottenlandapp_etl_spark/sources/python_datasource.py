@@ -39,10 +39,12 @@ from pyspark.sql.datasource import (
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
+    DataSourceArrowWriter,
     InputPartition,
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 FORMAT_NAME = "arrow_rowgroups"
@@ -141,6 +143,9 @@ class ArrowRowGroupDataSource(DataSource):
     def reader(self, schema):
         return ArrowRowGroupReader(self.options)
 
+    def writer(self, schema, overwrite: bool):
+        return ArrowStagedParquetWriter(self.options, overwrite)
+
 
 def register(spark) -> None:
     """Idempotent format registration (re-register is a cheap overwrite).
@@ -231,3 +236,91 @@ class EventsReplayDataSource(DataSource):
 
 def register_stream(spark) -> None:
     spark.dataSource.register(EventsReplayDataSource)
+
+
+# ---------------------------------------------------------------------------
+# write tier: staged-commit Arrow parquet writer
+# ---------------------------------------------------------------------------
+
+
+class _StagedFileMessage(WriterCommitMessage):
+    def __init__(self, filename: str, num_rows: int):
+        self.filename = filename
+        self.num_rows = num_rows
+
+
+class ArrowStagedParquetWriter(DataSourceArrowWriter):
+    """Executor tasks write Arrow batches to UNIQUELY-NAMED files in a
+    hidden staging directory; only files named in the driver-collected
+    commit messages are promoted into the target — so retried or
+    speculative task attempts leave orphans in staging (cleaned at
+    commit), never duplicates in the result. That message-set promotion
+    is the same all-or-nothing visibility discipline sinks.py's
+    compaction uses, here through the DataSourceWriter commit/abort
+    protocol Spark drives for us.
+
+    ``overwrite`` (df.write.mode("overwrite")) clears previous part files
+    at COMMIT time, after every task has succeeded — readers of the
+    target never observe a half-written mix of old and new."""
+
+    def __init__(self, options, overwrite: bool):
+        import uuid
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError(f"{FORMAT_NAME} write requires .option('path', ...)")
+        self.overwrite = overwrite
+        # fixed at the driver, pickled to every task: one staging dir per
+        # write job, so concurrent jobs to the same target never collide
+        self.run_id = uuid.uuid4().hex
+
+    def _staging_dir(self) -> str:
+        import os
+
+        return os.path.join(self.path, f".staging-{self.run_id}")
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self._staging_dir(), exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.parquet"
+        n = 0
+        writer = None
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        os.path.join(self._staging_dir(), fname), batch.schema
+                    )
+                writer.write_table(pa.Table.from_batches([batch]))
+                n += len(batch)
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return _StagedFileMessage("", 0)  # empty partition: nothing staged
+        return _StagedFileMessage(fname, n)
+
+    def commit(self, messages):
+        import os
+        import shutil
+
+        staged = [m.filename for m in messages if m is not None and m.filename]
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.startswith("part-") and f.endswith(".parquet"):
+                    os.remove(os.path.join(self.path, f))
+        for f in staged:
+            os.replace(
+                os.path.join(self._staging_dir(), f), os.path.join(self.path, f)
+            )
+        shutil.rmtree(self._staging_dir(), ignore_errors=True)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self._staging_dir(), ignore_errors=True)

@@ -163,3 +163,75 @@ def test_stream_chunking_boundary(tmp_path):
         seen.extend(batch)
         off = nxt
     assert [row[0] for row in seen] == list(range(n))
+
+
+def test_writer_round_trip_and_overwrite(spark, sf_dir, tmp_path):
+    """df.write through the staged-commit writer: every row lands exactly
+    once (task files are promoted only via commit messages), and
+    mode('overwrite') replaces the previous contents atomically at commit
+    time rather than truncating before the job runs."""
+    from forgottenlandapp_etl_spark.sources import python_datasource as pds
+
+    pds.register(spark)
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tgt = str(tmp_path / "out")
+    import os
+
+    os.makedirs(tgt)
+    src.write.format(pds.FORMAT_NAME).option("path", tgt).mode("append").save()
+    got = spark.read.parquet(f"{tgt}/part-*.parquet")
+    assert sorted(r["doc_id"] for r in got.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in src.select("doc_id").collect()
+    )
+    assert not [f for f in os.listdir(tgt) if f.startswith(".staging")]
+
+    # overwrite with a strict subset — old part files must all be gone
+    sub = src.where("doc_id % 2 = 0")
+    sub.write.format(pds.FORMAT_NAME).option("path", tgt).mode("overwrite").save()
+    got2 = spark.read.parquet(f"{tgt}/part-*.parquet")
+    assert got2.count() == sub.count() < src.count()
+
+
+def test_writer_abort_leaves_target_untouched(spark, sf_dir, tmp_path):
+    """A failing task must abort the whole write: the target keeps its
+    previous contents bit-for-bit and staging is cleaned — the
+    all-or-nothing visibility contract."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from forgottenlandapp_etl_spark.sources import python_datasource as pds
+
+    pds.register(spark)
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    tgt = str(tmp_path / "out")
+    os.makedirs(tgt)
+    src.write.format(pds.FORMAT_NAME).option("path", tgt).mode("append").save()
+    before = sorted(os.listdir(tgt))
+
+    @F.udf(returnType=LongType())
+    def boom(x):
+        raise RuntimeError("injected task failure")
+
+    with _pytest.raises(Exception):
+        src.select(boom("doc_id").alias("doc_id")).write.format(
+            pds.FORMAT_NAME
+        ).option("path", tgt).mode("overwrite").save()
+    assert sorted(os.listdir(tgt)) == before  # no loss, no staging leftovers
+
+
+def test_writer_empty_partitions(spark, tmp_path):
+    """Empty input partitions stage nothing and commit cleanly (the
+    writer's None-file commit message path)."""
+    import os
+
+    from forgottenlandapp_etl_spark.sources import python_datasource as pds
+
+    pds.register(spark)
+    df = spark.range(0).selectExpr("id AS doc_id").repartition(4)
+    tgt = str(tmp_path / "out")
+    os.makedirs(tgt)
+    df.write.format(pds.FORMAT_NAME).option("path", tgt).mode("append").save()
+    assert [f for f in os.listdir(tgt) if f.startswith("part-")] == []
