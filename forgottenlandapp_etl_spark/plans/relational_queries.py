@@ -238,6 +238,43 @@ def set_except(spark, sf_dir):
     return a.subtract(b)
 
 
+@query(
+    "set_intersect_all",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT ALL
+    SELECT user_id FROM events WHERE event_type = 'view'
+    """,
+)
+def set_intersect_all(spark, sf_dir):
+    """INTERSECT ALL — BAG semantics (DataFrame ``intersectAll``): each
+    user survives min(click-count, view-count) times, not once. The
+    multiset variants plan as a count-compare aggregate instead of the
+    distinct variants' left-semi, so they carry their own entry."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select("user_id")
+    b = ev.where(F.col("event_type") == "view").select("user_id")
+    return a.intersectAll(b)
+
+
+@query(
+    "set_except_all",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def set_except_all(spark, sf_dir):
+    """EXCEPT ALL — multiset difference (DataFrame ``exceptAll``): a user
+    with 5 clicks and 2 errors keeps 3 rows (the distinct EXCEPT would
+    drop them entirely)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select("user_id")
+    b = ev.where(F.col("event_type") == "error").select("user_id")
+    return a.exceptAll(b)
+
+
 # ---------------------------------------------------------------------------
 # distribution statistics
 # ---------------------------------------------------------------------------

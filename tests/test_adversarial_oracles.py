@@ -255,7 +255,9 @@ EVENTS_ONLY_ENTRIES = [
     "j8_range_join",
     "scd2_intervals",
     "set_except",
+    "set_except_all",
     "set_intersect",
+    "set_intersect_all",
     "set_union",
     # sql_daily_rollup: register_views registers the FULL catalog (all ten
     # tables) before its spark.sql — cannot run on the events-only dir
