@@ -334,3 +334,61 @@ def histogram_quantiles(
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# K-minimum-values sketch (distinct counts AND set intersections)
+# ---------------------------------------------------------------------------
+#
+# Bar-Yossef et al. 2002 / the theta-sketch family: keep the k smallest
+# DISTINCT hash values per group. The k-th smallest hash h_k estimates the
+# distinct count as (k-1) * DOMAIN / h_k, and — the capability HLL
+# fundamentally lacks — two groups' summaries COMPOSE for set algebra:
+# the k smallest of the union of two summaries is exactly the union's
+# summary, and the fraction of those that appear in both input summaries
+# estimates the Jaccard, giving |A ∩ B| ≈ jaccard × |A ∪ B|. Everything
+# is integer (hash comparisons, counts, one fixed-point division), so the
+# whole build → merge → intersect path is hash-exact cross-engine.
+#
+# Summary size is k rows per group whatever the input; below k distinct
+# values the sketch IS the exact distinct set and every estimate
+# degenerates to the exact answer (the CASE below) — small groups are
+# exact, big groups are within ~1/sqrt(k-1) RSE.
+
+KMV_K = 64
+#: the hash domain token_hash maps into — the estimate's numerator scale
+KMV_DOMAIN = MERSENNE_31
+
+
+def build_kmv(keys: DataFrame, key_col: str, group_cols: list[str]) -> DataFrame:
+    """(group..., h) k-minimum distinct-hash summary per group. NULL keys
+    are dropped BEFORE ranking: Spark orders NULLS FIRST ascending where
+    DuckDB defaults NULLS LAST, so a NULL reaching the window would pick
+    different survivors per engine."""
+    from pyspark.sql.window import Window
+
+    h = token_hash(F.col(key_col))
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        keys.where(F.col(key_col).isNotNull())
+        .select(*group_cols, h.alias("h"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+
+
+def kmv_estimate(summaries: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Distinct-count estimate per group: exact below k (the summary holds
+    every distinct hash), else the k-1 order-statistic estimator in
+    integer division."""
+    return summaries.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("h").alias("hk")
+    ).select(
+        *group_cols,
+        F.expr(
+            f"CAST(CASE WHEN cnt < {KMV_K} THEN cnt"
+            f" ELSE {(KMV_K - 1) * KMV_DOMAIN} div hk END AS BIGINT)"
+        ).alias("n_est"),
+    )

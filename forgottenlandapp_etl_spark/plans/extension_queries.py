@@ -1978,6 +1978,193 @@ def stream_distinct_hll(spark, sf_dir):
     return stream_distinct_user_hll(spark, sf_dir)
 
 
+def _kmv_oracle() -> str:
+    from ..operators.sketches import KMV_DOMAIN, KMV_K
+
+    h_key = _SQL_TOKEN_HASH.format(col="uk")
+    est_case = (
+        f"CASE WHEN {{c}} < {KMV_K} THEN {{c}}"
+        f" ELSE {(KMV_K - 1) * KMV_DOMAIN} // {{h}} END"
+    )
+    return f"""
+    WITH ev AS (
+      SELECT DISTINCT event_type, {h_key} AS h
+      FROM (SELECT event_type, CAST(user_id AS VARCHAR) AS uk FROM events
+            WHERE user_id IS NOT NULL)
+    ),
+    summ AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM ev
+      ) WHERE rn <= {KMV_K}
+    ),
+    est AS (
+      SELECT event_type,
+             {est_case.format(c="COUNT(*)", h="MAX(h)")} AS n_est
+      FROM summ GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.n_est AS est_a, b.n_est AS est_b
+      FROM est a JOIN est b ON a.event_type < b.event_type
+    ),
+    pm AS (
+      SELECT type_a, type_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+        SELECT p.type_a, p.type_b, s.h, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN summ s ON s.event_type = p.type_a
+        UNION ALL
+        SELECT p.type_a, p.type_b, s.h, 0, 1
+        FROM pairs p JOIN summ s ON s.event_type = p.type_b
+      ) GROUP BY 1, 2, 3
+    ),
+    topk AS (
+      SELECT * FROM (
+        SELECT pm.*, row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+        FROM pm
+      ) WHERE rn <= {KMV_K}
+    ),
+    u AS (
+      SELECT type_a, type_b, COUNT(*) AS ucnt, MAX(h) AS uhk,
+             SUM(in_a * in_b) AS nmatch
+      FROM topk GROUP BY 1, 2
+    ),
+    uest AS (
+      SELECT type_a, type_b, nmatch, ucnt,
+             {est_case.format(c="ucnt", h="uhk")} AS est_union
+      FROM u
+    ),
+    duk AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS uk
+            FROM events WHERE user_id IS NOT NULL),
+    truth AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_true_intersect
+      FROM duk a JOIN duk b ON a.uk = b.uk AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(p.est_a AS BIGINT) AS est_a, CAST(p.est_b AS BIGINT) AS est_b,
+           CAST(u.est_union AS BIGINT) AS est_union,
+           CAST(u.nmatch * u.est_union // u.ucnt AS BIGINT) AS est_intersect,
+           COALESCE(t.n_true_intersect, 0) AS n_true_intersect
+    FROM pairs p
+    JOIN uest u USING (type_a, type_b)
+    LEFT JOIN truth t USING (type_a, type_b)
+    """
+
+
+@ext_query("sketch_kmv_intersection", _kmv_oracle())
+def sketch_kmv_intersection(spark, sf_dir):
+    """K-minimum-values sketches per event type with SET-ALGEBRA
+    composition (the theta-sketch capability class): the k smallest
+    distinct user hashes per type estimate each type's distinct users,
+    and for every type pair the k smallest of the two summaries' union
+    are exactly the union's summary — the fraction of those present in
+    BOTH inputs estimates Jaccard, so |A ∩ B| ≈ nmatch * |A ∪ B| / k.
+    HLL registers can only union (MAX is lossy for intersections); KMV is
+    what answers "how many users do clicks and views SHARE" from
+    pre-aggregated per-type summaries without rescanning. Below k
+    distinct values every estimate collapses to the exact answer (the
+    CASE both engines share), so sf0.001 exercises the exact branch and
+    sf0.01+ the estimator branch. Integer end to end — hash-exact.
+
+    100 TB shape: one distinct shuffle of (type, hash), one window
+    partitioned BY TYPE (k survivors per partition — never a global
+    sort), and everything pairwise runs on broadcast k-row summaries;
+    the exact-intersection yardstick self-joins the distinct relation and
+    is the rule-6 drop-at-scale column."""
+    from pyspark.sql.window import Window
+
+    from ..operators import sketches
+
+    ev = (
+        catalog.table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("event_type", F.col("user_id").cast("string").alias("uk"))
+    )
+    summ = sketches.build_kmv(ev, "uk", ["event_type"]).persist()
+    est = sketches.kmv_estimate(summ, ["event_type"])
+    pairs = (
+        est.select(F.col("event_type").alias("type_a"), F.col("n_est").alias("est_a"))
+        .join(
+            est.select(
+                F.col("event_type").alias("type_b"), F.col("n_est").alias("est_b")
+            ),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    keys = pairs.select("type_a", "type_b")
+    pm = (
+        keys.join(summ.withColumnRenamed("event_type", "type_a"), "type_a")
+        .select("type_a", "type_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionAll(
+            keys.join(summ.withColumnRenamed("event_type", "type_b"), "type_b")
+            .select(
+                "type_a", "type_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+            )
+        )
+        .groupBy("type_a", "type_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("type_a", "type_b").orderBy("h")
+    topk = pm.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= sketches.KMV_K
+    )
+    uest = (
+        topk.groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("ucnt"),
+            F.max("h").alias("uhk"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("nmatch"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "nmatch",
+            "ucnt",
+            F.expr(
+                f"CAST(CASE WHEN ucnt < {sketches.KMV_K} THEN ucnt"
+                f" ELSE {(sketches.KMV_K - 1) * sketches.KMV_DOMAIN} div uhk END"
+                " AS BIGINT)"
+            ).alias("est_union"),
+        )
+    )
+    duk = ev.distinct()
+    truth = (
+        duk.alias("a")
+        .join(
+            duk.alias("b"),
+            (F.col("a.uk") == F.col("b.uk"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_true_intersect"))
+    )
+    out = (
+        pairs.join(uest, ["type_a", "type_b"])
+        .join(truth, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.expr("CAST(nmatch * est_union div ucnt AS BIGINT)").alias(
+                "est_intersect"
+            ),
+            F.coalesce(F.col("n_true_intersect"), F.lit(0))
+            .cast("long")
+            .alias("n_true_intersect"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    summ.unpersist()
+    return out
+
+
 def _hist_quantile_oracle() -> str:
     from ..operators.sketches import HIST_WIDTH_FP as W
 

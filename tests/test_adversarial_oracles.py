@@ -242,6 +242,7 @@ EVENTS_ONLY_ENTRIES = [
     "dq_profile_events",
     "sketch_cms_daily_merge",
     "sketch_hll_exact_daily_merge",
+    "sketch_kmv_intersection",
     "sketch_quantile_histogram",
     "e3_daily_online_time",
     "e3_period_online_time",

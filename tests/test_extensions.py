@@ -1521,3 +1521,61 @@ def test_histogram_negative_clamp(spark):
     df = spark.createDataFrame([(-513,), (-1,), (0,), (255,), (256,)], "v_fp long")
     out = {r["bucket"]: r["cnt"] for r in sketches.build_histogram(df, "v_fp").collect()}
     assert out == {0: 4, 1: 1}
+
+
+def test_kmv_exact_below_k(spark):
+    """Below k distinct keys the summary IS the distinct set and the
+    estimator returns the exact count (the CASE's exact branch)."""
+    from forgottenlandapp_etl_spark.operators import sketches
+
+    df = spark.range(30).select(
+        F.lit("g").alias("grp"), F.concat(F.lit("u"), F.col("id") % 30).alias("uk")
+    )
+    out = sketches.kmv_estimate(
+        sketches.build_kmv(df, "uk", ["grp"]), ["grp"]
+    ).collect()
+    assert out[0]["n_est"] == 30
+
+
+def test_kmv_estimate_accuracy(spark):
+    """Estimator branch: k=64 gives RSE ~ 1/sqrt(63) = 12.6%; assert the
+    50k-distinct estimate lands within 3 sigma."""
+    from forgottenlandapp_etl_spark.operators import sketches
+
+    n = 50_000
+    df = spark.range(n).select(
+        F.lit("g").alias("grp"), F.concat(F.lit("u"), F.col("id")).alias("uk")
+    )
+    est = sketches.kmv_estimate(
+        sketches.build_kmv(df, "uk", ["grp"]), ["grp"]
+    ).collect()[0]["n_est"]
+    assert abs(est - n) / n < 3 / (sketches.KMV_K - 1) ** 0.5
+
+
+def test_kmv_summaries_compose(spark):
+    """The set-algebra property the intersection entry banks on: the k
+    smallest of the UNION OF TWO SUMMARIES equal the direct summary of
+    the union of the raw inputs — so pairwise set estimates need only the
+    pre-aggregated k-row summaries, never the data."""
+    from pyspark.sql.window import Window
+
+    from forgottenlandapp_etl_spark.operators import sketches
+
+    a = spark.range(500).select(F.lit("a").alias("grp"), F.concat(F.lit("u"), F.col("id")).alias("uk"))
+    b = spark.range(300, 900).select(F.lit("b").alias("grp"), F.concat(F.lit("u"), F.col("id")).alias("uk"))
+    direct = sorted(
+        r["h"]
+        for r in sketches.build_kmv(
+            a.unionAll(b).select(F.lit("u").alias("grp"), "uk"), "uk", ["grp"]
+        ).collect()
+    )
+    sa = sketches.build_kmv(a, "uk", ["grp"])
+    sb = sketches.build_kmv(b, "uk", ["grp"])
+    merged = (
+        sa.select("h")
+        .unionAll(sb.select("h"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .where(F.col("rn") <= sketches.KMV_K)
+    )
+    assert sorted(r["h"] for r in merged.collect()) == direct
