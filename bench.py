@@ -120,6 +120,16 @@ HEADLINE = [
     "sim_ivf_exact_topk",
     "tpch_q4_order_priority",
     "dedup_semantic",
+    # round 6b: the Python DataSource tier (batch + streaming replay) and
+    # the exact-integer sketch family built this round — HLL registers
+    # (batch + streaming fold), mergeable histogram quantiles, KMV set
+    # intersections
+    "src_python_datasource",
+    "stream_python_datasource",
+    "sketch_hll_exact_daily_merge",
+    "stream_distinct_hll",
+    "sketch_quantile_histogram",
+    "sketch_kmv_intersection",
 ]
 
 

@@ -1935,13 +1935,16 @@ def sketch_hll_exact_daily_merge(spark, sf_dir):
     est = sketches.hll_estimate(regs, ["day"]).unionAll(
         sketches.hll_estimate(merged, ["day"])
     )
+    # one scan for per-day AND grand-total truth: ROLLUP(day) expands to
+    # the (day) and () grouping sets in a single distinct-aggregate pass;
+    # GROUPING() (not a NULL test — a genuine NULL day group must stay
+    # itself) relabels the total row 'ALL' to match the merge row
     truth = (
-        ev.groupBy("day")
-        .agg(F.countDistinct("uk").alias("n_true"))
-        .unionAll(
-            ev.agg(F.countDistinct("uk").alias("n_true")).select(
-                F.lit("ALL").alias("day"), "n_true"
-            )
+        ev.rollup("day")
+        .agg(F.countDistinct("uk").alias("n_true"), F.grouping("day").alias("g"))
+        .select(
+            F.when(F.col("g") == 1, F.lit("ALL")).otherwise(F.col("day")).alias("day"),
+            "n_true",
         )
     )
     out = (
@@ -2081,6 +2084,12 @@ def sketch_kmv_intersection(spark, sf_dir):
         catalog.table(spark, sf_dir, "events")
         .where(F.col("user_id").isNotNull())
         .select("event_type", F.col("user_id").cast("string").alias("uk"))
+        # distinct ONCE: the same (type, user) relation feeds both the
+        # summary build (whose internal distinct then dedups the already-
+        # distinct hash projection for free) and the exact yardstick —
+        # one events scan + one wide shuffle instead of two of each
+        .distinct()
+        .persist()
     )
     summ = sketches.build_kmv(ev, "uk", ["event_type"]).persist()
     est = sketches.kmv_estimate(summ, ["event_type"])
@@ -2129,7 +2138,7 @@ def sketch_kmv_intersection(spark, sf_dir):
             ).alias("est_union"),
         )
     )
-    duk = ev.distinct()
+    duk = ev
     truth = (
         duk.alias("a")
         .join(
@@ -2162,6 +2171,7 @@ def sketch_kmv_intersection(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     summ.unpersist()
+    ev.unpersist()
     return out
 
 

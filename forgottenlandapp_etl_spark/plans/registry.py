@@ -136,9 +136,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # multi-round green): swap out j2_enrichment_join / j3_accumulating_merge /
 # text_lang_id-class entries for never-windowed hard rows — strongest:
 # dedup_semantic (SemDeDup end-to-end incl. recursive-closure oracle, new
-# r6), stream_python_datasource / src_python_datasource (the custom
-# source tier, new r6), tpch_q8_market_share / tpch_q20_excess_stock
-# (derived-partsupp family), wx_window family, set-op entries,
+# r6), the exact-integer sketch family (sketch_hll_exact_daily_merge /
+# stream_distinct_hll / sketch_quantile_histogram /
+# sketch_kmv_intersection, new r6b), stream_python_datasource /
+# src_python_datasource (the custom source tier, new r6),
+# tpch_q8_market_share / tpch_q20_excess_stock (derived-partsupp family),
+# wx_window family, set-op entries (incl. the new ALL variants),
 # stream_sliding_counts.
 
 _missing = [n for n in DRIVER_WINDOW if n not in _ALL_QUERIES]
