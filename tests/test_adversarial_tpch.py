@@ -255,11 +255,7 @@ def _tables():
     return region, nation, customer, supplier, part, orders, lineitem
 
 
-@pytest.fixture(scope="module")
-def tpch_adv_dir(tmp_path_factory):
-    d = tmp_path_factory.mktemp("adversarial_tpch")
-    region, nation, customer, supplier, part, orders, lineitem = _tables()
-
+def _write_tables(d, region, nation, customer, supplier, part, orders, lineitem):
     def col(rows, i):
         return [r[i] for r in rows]
 
@@ -270,7 +266,7 @@ def tpch_adv_dir(tmp_path_factory):
                 "r_name": pa.array(col(region, 1), pa.string()),
             }
         ),
-        str(d / "region.parquet"),
+        f"{d}/region.parquet",
     )
     pq.write_table(
         pa.table(
@@ -280,7 +276,7 @@ def tpch_adv_dir(tmp_path_factory):
                 "n_regionkey": pa.array(col(nation, 2), pa.int32()),
             }
         ),
-        str(d / "nation.parquet"),
+        f"{d}/nation.parquet",
     )
     pq.write_table(
         pa.table(
@@ -292,7 +288,7 @@ def tpch_adv_dir(tmp_path_factory):
                 "c_mktsegment": pa.array(col(customer, 4), pa.string()),
             }
         ),
-        str(d / "customer.parquet"),
+        f"{d}/customer.parquet",
     )
     pq.write_table(
         pa.table(
@@ -303,7 +299,7 @@ def tpch_adv_dir(tmp_path_factory):
                 "s_acctbal": pa.array(col(supplier, 3), pa.float64()),
             }
         ),
-        str(d / "supplier.parquet"),
+        f"{d}/supplier.parquet",
     )
     pq.write_table(
         pa.table(
@@ -316,7 +312,7 @@ def tpch_adv_dir(tmp_path_factory):
                 "p_retailprice": pa.array(col(part, 5), pa.float64()),
             }
         ),
-        str(d / "part.parquet"),
+        f"{d}/part.parquet",
     )
     pq.write_table(
         pa.table(
@@ -329,7 +325,7 @@ def tpch_adv_dir(tmp_path_factory):
                 "o_orderpriority": pa.array(col(orders, 5), pa.string()),
             }
         ),
-        str(d / "orders.parquet"),
+        f"{d}/orders.parquet",
     )
     pq.write_table(
         pa.table(
@@ -347,8 +343,14 @@ def tpch_adv_dir(tmp_path_factory):
                 "l_shipdate": pa.array(col(lineitem, 10), pa.timestamp("us")),
             }
         ),
-        str(d / "lineitem.parquet"),
+        f"{d}/lineitem.parquet",
     )
+
+
+@pytest.fixture(scope="module")
+def tpch_adv_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("adversarial_tpch")
+    _write_tables(str(d), *_tables())
     return str(d)
 
 
@@ -426,3 +428,108 @@ def test_tpch_entry_matches_oracle_on_adversarial_corpus(
     got = QUERIES[name](spark, tpch_adv_dir)
     want = tpch_adv_con.execute(ORACLE[name]).fetchdf()
     compare(got, want, name=f"{name}@adversarial-tpch")
+
+
+# ---------------------------------------------------------------------------
+# seeded fuzz: randomized 7-table corpora with boundary-weighted draws
+# ---------------------------------------------------------------------------
+
+
+def _fuzz_tpch(seed):
+    """Random TPC-H-shaped corpus whose distributions are WEIGHTED toward
+    the hazard manifold: dates draw 25% from the exact predicate-boundary
+    list, quantities 30% from the band-edge set, discounts 30% from q6's
+    edge values, and every nullable non-key column goes NULL ~7% of the
+    time; ~5% of lineitems reference a nonexistent order. Two seeds run
+    per entry — different corpus, same required Spark == DuckDB
+    equality."""
+    import random
+
+    rng = random.Random(seed)
+    boundary_dates = [
+        _ts(1995, 1, 1), _ts(1996, 1, 1), _ts(1997, 1, 1), _ts(1997, 4, 1),
+        _ts(1997, 9, 1), _ts(1997, 10, 1), _ts(1998, 1, 1),
+        _ts(1996, 12, 31, 23, 59, 59, 999999), _ts(1997, 3, 31, 23, 59, 59),
+    ]
+
+    def rdate():
+        if rng.random() < 0.25:
+            return rng.choice(boundary_dates)
+        base = _ts(1994, 6, 1) + dt.timedelta(
+            seconds=rng.randrange(0, 4 * 365 * 86400), microseconds=rng.randrange(0, 1000000)
+        )
+        return base
+
+    def maybe_null(v, p=0.07):
+        return None if rng.random() < p else v
+
+    region = [(i, n) for i, n in enumerate(
+        ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"])]
+    nation = [
+        (k, f"NATION_{rng.randrange(0, 12)}" if rng.random() < 0.5 else f"NATION_{k}",
+         rng.randrange(0, 6))  # regionkey 5 is an orphan
+        for k in range(10)
+    ]
+    segs = ["BUILDING", "MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "FURNITURE", "building"]
+    customer = [
+        (k, f"cust {k % 7}", rng.randrange(0, 11), maybe_null(round(rng.uniform(-1000, 9000), 2)),
+         rng.choice(segs))
+        for k in range(1, 31)
+    ]
+    supplier = [
+        (k, f"supp {k % 5}", rng.randrange(0, 11), maybe_null(round(rng.uniform(-100, 5000), 2)))
+        for k in range(1, 13)
+    ]
+    name_frags = ["small", "red", "blue", "large", "cold", "smallish", "reddish", "RED"]
+    types = ["LARGE", "STANDARD", "SMALL", "MEDIUM", "ECONOMY", "PROMO"]
+    part = [
+        (k, f"{rng.choice(name_frags)} {rng.choice(['widget', 'bolt', 'rod', 'cap'])}",
+         f"Brand#{rng.choice([1, 12, 23, 24, rng.randrange(1, 26)])}",
+         rng.choice(types), maybe_null(rng.choice([1, 5, 10, 14, 15, rng.randrange(1, 51)])),
+         round(rng.uniform(0, 100), 2))
+        for k in range(1, 21)
+    ]
+    statuses = ["F", "O", "P"]
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    orders = [
+        (k, rng.choice(customer)[0] if rng.random() > 0.04 else 9999,
+         rng.choice(statuses),
+         maybe_null(round(rng.uniform(-500, 150000), 2)),
+         maybe_null(rdate()), rng.choice(prios))
+        for k in range(1, 81)
+    ]
+    qty_edges = [1.0, 10.0, 11.0, 20.0, 23.0, 24.0, 30.0]
+    disc_edges = [0.0, 0.04, 0.05, 0.06, 0.07, 0.08, 1.0]
+    lineitem = []
+    for i in range(300):
+        okey = rng.choice(orders)[0] if rng.random() > 0.05 else 88888 + i
+        qty = rng.choice(qty_edges) if rng.random() < 0.3 else float(rng.randrange(1, 51))
+        disc = rng.choice(disc_edges) if rng.random() < 0.3 else round(rng.uniform(0, 0.2), 2)
+        lineitem.append(
+            (okey, rng.choice(part)[0], rng.choice(supplier)[0], i % 7 + 1,
+             qty, round(rng.uniform(0, 2000), 2), maybe_null(disc),
+             maybe_null(round(rng.uniform(0, 0.1), 2)),
+             rng.choice(["N", "A", "R"]), rng.choice(["O", "F"]), rdate())
+        )
+    return region, nation, customer, supplier, part, orders, lineitem
+
+
+@pytest.fixture(scope="module", params=[71, 72])
+def tpch_fuzz_setup(tmp_path_factory, request):
+    d = tmp_path_factory.mktemp(f"fuzz_tpch_{request.param}")
+    region, nation, customer, supplier, part, orders, lineitem = _fuzz_tpch(
+        request.param
+    )
+    _write_tables(str(d), region, nation, customer, supplier, part, orders, lineitem)
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem".split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    yield str(d), con
+    con.close()
+
+
+@pytest.mark.parametrize("name", TPCH_ONLY_ENTRIES)
+def test_tpch_entry_matches_oracle_on_fuzz_corpus(spark, tpch_fuzz_setup, name):
+    d, con = tpch_fuzz_setup
+    compare(QUERIES[name](spark, d), con.execute(ORACLE[name]).fetchdf(),
+            name=f"{name}@fuzz-tpch")
