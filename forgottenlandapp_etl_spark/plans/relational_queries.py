@@ -1489,6 +1489,56 @@ def sql_daily_rollup(spark, sf_dir):
 
 
 @query(
+    "sql_recursive_rollup",
+    """
+    WITH RECURSIVE du AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    chain(node, user_id) AS (
+      SELECT user_id AS node, user_id FROM du
+      UNION ALL
+      SELECT node // 2, user_id FROM chain WHERE node > 0
+    )
+    SELECT c.node, CAST(COUNT(*) AS BIGINT) AS n_desc_users,
+           CAST(SUM(d.n_events) AS BIGINT) AS n_subtree_events
+    FROM chain c JOIN du d USING (user_id)
+    GROUP BY c.node
+    """,
+)
+def sql_recursive_rollup(spark, sf_dir):
+    """WITH RECURSIVE (Spark 4's recursive CTE support) driven end-to-end:
+    hierarchical subtree rollup over the implicit user tree node -> node/2
+    — the classic org-chart/BOM traversal shape, where each node
+    aggregates every descendant's event count by walking ancestor chains
+    (strictly decreasing, so UNION ALL terminates without cycle
+    detection; depth is log2(max user_id) ~ a dozen recursion steps).
+    The iterative OPERATORS (graph_pagerank, dedup_components) already
+    cover fixed-point computation engine-side; this guards the SQL
+    SURFACE for it, with DuckDB running the identical recursion as the
+    oracle. Spark plans each recursion step as a UnionLoop over the
+    previous step's output — rows per step are |users|, never the
+    cross-product, and the final rollup is one hash aggregate."""
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE du AS (
+          SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1
+        ),
+        chain(node, user_id) AS (
+          SELECT user_id AS node, user_id FROM du
+          UNION ALL
+          SELECT node DIV 2, user_id FROM chain WHERE node > 0
+        )
+        SELECT c.node, COUNT(*) AS n_desc_users,
+               SUM(d.n_events) AS n_subtree_events
+        FROM chain c JOIN du d USING (user_id)
+        GROUP BY c.node
+        """
+    )
+
+
+@query(
     "dq_referential_integrity",
     """
     SELECT 'orders->customer' AS fk, CAST(COUNT(*) AS BIGINT) AS n_orphans
