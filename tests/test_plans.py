@@ -401,3 +401,67 @@ def test_semantic_dedup_plan_shape(spark, sf_dir):
     assert "SortMergeJoin" not in plan  # final keeper join broadcasts
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_sketch_family_plan_shapes(spark, sf_dir):
+    """SCALE rule 12's structural claims, asserted on plans. The HLL and
+    KMV ENTRIES return checkpointed relations (their plans are scans), so
+    the real pipelines are rebuilt here through the operators and gated
+    pre-checkpoint: register/summary builds are hash-aggregate fan-in on
+    one scan branch with NO single-partition or range exchange (the KMV
+    per-group top-k windows partition by their group keys); the
+    histogram's cumulative walk plans as a BROADCAST range self-join on
+    the constant-size summary, never a global window."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from forgottenlandapp_etl_spark import catalog
+    from forgottenlandapp_etl_spark.operators import sketches
+
+    def no_wide(plan, name):
+        assert "CartesianProduct" not in plan, name
+        wide = [
+            e
+            for e in re.findall(r"Exchange [^\n]*", plan)
+            if "SinglePartition" in e or "rangepartitioning" in e
+        ]
+        assert wide == [], (name, wide)
+
+    ev = catalog.table(spark, sf_dir, "events").select(
+        F.to_date("ts").cast("string").alias("day"),
+        "event_type",
+        F.col("user_id").cast("string").alias("uk"),
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("v_fp"),
+    )
+    regs = sketches.build_hll_registers(ev, "uk", ["day"])
+    no_wide(plan_of(sketches.hll_estimate(regs, ["day"])), "hll build+estimate")
+    # merge gated in the entries' own shape (the 'ALL' label group); a
+    # groupless merge is a 1-row scalar reduction whose SinglePartition
+    # fan-in the universal gate already classifies benign
+    no_wide(
+        plan_of(
+            sketches.hll_estimate(
+                sketches.merge_hll_registers(
+                    regs.select(F.lit("ALL").alias("day"), "bucket", "rho"),
+                    ["day"],
+                ),
+                ["day"],
+            )
+        ),
+        "hll merge",
+    )
+    kmv = sketches.build_kmv(ev, "uk", ["event_type"])
+    no_wide(plan_of(sketches.kmv_estimate(kmv, ["event_type"])), "kmv")
+    hist = sketches.build_histogram(ev, "v_fp", ["event_type"])
+    hq = sketches.histogram_quantiles(hist, [("p50", 1, 2)], ["event_type"])
+    hist_plan = plan_of(hq)
+    no_wide(hist_plan, "histogram quantiles")
+    assert (
+        "BroadcastHashJoin" in hist_plan or "BroadcastNestedLoopJoin" in hist_plan
+    )
+    # the full histogram ENTRY is not checkpointed — gate it whole too
+    no_wide(
+        plan_of(QUERIES["sketch_quantile_histogram"](spark, sf_dir)),
+        "sketch_quantile_histogram entry",
+    )
