@@ -1981,6 +1981,139 @@ def stream_distinct_hll(spark, sf_dir):
     return stream_distinct_user_hll(spark, sf_dir)
 
 
+#: span-corruption geometry (T5, Raffel et al. 2020: ~15% of tokens in
+#: spans of mean length 3) — one source of truth for plan and oracle
+SPAN_CORRUPT_PCT = 15
+SPAN_MEAN_LEN = 3
+
+
+def _span_corruption_oracle() -> str:
+    h = _SQL_TOKEN_HASH.format(
+        col="CAST(doc_id AS VARCHAR) || ':span:' || CAST(k AS VARCHAR)"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ),
+    geom AS (
+      SELECT doc_id, t, n,
+             n * {SPAN_CORRUPT_PCT} // 100 AS c,
+             GREATEST((n * {SPAN_CORRUPT_PCT} // 100) // {SPAN_MEAN_LEN},
+                      CASE WHEN n * {SPAN_CORRUPT_PCT} // 100 > 0
+                           THEN 1 ELSE 0 END) AS s
+      FROM toks
+    ),
+    spans AS (
+      SELECT doc_id, t, n, c, s, CAST(g.k AS BIGINT) AS k,
+             n // s AS seg_len,
+             LEAST(c // s + CASE WHEN g.k <= c % s THEN 1 ELSE 0 END,
+                   n // s) AS span_len
+      FROM geom, UNNEST(generate_series(1, s)) AS g(k)
+      WHERE s > 0
+    ),
+    placed AS (
+      SELECT doc_id, k AS span_idx, span_len,
+             (k - 1) * seg_len + 1
+               + ({h}) % (seg_len - span_len + 1) AS start
+      FROM spans
+    )
+    SELECT p.doc_id, CAST(p.span_idx AS BIGINT) AS span_idx,
+           CAST(p.start AS BIGINT) AS start,
+           CAST(p.span_len AS BIGINT) AS span_len,
+           array_to_string(t.t[p.start : p.start + p.span_len - 1], ' ')
+             AS masked
+    FROM placed p JOIN toks t USING (doc_id)
+    """
+
+
+@ext_query("text_span_corruption", _span_corruption_oracle())
+def text_span_corruption(spark, sf_dir):
+    """T5-style span-corruption planning (Raffel et al. 2020: ~15% of
+    tokens masked in spans of mean length 3), DETERMINISTIC and fully
+    declarative: per document the corruption budget c = 15% of n tokens
+    splits into s = c/3 spans; the document divides into s equal
+    segments and span k lands inside segment k at an md5-derived offset —
+    non-overlapping BY CONSTRUCTION (one span per segment), reproducible
+    across runs/engines (the mask schedule is a pure function of doc_id),
+    and integer end to end, so every (span_idx, start, len, masked-slice)
+    row hash-matches the oracle. Short documents degrade exactly: under
+    7 tokens the budget floors to zero spans.
+
+    100 TB shape: ZERO shuffles — tokenize, per-row geometry arithmetic,
+    a ≤ s-row explode, slice. The spread repartition is the only
+    exchange (tiny-fixture guard); corruption planning is embarrassingly
+    parallel, which is the point of deriving the schedule from hashes
+    instead of a stateful RNG."""
+    d = _docs(spark, sf_dir, fan_out=True)
+    t = d.select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+        F.size(F.split("text", " ")).cast("long").alias("n"),
+    )
+    geom = t.select(
+        "doc_id",
+        "t",
+        "n",
+        F.expr(f"n * {SPAN_CORRUPT_PCT} div 100").alias("c"),
+    ).select(
+        "doc_id",
+        "t",
+        "n",
+        "c",
+        F.expr(
+            f"GREATEST(c div {SPAN_MEAN_LEN}, CASE WHEN c > 0 THEN 1 ELSE 0 END)"
+        ).alias("s"),
+    )
+    spans = (
+        geom.where(F.col("s") > 0)
+        .select(
+            "doc_id",
+            "t",
+            "n",
+            "c",
+            "s",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("s"))).alias("k"),
+        )
+        .select(
+            "doc_id",
+            "t",
+            "k",
+            F.expr("n div s").alias("seg_len"),
+            F.expr(
+                "LEAST(c div s + CASE WHEN k <= c % s THEN 1 ELSE 0 END, n div s)"
+            ).alias("span_len"),
+        )
+    )
+    h = dedup.token_hash(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":span:"), F.col("k").cast("string")
+        )
+    )
+    placed = spans.select(
+        "doc_id",
+        F.col("k").alias("span_idx"),
+        "span_len",
+        (
+            (F.col("k") - 1) * F.col("seg_len")
+            + F.lit(1)
+            + h % (F.col("seg_len") - F.col("span_len") + 1)
+        ).alias("start"),
+        "t",
+    )
+    return placed.select(
+        "doc_id",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        F.col("start").cast("long").alias("start"),
+        F.col("span_len").cast("long").alias("span_len"),
+        F.array_join(
+            F.slice(F.col("t"), F.col("start").cast("int"), F.col("span_len").cast("int")),
+            " ",
+        ).alias("masked"),
+    )
+
+
 def _kmv_oracle() -> str:
     from ..operators.sketches import KMV_DOMAIN, KMV_K
 

@@ -95,6 +95,7 @@ DOC_ONLY_ENTRIES = [
     "pipeline_pack_sequences",
     "pipeline_pack_ffd",
     "text_udtf_chunks",
+    "text_span_corruption",
 ]
 
 

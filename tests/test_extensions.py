@@ -1579,3 +1579,35 @@ def test_kmv_summaries_compose(spark):
         .where(F.col("rn") <= sketches.KMV_K)
     )
     assert sorted(r["h"] for r in merged.collect()) == direct
+
+
+def test_span_corruption_construction_guarantees(spark, sf_dir):
+    """The mask schedule's guarantees are CONSTRUCTIVE, not statistical:
+    per doc the span lengths sum to exactly the 15% budget (floor), spans
+    sit inside their own segments (hence pairwise disjoint and in-bounds),
+    and the whole schedule is a pure function of doc_id (rerun-identical)."""
+    from forgottenlandapp_etl_spark.plans.registry import QUERIES
+
+    rows = QUERIES["text_span_corruption"](spark, sf_dir).collect()
+    assert rows
+    docs = {}
+    for r in rows:
+        docs.setdefault(r["doc_id"], []).append(r)
+    n_toks = {
+        r["doc_id"]: r["n"]
+        for r in catalog.table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "size(split(text, ' ')) AS n")
+        .collect()
+    }
+    for doc_id, spans in docs.items():
+        n = n_toks[doc_id]
+        c = n * 15 // 100
+        assert sum(s["span_len"] for s in spans) == c, doc_id
+        ivals = sorted((s["start"], s["start"] + s["span_len"] - 1) for s in spans)
+        assert ivals[0][0] >= 1 and ivals[-1][1] <= n, doc_id
+        for (a1, b1), (a2, b2) in zip(ivals, ivals[1:]):
+            assert b1 < a2, (doc_id, ivals)  # strictly disjoint
+    # docs below the 7-token budget floor emit no spans
+    assert all(n_toks[d] * 15 // 100 > 0 for d in docs)
+    rerun = QUERIES["text_span_corruption"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rerun))
