@@ -77,3 +77,84 @@ def cluster_stats(path: str, col: str) -> list[tuple[str, object, object]]:
             hi = st.max if hi is None else max(hi, st.max)
         out.append((name, lo, hi))
     return sorted(out, key=lambda t: (t[1] is None, t[1]))
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering: two-dimensional data skipping
+# ---------------------------------------------------------------------------
+
+#: bits per dimension in the interleave — 16 gives 65536 distinct cells
+#: per axis, far below float precision loss and well above file count
+Z_BITS = 16
+
+
+def zvalue(a: str, b: str, a_min: int, a_max: int, b_min: int, b_max: int):
+    """Morton/Z-order key for two integer columns (by NAME): min-max
+    normalize each dimension to Z_BITS bits with exact integer `div`,
+    then interleave the bits (a takes the odd positions). Pure integer
+    Column arithmetic — 2*Z_BITS shift-and-add terms, all inside
+    whole-stage codegen.
+
+    The lexicographic sort clustered_write uses gives the LEADING column
+    perfect file disjointness and the second column none; sorting by the
+    interleaved key makes every file cover a small axis-aligned RECTANGLE
+    in (a, b) space, so pushed predicates on EITHER column skip row
+    groups — the poor-man's OPTIMIZE ZORDER for engines without a table
+    format. Bounds arrive as Python ints (one footer/agg read at the
+    caller), so the normalization constant-folds."""
+    scale = (1 << Z_BITS) - 1
+
+    def norm(name, lo, hi):
+        if hi <= lo:
+            return F.lit(0).cast("long")
+        # divide-first binning: (v - lo) div step with step precomputed in
+        # Python keeps every intermediate <= the column's own range — the
+        # multiply-first form ((v-lo)*scale div range) overflows BIGINT
+        # once the range passes 2^47
+        step = (hi - lo) // scale + 1
+        return F.expr(f"(CAST({name} AS BIGINT) - {lo}) div {step}")
+
+    na, nb = norm(a, a_min, a_max), norm(b, b_min, b_max)
+    z = F.lit(0).cast("long")
+    for i in range(Z_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(na, i) % 2, 2 * i + 1)
+            + F.shiftleft(F.shiftright(nb, i) % 2, 2 * i)
+        )
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    target_rows_per_file: int = 1_000_000,
+    n_ranges: int | None = None,
+) -> None:
+    """clustered_write on the interleaved Z-key of (col_a, col_b): one
+    tiny bounds aggregate (4 scalars to the driver — metadata-sized, the
+    same class as the compaction partition listing), then range-partition
+    + sort on the computed __z column, dropped before writing rows."""
+    lo_a, hi_a, lo_b, hi_b = (
+        df.agg(
+            F.min(col_a).cast("long"),
+            F.max(col_a).cast("long"),
+            F.min(col_b).cast("long"),
+            F.max(col_b).cast("long"),
+        ).first()
+    )
+    z = zvalue(col_a, col_b, lo_a, hi_a, lo_b, hi_b)
+    zdf = df.withColumn("__z", z)
+    if n_ranges is not None:
+        zdf = zdf.repartitionByRange(n_ranges, F.col("__z"))
+    else:
+        zdf = zdf.repartitionByRange(F.col("__z"))
+    (
+        zdf.sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .parquet(path)
+    )

@@ -616,3 +616,55 @@ def test_compact_live_concurrent_appender_zero_loss(spark, tmp_path):
     assert missing == set(), f"lost rows: {missing}"
     extra = set(vals) - (set(initial) | set(committed))
     assert extra == set(), f"phantom rows: {extra}"
+
+
+def test_zorder_write_skips_on_both_dimensions(spark, tmp_path):
+    """Z-order vs single-key clustering on independent dimensions: with
+    lexicographic clustering the SECOND column's per-file ranges span
+    essentially the whole domain (no skipping power); the interleaved
+    Z-key gives every file a bounded rectangle, so per-file widths shrink
+    on BOTH axes. Asserted from parquet footers — the same stats
+    row-group skipping consults — with the Z layout's mean second-axis
+    width required under half the lexicographic layout's."""
+    from forgottenlandapp_etl_spark.sources import ordering
+
+    n = 40_000
+    grid = spark.range(n).selectExpr(
+        "id",
+        # two INDEPENDENT uniform dims (hash-decorrelated from id order)
+        "CAST(conv(substring(md5(concat('x', id)), 1, 8), 16, 10) % 10000 AS BIGINT) AS x",
+        "CAST(conv(substring(md5(concat('y', id)), 1, 8), 16, 10) % 10000 AS BIGINT) AS y",
+    )
+    lex = str(tmp_path / "lex")
+    zed = str(tmp_path / "zed")
+    ordering.clustered_write(grid, lex, "x", target_rows_per_file=2500, n_ranges=16)
+    ordering.zorder_write(grid, zed, "x", "y", target_rows_per_file=2500, n_ranges=16)
+
+    def mean_width(path, col):
+        st = [s for s in ordering.cluster_stats(path, col) if s[1] is not None]
+        assert len(st) >= 8
+        return sum(hi - lo for _, lo, hi in st) / len(st)
+
+    # sanity: both layouts round-trip the data
+    assert spark.read.parquet(zed).count() == n
+    # lexicographic: x tight, y spans ~the full 10k domain per file
+    assert mean_width(lex, "x") < 2000
+    assert mean_width(lex, "y") > 8000
+    # z-order: BOTH axes bounded — y width at least halves vs lexicographic
+    zy = mean_width(zed, "y")
+    zx = mean_width(zed, "x")
+    assert zy < 0.5 * mean_width(lex, "y"), zy
+    assert zx < 5000, zx
+
+
+def test_zvalue_degenerate_and_monotone(spark):
+    """Constant dimensions normalize to 0 (no divide-by-zero), and the
+    Z-key is monotone in each dimension when the other is fixed."""
+    from forgottenlandapp_etl_spark.sources import ordering
+
+    df = spark.createDataFrame([(i, 7) for i in range(100)], "a long, b long")
+    z = df.select(
+        "a", ordering.zvalue("a", "b", 0, 99, 7, 7).alias("z")
+    ).orderBy("a").collect()
+    assert all(r1["z"] <= r2["z"] for r1, r2 in zip(z, z[1:]))
+    assert z[0]["z"] >= 0
