@@ -40,6 +40,7 @@ from pyspark.sql.datasource import (
     GreaterThan,
     GreaterThanOrEqual,
     DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     InputPartition,
     LessThan,
     LessThanOrEqual,
@@ -145,6 +146,9 @@ class ArrowRowGroupDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return ArrowStagedParquetWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return ArrowSpoolStreamWriter(self.options)
 
 
 def register(spark) -> None:
@@ -324,3 +328,98 @@ class ArrowStagedParquetWriter(DataSourceArrowWriter):
         import shutil
 
         shutil.rmtree(self._staging_dir(), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# streaming write tier: epoch-committed spool sink
+# ---------------------------------------------------------------------------
+
+
+class ArrowSpoolStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming sink through the same staged-promotion discipline as the
+    batch writer, plus the piece streaming adds: EPOCH idempotency. Every
+    micro-batch's tasks stage uniquely-named files; ``commit(messages,
+    batchId)`` promotes them and records a ``_epoch-<id>`` marker naming
+    exactly the promoted files. When Spark REPLAYS a batch after recovery
+    (the at-least-once delivery the checkpoint protocol allows), the
+    existing marker makes the duplicate commit drop its staged files
+    instead of promoting them — at-least-once delivery, exactly-once
+    visibility. abort() discards the batch's staged files only."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError(f"{FORMAT_NAME} stream write requires .option('path', ...)")
+
+    def _staging_dir(self) -> str:
+        import os
+
+        # FIXED name, unlike the batch writer's per-job dir: Spark
+        # reconstructs the stream writer independently on the driver and
+        # on each executor (a per-instance uuid would stage and commit in
+        # DIFFERENT dirs). Task files are uuid-named, so concurrent
+        # queries into one target cannot collide inside it.
+        return os.path.join(self.path, ".stream-staging")
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self._staging_dir(), exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.parquet"
+        writer, n = None, 0
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        os.path.join(self._staging_dir(), fname), batch.schema
+                    )
+                writer.write_table(pa.Table.from_batches([batch]))
+                n += len(batch)
+        finally:
+            if writer is not None:
+                writer.close()
+        return _StagedFileMessage(fname if writer is not None else "", n)
+
+    def _marker(self, batch_id: int) -> str:
+        import os
+
+        return os.path.join(self.path, f"_epoch-{batch_id}")
+
+    def commit(self, messages, batchId):
+        import json
+        import os
+
+        staged = [m.filename for m in messages if m is not None and m.filename]
+        if os.path.exists(self._marker(batchId)):
+            # replayed epoch: visibility already settled — drop duplicates
+            for f in staged:
+                try:
+                    os.remove(os.path.join(self._staging_dir(), f))
+                except OSError:
+                    pass
+            return
+        final = []
+        for f in staged:
+            dst = f"epoch{batchId}-{f}"
+            os.replace(
+                os.path.join(self._staging_dir(), f), os.path.join(self.path, dst)
+            )
+            final.append(dst)
+        tmp = self._marker(batchId) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"batch": batchId, "files": final}, fh)
+        os.replace(tmp, self._marker(batchId))
+
+    def abort(self, messages, batchId):
+        import os
+
+        for m in messages or []:
+            if m is not None and m.filename:
+                try:
+                    os.remove(os.path.join(self._staging_dir(), m.filename))
+                except OSError:
+                    pass
