@@ -976,6 +976,41 @@ def stream_sliding_counts(spark, sf_dir):
 
 
 @ext_query(
+    "stream_cdc_apply",
+    """
+    WITH c AS (
+      SELECT user_id AS key, epoch_us(ts) AS ts_us, event_id,
+             (event_type = 'error') AS is_delete,
+             CAST(FLOOR(value * 100) AS BIGINT) AS value_cents
+      FROM events WHERE ts IS NOT NULL
+    ),
+    w AS (
+      SELECT key, ts_us, event_id, is_delete, value_cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY key ORDER BY ts_us DESC, event_id DESC
+             ) AS rn
+      FROM c
+    )
+    SELECT key AS user_id, value_cents, ts_us AS last_ts_us,
+           event_id AS last_event_id
+    FROM w WHERE rn = 1 AND NOT is_delete
+    """,
+)
+def stream_cdc_apply(spark, sf_dir):
+    """Streaming CDC apply — the write-side streaming shape beside the
+    aggregate drains: the events table replayed as a changelog (user_id
+    keys, 'error' rows are tombstones) and MERGED per micro-batch into a
+    bucket-partitioned snapshot via foreachBatch dynamic partition
+    overwrite (streaming/cdc.py). The per-key winner is a MAX under the
+    total order (ts, event_id) — associative and commutative — so the
+    final snapshot is batch-boundary-independent and replay-idempotent,
+    which is what makes it equal the batch arg-max the oracle states."""
+    from ..streaming.cdc import apply_events_changelog
+
+    return apply_events_changelog(spark, sf_dir)
+
+
+@ext_query(
     "text_vocab_topk",
     """
     WITH tok AS (
@@ -1470,6 +1505,43 @@ def stream_python_datasource(spark, sf_dir):
     finally:
         spark.catalog.dropTempView(qname)
         shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+@ext_query(
+    "src_orc_roundtrip",
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE lang = 'en' AND n_chars >= 120
+    """,
+)
+def src_orc_roundtrip(spark, sf_dir):
+    """ORC source/sink roundtrip — the third columnar format in the source
+    matrix beside parquet and the custom Arrow DataSource: the documents
+    table written as zstd ORC, read back through Spark's native
+    (vectorized) ORC reader with a conjunctive filter + projection. ORC
+    scans carry the same pushdown machinery as parquet (PushedFilters
+    reach the stripe/row-group indexes; the projection prunes columns at
+    the stripe reader), asserted in tests/test_plans.py — so the 100 TB
+    story is format-independent: a warehouse migrating between parquet and
+    ORC keeps every plan shape. The staged copy is eagerly materialized,
+    then the staging dir is released."""
+    import shutil
+    import tempfile
+
+    d = catalog.table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="orc_stage_")
+    try:
+        path = f"{tmp}/documents.orc"
+        d.write.mode("overwrite").option("compression", "zstd").orc(path)
+        out = (
+            spark.read.orc(path)
+            .where((F.col("lang") == "en") & (F.col("n_chars") >= 120))
+            .select("doc_id", "lang", "n_chars")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 
@@ -3025,6 +3097,64 @@ def dedup_components(spark, sf_dir):
     d = _docs(spark, sf_dir, fan_out=True)
     pairs = dedup.minhash_lsh_dedup(d, "doc_id", "text", threshold=0.8)
     return dedup.connected_components(pairs, "id_a", "id_b")
+
+
+def _triangles_oracle() -> str:
+    return f"""
+    WITH {_SQL_SHINGLES.strip()}, {_minhash_sig_sql().strip()},
+    {_lsh_candidates_sql()}, {_SQL_JACCARD_PAIRS.strip()},
+    verified AS (
+      SELECT jp.id_a, jp.id_b
+      FROM jp JOIN cand ON jp.id_a = cand.id_a AND jp.id_b = cand.id_b
+      WHERE jp.jaccard >= 0.8
+    ),
+    edges AS (
+      SELECT DISTINCT LEAST(id_a, id_b) AS a, GREATEST(id_a, id_b) AS b
+      FROM verified WHERE id_a <> id_b
+    ),
+    deg AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS id FROM edges UNION ALL SELECT b FROM edges)
+      GROUP BY 1
+    ),
+    o AS (
+      SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS src,
+             CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS dst,
+             CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS ddst
+      FROM edges e JOIN deg da ON e.a = da.id JOIN deg db ON e.b = db.id
+    ),
+    tri AS (
+      SELECT w.src AS x, w.b, w.c
+      FROM (
+        SELECT e1.src, e1.dst AS b, e1.ddst AS db, e2.dst AS c, e2.ddst AS dc
+        FROM o e1 JOIN o e2 ON e1.src = e2.src
+        WHERE (e1.ddst, e1.dst) < (e2.ddst, e2.dst)
+      ) w JOIN o e3 ON e3.src = w.b AND e3.dst = w.c
+    ),
+    pn AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT x AS id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY 1
+    )
+    SELECT deg.id, CAST(COALESCE(pn.n, 0) AS BIGINT) AS n_triangles
+    FROM deg LEFT JOIN pn ON deg.id = pn.id
+    """
+
+
+@ext_query("graph_triangles", _triangles_oracle())
+def graph_triangles(spark, sf_dir):
+    """Per-node triangle counts over the MinHash-LSH verified near-dup
+    graph — the cluster-cohesion signal beside dedup_components: a
+    pairwise-similar duplicate family is triangle-dense, a chain of
+    borderline matches has none. Degree-oriented wedge closing (out-degree
+    bounded by O(sqrt(m)) under the (degree, id) orientation), so the wedge
+    join never explodes on hot nodes; oracle derives the identical
+    orientation with SQL row-value comparisons."""
+    d = _docs(spark, sf_dir, fan_out=True)
+    pairs = dedup.minhash_lsh_dedup(d, "doc_id", "text", threshold=0.8)
+    return graph.triangle_counts(pairs, "id_a", "id_b")
 
 
 def _dedup_corpus_oracle() -> str:

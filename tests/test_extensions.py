@@ -169,6 +169,30 @@ def test_connected_components_path_and_star(spark):
     assert {got[i] for i in (200, 201)} == {200}
 
 
+def test_triangle_counts_known_graph(spark):
+    """Hand-built graph with known per-node triangle counts: a 4-clique
+    (4 triangles, every member in 3), a triangle sharing one vertex with
+    the clique, a 4-chain (0), and a 5-star hub (0 — the case degree
+    orientation exists for: the hub's wedges must not close)."""
+    from forgottenlandapp_etl_spark.operators import graph
+
+    pairs = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    pairs += [(4, 10), (10, 11), (4, 11)]              # triangle on node 4
+    pairs += [(20, 21), (21, 22), (22, 23)]            # chain: no triangles
+    pairs += [(30, j) for j in (31, 32, 33, 34, 35)]   # star: no triangles
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["id"]: r["n_triangles"] for r in graph.triangle_counts(df).collect()}
+    assert got[1] == got[2] == got[3] == 3
+    assert got[4] == 3 + 1                              # clique + extra triangle
+    assert got[10] == got[11] == 1
+    assert all(got[i] == 0 for i in (20, 21, 22, 23, 30, 31, 32, 33, 34, 35))
+    # every edge-touching node reports, duplicates/reversed edges collapse
+    rev = spark.createDataFrame(
+        [(b, a) for a, b in pairs] + pairs, "id_a long, id_b long"
+    )
+    assert {r["id"]: r["n_triangles"] for r in graph.triangle_counts(rev).collect()} == got
+
+
 def test_kmeans_centroids_contract(spark, sf_dir):
     """MLlib-learned IVF centroids: k centroids of the right width, a
     complete bucket assignment of the corpus, and seed-determinism. (On

@@ -81,6 +81,31 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     assert cols == {"l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"}
 
 
+def test_orc_scan_pushes_filters_and_prunes_columns(spark, sf_dir, tmp_path):
+    """Format-independence of the scan discipline: the same pushdown /
+    pruning assertions the parquet entries gate (PushedFilters reaching the
+    scan, ReadSchema limited to the projection) hold for Spark's native ORC
+    reader — the plan shape src_orc_roundtrip's docstring claims."""
+    from forgottenlandapp_etl_spark import catalog
+
+    path = str(tmp_path / "documents.orc")
+    catalog.table(spark, sf_dir, "documents").write.option(
+        "compression", "zstd"
+    ).orc(path)
+    df = (
+        spark.read.orc(path)
+        .where((F.col("lang") == "en") & (F.col("n_chars") >= 120))
+        .select("doc_id", "lang", "n_chars")
+    )
+    plan = plan_of(df)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "n_chars" in m.group(1) and "lang" in m.group(1), plan[:2000]
+    s = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert s, plan[:2000]
+    cols = {c.split(":")[0] for c in s.group(1).split(",") if c}
+    assert cols == {"doc_id", "lang", "n_chars"}
+
+
 def test_topk_avoids_global_sort(spark, sf_dir):
     plan = plan_of(QUERIES["s4_topk_scan"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan

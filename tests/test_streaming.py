@@ -314,3 +314,44 @@ def test_stream_distinct_hll_registers_match_batch(spark, sf_dir):
     days = sorted(d for d, _ in streamed if d != "ALL")
     assert days and days[0] >= "2024-01-01" and days[-1] <= "2024-12-31"
     assert all(n <= sketches.HLL_M for _, n in streamed)
+
+
+def test_cdc_merge_is_batch_boundary_independent(spark, tmp_path):
+    """The CDC snapshot is a pure function of the changelog SET: slicing it
+    into micro-batches differently, delivering slices out of order, or
+    replaying a slice (at-least-once delivery) all produce the identical
+    snapshot — the property the foreachBatch merge's exactly-once claim
+    rests on. Includes same-timestamp rows (event_id tiebreak) and a key
+    whose delete is later overridden by a re-insert."""
+    from forgottenlandapp_etl_spark.streaming import cdc
+
+    schema = "key long, ts_us long, event_id long, is_delete boolean, value_cents long"
+    rows = [
+        (1, 1000, 1, False, 10),
+        (1, 2000, 2, False, 20),   # key 1 live at 20
+        (2, 1000, 3, False, 30),
+        (2, 3000, 4, True, None),  # key 2 deleted
+        (3, 1000, 5, True, None),
+        (3, 1500, 6, False, 40),   # key 3 re-inserted after delete
+        (4, 5000, 7, False, 50),
+        (4, 5000, 8, False, 60),   # same ts: event_id 8 wins
+        (5, 9000, 9, True, None),  # key 5 only ever a tombstone
+    ]
+
+    def snapshot(slices, name):
+        path = str(tmp_path / name)
+        for s in slices:
+            cdc.merge_batch(spark.createDataFrame(s, schema), path, n_buckets=4)
+        return sorted(
+            map(tuple, spark.read.parquet(path).drop("bucket").collect())
+        )
+
+    one = snapshot([rows], "one")
+    many = snapshot([rows[:3], rows[3:7], rows[7:]], "many")
+    reordered = snapshot([rows[7:], rows[3:7], rows[:3]], "reordered")
+    replayed = snapshot([rows[:5], rows[:5], rows[5:], rows[5:]], "replayed")
+    assert one == many == reordered == replayed
+    live = {r[0]: r[4] for r in one if not r[3]}
+    assert live == {1: 20, 3: 40, 4: 60}
+    tombstones = {r[0] for r in one if r[3]}
+    assert tombstones == {2, 5}
