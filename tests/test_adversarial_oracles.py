@@ -96,6 +96,8 @@ DOC_ONLY_ENTRIES = [
     "pipeline_pack_ffd",
     "text_udtf_chunks",
     "text_span_corruption",
+    "graph_triangles",
+    "src_orc_roundtrip",
 ]
 
 
@@ -263,6 +265,7 @@ EVENTS_ONLY_ENTRIES = [
     "set_union",
     # sql_daily_rollup: register_views registers the FULL catalog (all ten
     # tables) before its spark.sql — cannot run on the events-only dir
+    "stream_cdc_apply",
     "stream_daily_counts",
     "stream_dedup_keys",
     "stream_distinct_hll",
@@ -585,3 +588,48 @@ def test_emb_entry_matches_oracle_on_fuzz_corpus(spark, fuzz_emb_setup, name):
     d, con = fuzz_emb_setup
     compare(QUERIES[name](spark, d), con.execute(ORACLE[name]).fetchdf(),
             name=f"{name}@fuzz-embeddings")
+
+
+def test_cdc_apply_drops_null_event_times(spark, tmp_path):
+    """NULL-ts changelog rows have no place in the (ts, event_id) order:
+    both the Spark plan and the oracle must DROP them — a hazard the shared
+    adversarial corpus can't carry (adding NULL ts there would perturb
+    every other events entry)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "cdc_null_ts"
+    d.mkdir()
+    ts = pa.array(
+        [None, 1706745600000000, 1706745601000000, None, 1706745602000000],
+        pa.timestamp("us"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "ts": ts,
+                "user_id": pa.array([1, 1, 2, 3, 3], pa.int64()),
+                "event_type": pa.array(
+                    ["click", "view", "error", "purchase", "click"], pa.string()
+                ),
+                "value": pa.array([9.9, 1.5, 2.0, 3.0, None], pa.float64()),
+                "props": pa.array([None] * 5, pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    got = QUERIES["stream_cdc_apply"](spark, str(d))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    want = con.execute(ORACLE["stream_cdc_apply"]).fetchdf()
+    con.close()
+    compare(got, want, name="stream_cdc_apply@null-ts")
+    rows = {r["user_id"]: r for r in got.collect()}
+    # user 1: NULL-ts event 1 dropped, view (event 2) wins; user 2's only
+    # timed op is the tombstone (absent); user 3: NULL-ts purchase dropped,
+    # NULL-value click wins and carries a NULL payload
+    assert set(rows) == {1, 3}
+    assert rows[1]["last_event_id"] == 2 and rows[1]["value_cents"] == 150
+    assert rows[3]["last_event_id"] == 5 and rows[3]["value_cents"] is None
