@@ -130,6 +130,11 @@ HEADLINE = [
     "stream_distinct_hll",
     "sketch_quantile_histogram",
     "sketch_kmv_intersection",
+    # round 6c: timeseries gap-fill + locf, DSIR importance selection, and
+    # the CSV interchange edge of the source matrix
+    "agg_time_bucket_gapfill",
+    "pipeline_dsir_select",
+    "src_csv_roundtrip",
 ]
 
 

@@ -1545,6 +1545,168 @@ def src_orc_roundtrip(spark, sf_dir):
     return out
 
 
+_CSV_OPTS = {
+    # Lossless text roundtrip, pinned empirically (tests cover the
+    # adversarial corpus: empty doc, whitespace-only, embedded quotes,
+    # unicode): write-side trimming OFF (Spark's CSV writer trims trailing
+    # whitespace by default), quote doubled as its own escape, a sentinel
+    # for NULL so it never collides with real text, and read-side
+    # emptyValue="" so a quoted empty field comes back as '' not NULL.
+    "header": True,
+    "ignoreLeadingWhiteSpace": False,
+    "ignoreTrailingWhiteSpace": False,
+    "escape": '"',
+    "nullValue": "\\N",
+}
+
+_CSV_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+@ext_query(
+    "src_csv_roundtrip",
+    """
+    SELECT doc_id, lang, n_chars, LENGTH(text) AS text_len
+    FROM documents WHERE lang IN ('en', 'zh') AND n_chars >= 100
+    """,
+)
+def src_csv_roundtrip(spark, sf_dir):
+    """CSV source/sink roundtrip — the interchange format in the source
+    matrix beside parquet / ORC / the Arrow DataSource. The documents
+    table is written with a LOSSLESS option set (see _CSV_OPTS) and read
+    back through Spark's vectorized Univocity reader with an explicit
+    schema (never inferSchema — that's a second full scan), then filtered
+    and projected; text_len proves the text column survived byte-exact,
+    not just the numeric columns. multiLine=true is set on read because a
+    general corpus can embed newlines — the documented 100 TB tradeoff:
+    multiLine CSV is NOT splittable (one task per file), so the writer
+    side of this same roundtrip is the migration path (many moderate
+    files → parallelism by file count), and newline-free corpora should
+    drop the option to regain intra-file splits. Parquet remains the
+    warehouse format; this entry is the ingest/egress edge."""
+    import shutil
+    import tempfile
+
+    d = catalog.table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="csv_stage_")
+    try:
+        path = f"{tmp}/documents.csv"
+        w = d.write.mode("overwrite")
+        for k, v in _CSV_OPTS.items():
+            w = w.option(k, v)
+        w.csv(path)
+        r = spark.read.schema(_CSV_SCHEMA)
+        for k, v in _CSV_OPTS.items():
+            r = r.option(k, v)
+        out = (
+            r.option("multiLine", True)
+            .option("emptyValue", "")
+            .csv(path)
+            .where(F.col("lang").isin("en", "zh") & (F.col("n_chars") >= 100))
+            .select(
+                "doc_id",
+                "lang",
+                "n_chars",
+                F.length("text").alias("text_len"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DSIR data selection (Xie et al. 2023, arXiv:2302.03169)
+# ---------------------------------------------------------------------------
+
+#: hashed-feature dimensionality: small enough that the weight table is a
+#: guaranteed broadcast (128 rows) yet large enough to separate sources;
+#: the paper uses 10k buckets at web scale — a config knob, not a redesign
+_DSIR_BUCKETS = 128
+#: fixed-point scale for the integer-quantized importance weight
+_DSIR_SCALE = 1 << 20
+_DSIR_TOPN = 100
+
+
+def _dsir_oracle() -> str:
+    h = _SQL_TOKEN_HASH.format(col="tok")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    b AS (SELECT doc_id, lang, ({h}) % {_DSIR_BUCKETS} AS bucket FROM toks),
+    w AS (
+      SELECT bucket,
+             (CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1
+                   AS HUGEINT) * {_DSIR_SCALE}) // (COUNT(*) + 1) AS wgt
+      FROM b GROUP BY bucket
+    ),
+    s AS (
+      SELECT b.doc_id, CAST(SUM(w.wgt) AS BIGINT) AS dsir_score
+      FROM b JOIN w USING (bucket) GROUP BY b.doc_id
+    )
+    SELECT d.doc_id, d.lang, s.dsir_score
+    FROM s JOIN documents d USING (doc_id)
+    ORDER BY s.dsir_score DESC, d.doc_id
+    LIMIT {_DSIR_TOPN}
+    """
+
+
+@ext_query("pipeline_dsir_select", _dsir_oracle())
+def pipeline_dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): pick the corpus documents
+    whose hashed-unigram feature distribution is most target-like, where
+    the target is the labeled lang='en' slice. Importance weight per
+    feature bucket = Laplace-smoothed target/corpus count ratio, quantized
+    to integer fixed-point (× 2^20) so the score is hash-exact across
+    engines — no logs, no floats. Because the target is a SUBSET of the
+    corpus, (tgt+1)/(src+1) ≤ 1, so every weight fits in [0, 2^20] and a
+    per-doc score sum can never overflow BIGINT; only the intermediate
+    (tgt+1)×2^20 product is widened to DECIMAL(38,0) (Spark) / HUGEINT
+    (oracle) — the quality_bigram_lm discipline. Two passes by design
+    (DSIR is fit-then-score): pass 1 folds all tokens into a 128-row
+    weight table (one shuffle, map-side combined to ≤128 groups per task);
+    pass 2 re-reads tokens, broadcast-joins the weights, and sums per doc
+    (one shuffle on doc_id) into a top-N TakeOrderedAndProject. At 100 TB
+    nothing here is quadratic or driver-bound: the model IS the 128-row
+    broadcast."""
+    d = _docs(spark, sf_dir, fan_out=True)
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).select(
+        "doc_id",
+        "lang",
+        (dedup.token_hash(F.col("tok")) % _DSIR_BUCKETS).alias("bucket"),
+    )
+    weights = (
+        toks.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("src_cnt"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tgt_cnt"),
+        )
+        .select(
+            "bucket",
+            F.expr(
+                f"(cast(tgt_cnt + 1 as decimal(38,0)) * {_DSIR_SCALE})"
+                " div (src_cnt + 1)"
+            ).alias("wgt"),
+        )
+    )
+    scores = (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("wgt").alias("dsir_score"))
+    )
+    docs = catalog.table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        scores.join(docs, "doc_id")
+        .select("doc_id", "lang", "dsir_score")
+        .orderBy(F.desc("dsir_score"), "doc_id")
+        .limit(_DSIR_TOPN)
+    )
+
+
 def _semantic_dedup_oracle() -> str:
     """SemDeDup oracle: unrolled training → cluster assignment → within-
     cluster integer-L2 edge set → recursive-CTE transitive closure → min-id

@@ -434,6 +434,73 @@ def agg_session_windows(spark, sf_dir):
 
 
 @query(
+    "agg_time_bucket_gapfill",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sv
+      FROM events GROUP BY 1, 2
+    ),
+    cal AS (
+      SELECT event_type,
+             CAST(UNNEST(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY))
+                  AS DATE) AS day
+      FROM daily GROUP BY event_type
+    )
+    SELECT c.event_type, CAST(c.day AS VARCHAR) AS day,
+           COALESCE(d.n, 0) AS n_events,
+           CAST(d.n IS NULL AS INT) AS gap_filled,
+           last_value(d.sv IGNORE NULLS) OVER (
+             PARTITION BY c.event_type ORDER BY c.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+    FROM cal c
+    LEFT JOIN daily d ON c.event_type = d.event_type AND c.day = d.day
+    """,
+)
+def agg_time_bucket_gapfill(spark, sf_dir):
+    """Time-bucket rollup with gap filling + last-observation-carried-
+    forward — the hypertable idiom (TimescaleDB's time_bucket_gapfill /
+    locf) a timeseries warehouse needs that vanilla SQL lacks: days with no
+    events still get a row (n_events = 0, gap_filled = 1) and the daily
+    value sum carries forward across the gap. Expressed as pure DataFrame
+    ops: daily decimal-sum rollup (one shuffle, |keys|×|days| groups), a
+    per-key calendar densified with sequence()+explode — gap generation is
+    KEY-LOCAL, sized by that key's own [min_day, max_day] span, never a
+    global calendar cross-join — a left join back on the same
+    (event_type, day) hash layout, and a bounded running `last(ignorenulls)`
+    window per key. At 100 TB the dense output is |keys| × span-days —
+    linear in keys, independent of event count — and every stage shuffles
+    on the same key, so AQE coalesces the three exchanges into one layout.
+    Leading days before a key's first non-null sum stay NULL in both
+    engines (nothing to carry yet)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("sv")
+    )
+    cal = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("event_type", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cal.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.col("n").isNull().cast("int").alias("gap_filled"),
+            F.last("sv", ignorenulls=True).over(w).alias("value_locf"),
+        )
+    )
+
+
+@query(
     "agg_corr_stats",
     """
     WITH s AS (

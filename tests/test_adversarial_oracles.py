@@ -98,6 +98,8 @@ DOC_ONLY_ENTRIES = [
     "text_span_corruption",
     "graph_triangles",
     "src_orc_roundtrip",
+    "src_csv_roundtrip",
+    "pipeline_dsir_select",
 ]
 
 
@@ -238,6 +240,7 @@ EVENTS_ONLY_ENTRIES = [
     "agg_percentile",
     "agg_pivot",
     "agg_session_windows",
+    "agg_time_bucket_gapfill",
     "c5_try_int",
     "c7_json_extract",
     "c7b_variant_extract",
