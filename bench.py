@@ -135,6 +135,7 @@ HEADLINE = [
     "agg_time_bucket_gapfill",
     "pipeline_dsir_select",
     "src_csv_roundtrip",
+    "sim_ivfpq_topk",
 ]
 
 

@@ -1278,23 +1278,15 @@ def quality_linear_score(spark, sf_dir):
     return classifier.hashed_score(d, "doc_id", "text")
 
 
-def _kmeans_training_sql() -> tuple[str, str]:
-    """Unrolled Lloyd training in pure SQL, shared by the k-means and the
-    learned-IVF oracles — DERIVES the centroids independently from the raw
-    table (nothing Spark-computed is baked in), sharing only the
-    k/rounds/offset constants with the plan. Returns ``(with_body,
-    final_dists)`` where ``with_body`` opens the WITH clause (q/seeds/
-    c0…c{R} plus the final per-(vec,centroid) distance relation) and
-    ``final_dists`` is the name of that last CTE."""
-    from ..operators.similarity import (
-        KMEANS_EXACT_K,
-        KMEANS_EXACT_ROUNDS,
-        KMEANS_U_OFFSET,
-    )
+def _kmeans_q_seeds_sql() -> str:
+    """Opens the WITH clause shared by every exact-k-means oracle: the
+    offset-integer quantized (vec_id, pos, u) relation and the md5-rank
+    seed assignment. Seeds are SUBSPACE-INDEPENDENT (a function of vec_id
+    only), which is exactly why one seeds CTE can serve the coarse
+    quantizer and both PQ codebooks in the IVF-PQ oracle."""
+    from ..operators.similarity import KMEANS_EXACT_K, KMEANS_U_OFFSET
 
-    k = KMEANS_EXACT_K
-    parts = [
-        f"""
+    return f"""
     WITH q AS (
       SELECT vec_id, i - 1 AS pos,
              CAST(floor(GREATEST(-1.0, LEAST(1.0, CAST(embedding[i] AS DOUBLE)))
@@ -1309,44 +1301,76 @@ def _kmeans_training_sql() -> tuple[str, str]:
                                AS BIGINT), vec_id
                ) - 1 AS cidx
         FROM (SELECT DISTINCT vec_id FROM embeddings)
-      ) WHERE cidx < {k}
-    ),
-    c0 AS (SELECT s.cidx, q.pos, q.u AS c FROM seeds s JOIN q USING (vec_id))"""
+      ) WHERE cidx < {KMEANS_EXACT_K}
+    )"""
+
+
+def _kmeans_lloyd_sql(prefix: str = "", pos_where: str = "TRUE") -> tuple[str, str]:
+    """One unrolled Lloyd training over the positions selected by
+    ``pos_where`` (a predicate on q.pos — TRUE for the full vector, a
+    half-split for a PQ subspace), CTE names prefixed so several models
+    compose in one WITH clause. Only c0 (seed materialization) and the
+    m{{r}} floor-means need the position filter: every d{{r}} distance CTE
+    joins q to the model ON pos, which restricts to the model's own
+    positions for free. Returns ``(fragment, final_dists)`` where
+    final_dists holds every (vec_id, cidx, dist) against the FINAL
+    centroids — the relation downstream oracles assign, probe, and (for
+    PQ) use directly as the query-side ADC distance table."""
+    from ..operators.similarity import KMEANS_EXACT_ROUNDS
+
+    p = prefix
+    parts = [
+        f""",
+    {p}c0 AS (
+      SELECT s.cidx, q.pos, q.u AS c FROM seeds s JOIN q USING (vec_id)
+      WHERE {pos_where}
+    )"""
     ]
-    prev = "c0"
+    prev = f"{p}c0"
     for r in range(1, KMEANS_EXACT_ROUNDS + 1):
         parts.append(
             f""",
-    d{r} AS (
+    {p}d{r} AS (
       SELECT q.vec_id, c.cidx, SUM((q.u - c.c) * (q.u - c.c)) AS dist
       FROM q JOIN {prev} c USING (pos) GROUP BY 1, 2
     ),
-    a{r} AS (
+    {p}a{r} AS (
       SELECT vec_id, cidx FROM (
         SELECT vec_id, cidx,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
-        FROM d{r}
+        FROM {p}d{r}
       ) WHERE rn = 1
     ),
-    m{r} AS (
+    {p}m{r} AS (
       SELECT a.cidx, q.pos, CAST(SUM(q.u) // COUNT(*) AS BIGINT) AS c
-      FROM a{r} a JOIN q USING (vec_id) GROUP BY 1, 2
+      FROM {p}a{r} a JOIN q USING (vec_id)
+      WHERE {pos_where} GROUP BY 1, 2
     ),
-    c{r} AS (
+    {p}c{r} AS (
       SELECT p.cidx, p.pos, COALESCE(m.c, p.c) AS c
-      FROM {prev} p LEFT JOIN m{r} m USING (cidx, pos)
+      FROM {prev} p LEFT JOIN {p}m{r} m USING (cidx, pos)
     )"""
         )
-        prev = f"c{r}"
+        prev = f"{p}c{r}"
     fr = KMEANS_EXACT_ROUNDS + 1
     parts.append(
         f""",
-    d{fr} AS (
+    {p}d{fr} AS (
       SELECT q.vec_id, c.cidx, SUM((q.u - c.c) * (q.u - c.c)) AS dist
       FROM q JOIN {prev} c USING (pos) GROUP BY 1, 2
     )"""
     )
-    return "".join(parts), f"d{fr}"
+    return "".join(parts), f"{p}d{fr}"
+
+
+def _kmeans_training_sql() -> tuple[str, str]:
+    """Unrolled Lloyd training in pure SQL, shared by the k-means, the
+    learned-IVF, and the SemDeDup oracles — DERIVES the centroids
+    independently from the raw table (nothing Spark-computed is baked in),
+    sharing only the k/rounds/offset constants with the plan. Returns
+    ``(with_body, final_dists)``."""
+    body, fin = _kmeans_lloyd_sql()
+    return _kmeans_q_seeds_sql() + body, fin
 
 
 def _kmeans_exact_oracle() -> str:
@@ -1403,6 +1427,90 @@ def _ivf_exact_oracle() -> str:
       FROM scored
     ) WHERE rank <= 5"""
     )
+
+
+def _ivfpq_oracle() -> str:
+    """IVF-PQ oracle: replay ALL THREE trainings (coarse quantizer on the
+    full vector, one codebook per subspace half), then assign corpus
+    buckets and PQ codes, probe each query's 2 nearest buckets, and rank
+    candidates by asymmetric distance — which in SQL is just two joins
+    into the subspace final-distance relations: s0d3/s1d3 already hold
+    every (vec, centroid) subspace distance, so the query-side ADC
+    "distance table lookup" is ``t.vec_id = query AND t.cidx = code``."""
+    head = _kmeans_q_seeds_sql()
+    full, dfull = _kmeans_lloyd_sql()
+    half = "(SELECT (MAX(pos) + 1) // 2 FROM q)"
+    s0, d0 = _kmeans_lloyd_sql("s0", f"pos < {half}")
+    s1, d1 = _kmeans_lloyd_sql("s1", f"pos >= {half}")
+    return (
+        head
+        + full
+        + s0
+        + s1
+        + f""",
+    pcorpus AS (
+      SELECT vec_id AS neighbor_id, CAST(cidx AS INT) AS bucket FROM (
+        SELECT vec_id, cidx,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+        FROM {dfull}
+      ) WHERE rn = 1
+    ),
+    pq0 AS (
+      SELECT vec_id, cidx AS code FROM (
+        SELECT vec_id, cidx,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+        FROM {d0}
+      ) WHERE rn = 1
+    ),
+    pq1 AS (
+      SELECT vec_id, cidx AS code FROM (
+        SELECT vec_id, cidx,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+        FROM {d1}
+      ) WHERE rn = 1
+    ),
+    pprobes AS (
+      SELECT vec_id AS query_id, CAST(cidx AS INT) AS bucket FROM (
+        SELECT vec_id, cidx,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+        FROM {dfull} WHERE vec_id % 50 = 0
+      ) WHERE rn <= 2
+    ),
+    pscored AS (
+      SELECT p.query_id, c.bucket, c.neighbor_id,
+             CAST(t0.dist + t1.dist AS BIGINT) AS adc_dist
+      FROM pprobes p
+      JOIN pcorpus c USING (bucket)
+      JOIN pq0 n0 ON n0.vec_id = c.neighbor_id
+      JOIN pq1 n1 ON n1.vec_id = c.neighbor_id
+      JOIN {d0} t0 ON t0.vec_id = p.query_id AND t0.cidx = n0.code
+      JOIN {d1} t1 ON t1.vec_id = p.query_id AND t1.cidx = n1.code
+      WHERE c.neighbor_id <> p.query_id
+    )
+    SELECT query_id, bucket, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+      FROM pscored
+    ) WHERE rank <= 5"""
+    )
+
+
+@ext_query("sim_ivfpq_topk", _ivfpq_oracle())
+def sim_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN — the FAISS production index shape (coarse quantizer
+    routes candidates, product-quantization codes rank them by asymmetric
+    distance) with all THREE trained models in the exact-integer domain,
+    so the end-to-end ANN result hash-matches an independently derived SQL
+    replay. The serving index stores ~3 small ints per corpus vector
+    (bucket, code0, code1) — at 100 TB the hot path never touches the full
+    vectors: encode is one narrow zero-shuffle scan, queries broadcast
+    their k-entry distance tables, ADC is two array lookups per candidate.
+    See operators/similarity.py:ivfpq_topk for the per-stage shape."""
+    from ..operators import similarity
+
+    e = catalog.table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(e, "embedding", "vec_id")
 
 
 @ext_query("emb_kmeans_exact", _kmeans_exact_oracle())

@@ -371,6 +371,7 @@ EMB_ONLY_ENTRIES = [
     "emb_centroid_per_label",
     "emb_kmeans_exact",
     "sim_ivf_exact_topk",
+    "sim_ivfpq_topk",
     "dedup_semantic",
 ]
 

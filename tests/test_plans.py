@@ -416,6 +416,25 @@ def test_ivf_exact_plan_shape(spark, sf_dir):
     assert wide == [], wide
 
 
+def test_ivfpq_plan_shape(spark, sf_dir):
+    """sim_ivfpq_topk serves the same candidate shape as the exact IVF —
+    broadcast equi-join on the coarse bucket, no cartesian — and its ADC
+    stage must stay row-local: no extra exchange beyond the per-query rank
+    window (the distance tables travel INSIDE the broadcast rows as
+    arrays, never as a joined relation)."""
+    plan = plan_of(QUERIES["sim_ivfpq_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    wide = [
+        e
+        for e in re.findall(r"Exchange [^\n]*", plan)
+        if "SinglePartition" in e or "rangepartitioning" in e
+    ]
+    assert wide == [], wide
+
+
 def test_semantic_dedup_plan_shape(spark, sf_dir):
     """dedup_semantic's served plan: no cartesian product, no join of the
     corpus against itself on the k cluster keys (the pair stage is one
