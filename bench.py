@@ -133,6 +133,7 @@ HEADLINE = [
     # round 6c: timeseries gap-fill + locf, DSIR importance selection, and
     # the CSV interchange edge of the source matrix
     "agg_time_bucket_gapfill",
+    "agg_time_bucket_interp",
     "pipeline_dsir_select",
     "src_csv_roundtrip",
     "sim_ivfpq_topk",

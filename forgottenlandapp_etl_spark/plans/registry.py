@@ -136,7 +136,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # multi-round green): swap out j2_enrichment_join / j3_accumulating_merge /
 # text_lang_id-class entries for never-windowed hard rows — strongest:
 # dedup_semantic (SemDeDup end-to-end incl. recursive-closure oracle, new
-# r6), the exact-integer sketch family (sketch_hll_exact_daily_merge /
+# r6), sim_ivfpq_topk (IVF-PQ with three replayed trainings, new r6c),
+# pipeline_dsir_select / agg_time_bucket_gapfill / stream_cdc_apply (new
+# r6c), the exact-integer sketch family (sketch_hll_exact_daily_merge /
 # stream_distinct_hll / sketch_quantile_histogram /
 # sketch_kmv_intersection, new r6b), stream_python_datasource /
 # src_python_datasource (the custom source tier, new r6),

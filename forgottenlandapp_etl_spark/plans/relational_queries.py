@@ -501,6 +501,111 @@ def agg_time_bucket_gapfill(spark, sf_dir):
 
 
 @query(
+    "agg_time_bucket_interp",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,2))) * 100 AS BIGINT) AS svc
+      FROM events GROUP BY 1, 2
+    ),
+    cal AS (
+      SELECT event_type,
+             CAST(UNNEST(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY))
+                  AS DATE) AS day
+      FROM daily GROUP BY event_type
+    ),
+    j AS (
+      SELECT c.event_type, c.day, COALESCE(d.n, 0) AS n_events, d.svc,
+             last_value(d.svc IGNORE NULLS) OVER wp AS pc,
+             last_value(CASE WHEN d.svc IS NOT NULL THEN c.day END IGNORE NULLS)
+               OVER wp AS pd,
+             first_value(d.svc IGNORE NULLS) OVER wn AS nc,
+             first_value(CASE WHEN d.svc IS NOT NULL THEN c.day END IGNORE NULLS)
+               OVER wn AS nd
+      FROM cal c
+      LEFT JOIN daily d ON c.event_type = d.event_type AND c.day = d.day
+      WINDOW wp AS (PARTITION BY c.event_type ORDER BY c.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY c.event_type ORDER BY c.day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day, n_events,
+           CASE
+             WHEN svc IS NOT NULL THEN CAST(svc AS DOUBLE) / 100.0
+             WHEN pc IS NOT NULL AND nc IS NOT NULL THEN
+               CAST(pc * (nd - day) + nc * (day - pd) AS DOUBLE)
+                 / (CAST(nd - pd AS DOUBLE) * 100.0)
+             ELSE NULL
+           END AS value_interp
+    FROM j
+    """,
+)
+def agg_time_bucket_interp(spark, sf_dir):
+    """Gap-fill with LINEAR INTERPOLATION — agg_time_bucket_gapfill's
+    locf sibling (TimescaleDB's ``interpolate()``): a missing day's value
+    is the time-weighted blend of the nearest observed days on either
+    side; leading/trailing gaps (no bracketing observation) stay NULL.
+    Determinism discipline: daily sums stay exact integers (decimal cents)
+    through BOTH windows, and the single blend division runs in IEEE
+    double over those exact integers — one correctly-rounded operation,
+    bit-identical cross-engine (the corr-stats rule: never SUM in float,
+    but one float division of exact operands is safe). Days whose events
+    are all NULL-valued count as UNOBSERVED (the sum is NULL), matching
+    the oracle's IGNORE NULLS carry on both sides. Same 100 TB shape as
+    the locf form: key-local calendars, every stage on one
+    (event_type, day) hash layout, forward and backward frames sharing a
+    single per-key sort."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("value").cast("decimal(38,2)")) * 100)
+        .cast("long")
+        .alias("svc"),
+    )
+    cal = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("event_type", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("svc").isNotNull(), F.col("day"))
+    j = (
+        cal.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            "svc",
+            F.last("svc", ignorenulls=True).over(wp).alias("pc"),
+            F.last(obs_day, ignorenulls=True).over(wp).alias("pd"),
+            F.first("svc", ignorenulls=True).over(wn).alias("nc"),
+            F.first(obs_day, ignorenulls=True).over(wn).alias("nd"),
+        )
+    )
+    blend = (
+        F.col("pc") * F.datediff("nd", "day") + F.col("nc") * F.datediff("day", "pd")
+    ).cast("double") / (F.datediff("nd", "pd").cast("double") * 100.0)
+    return j.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "n_events",
+        F.when(F.col("svc").isNotNull(), F.col("svc").cast("double") / 100.0)
+        .when(F.col("pc").isNotNull() & F.col("nc").isNotNull(), blend)
+        .alias("value_interp"),
+    )
+
+
+@query(
     "agg_corr_stats",
     """
     WITH s AS (

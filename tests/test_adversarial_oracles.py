@@ -241,6 +241,7 @@ EVENTS_ONLY_ENTRIES = [
     "agg_pivot",
     "agg_session_windows",
     "agg_time_bucket_gapfill",
+    "agg_time_bucket_interp",
     "c5_try_int",
     "c7_json_extract",
     "c7b_variant_extract",
@@ -292,6 +293,44 @@ def test_events_entry_matches_oracle_on_adversarial_corpus(
     got = QUERIES[name](spark, adv_events_dir)
     want = adv_events_con.execute(ORACLE[name]).fetchdf()
     compare(got, want, name=f"{name}@adversarial-events")
+
+
+def test_gapfill_and_interp_branches_fire_on_gaps(spark, adv_events_dir):
+    """The sf fixtures are gap-FREE (every (event_type, day) observed), so
+    their hash-PASS proves only the observed branch. This corpus has real
+    per-type day gaps; assert the fill branches actually execute: zero-
+    filled rows exist, locf carries a value across them, and at least one
+    gap day gets a bracketed linear interpolation strictly between its
+    neighbors' daily sums."""
+    gf = {
+        (r["event_type"], r["day"]): r
+        for r in QUERIES["agg_time_bucket_gapfill"](spark, adv_events_dir).collect()
+    }
+    gaps = [r for r in gf.values() if r["gap_filled"] == 1]
+    assert gaps, "adversarial corpus must contain per-type day gaps"
+    assert all(r["n_events"] == 0 for r in gaps)
+    assert any(r["value_locf"] is not None for r in gaps), "locf never carried"
+    it = {
+        (r["event_type"], r["day"]): r
+        for r in QUERIES["agg_time_bucket_interp"](spark, adv_events_dir).collect()
+    }
+    assert set(it) == set(gf), "both fills densify the identical calendar"
+    bracketed = [
+        r
+        for k, r in it.items()
+        if gf[k]["gap_filled"] == 1 and r["value_interp"] is not None
+    ]
+    assert bracketed, "no gap day had observations on both sides"
+    # clicks have a known ladder: interpolated values sit within the
+    # per-type observed min/max envelope (linear blends cannot overshoot)
+    by_type: dict = {}
+    for k, r in it.items():
+        if gf[k]["gap_filled"] == 0 and r["value_interp"] is not None:
+            lo, hi = by_type.get(k[0], (float("inf"), float("-inf")))
+            by_type[k[0]] = (min(lo, r["value_interp"]), max(hi, r["value_interp"]))
+    for r in bracketed:
+        lo, hi = by_type[r["event_type"]]
+        assert lo <= r["value_interp"] <= hi
 
 
 # ---------------------------------------------------------------------------
