@@ -137,6 +137,8 @@ HEADLINE = [
     "pipeline_dsir_select",
     "src_csv_roundtrip",
     "sim_ivfpq_topk",
+    "agg_funnel_steps",
+    "agg_retention_cohorts",
 ]
 
 

@@ -501,6 +501,160 @@ def agg_time_bucket_gapfill(spark, sf_dir):
 
 
 @query(
+    "agg_funnel_steps",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is1,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is2,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is3
+      FROM events
+    ),
+    s1 AS (
+      SELECT *, MAX(is1) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS r1,
+             COALESCE(MAX(is1) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS r1_prior
+      FROM o
+    ),
+    s2 AS (
+      SELECT *, MAX(CASE WHEN is2 = 1 AND r1_prior = 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS r2,
+             COALESCE(MAX(CASE WHEN is2 = 1 AND r1_prior = 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS r2_prior
+      FROM s1
+    ),
+    s3 AS (
+      SELECT *, MAX(CASE WHEN is3 = 1 AND r2_prior = 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS r3
+      FROM s2
+    ),
+    per_user AS (
+      SELECT user_id, MAX(r1) AS f1, MAX(r2) AS f2, MAX(r3) AS f3 FROM s3
+      GROUP BY user_id
+    )
+    SELECT step, users FROM (
+      SELECT 1 AS ord, 'view' AS step, CAST(SUM(f1) AS BIGINT) AS users
+      FROM per_user
+      UNION ALL
+      SELECT 2, 'view>click', CAST(SUM(f2) AS BIGINT) FROM per_user
+      UNION ALL
+      SELECT 3, 'view>click>purchase', CAST(SUM(f3) AS BIGINT) FROM per_user
+    ) ORDER BY ord
+    """,
+)
+def agg_funnel_steps(spark, sf_dir):
+    """Ordered-event funnel — how many users progress view → click →
+    purchase with each step STRICTLY after the previous one in the
+    (ts, event_id) order (the unique-tiebreaker rule: same-timestamp rows
+    resolve identically in both engines). Implemented as three stacked
+    running-max windows over ONE per-user sort: r1 marks "a view has
+    happened", a click converts only where the PRIOR-row running max
+    already shows a view (frame … AND 1 PRECEDING — a click sharing a
+    row-order position with its view does not count), and purchase
+    likewise chains off r2. One shuffle on user_id; Spark executes all
+    three levels in a single Window stage because partition key and sort
+    order never change; the final per-user flags collapse in a tiny
+    partial-aggregated reduction. At 100 TB funnels over billions of
+    events are exactly this shape — never a self-join per step (the
+    3-way join formulation is quadratic in step count and skew-fragile)."""
+    ev = _t(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prior = wseq.rowsBetween(Window.unboundedPreceding, -1)
+    is1 = F.when(F.col("event_type") == "view", 1).otherwise(0)
+    is2 = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    is3 = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    s1 = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        is2.alias("is2"),
+        is3.alias("is3"),
+        F.max(is1).over(run).alias("r1"),
+        F.coalesce(F.max(is1).over(prior), F.lit(0)).alias("r1_prior"),
+    )
+    hit2 = F.when((F.col("is2") == 1) & (F.col("r1_prior") == 1), 1).otherwise(0)
+    s2 = s1.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "is3",
+        "r1",
+        F.max(hit2).over(run).alias("r2"),
+        F.coalesce(F.max(hit2).over(prior), F.lit(0)).alias("r2_prior"),
+    )
+    hit3 = F.when((F.col("is3") == 1) & (F.col("r2_prior") == 1), 1).otherwise(0)
+    s3 = s2.select("user_id", "r1", "r2", F.max(hit3).over(run).alias("r3"))
+    per_user = s3.groupBy("user_id").agg(
+        F.max("r1").alias("f1"), F.max("r2").alias("f2"), F.max("r3").alias("f3")
+    )
+    steps = per_user.agg(
+        F.sum("f1").alias("u1"), F.sum("f2").alias("u2"), F.sum("f3").alias("u3")
+    )
+    return steps.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("view").alias("step"), F.col("u1").alias("users")),
+                F.struct(
+                    F.lit("view>click").alias("step"), F.col("u2").alias("users")
+                ),
+                F.struct(
+                    F.lit("view>click>purchase").alias("step"),
+                    F.col("u3").alias("users"),
+                ),
+            )
+        ).alias("s")
+    ).select(F.col("s.step").alias("step"), F.col("s.users").alias("users"))
+
+
+@query(
+    "agg_retention_cohorts",
+    """
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+    )
+    SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(a.day - c.cohort_day AS INT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM activity a JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def agg_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix — users grouped by their first-active day,
+    counted on each later day they return (the product-analytics staple).
+    Shape: one distinct-collapse of (user, day) activity, a per-user MIN
+    reduction, a self-enrichment join on user_id (same hash layout — AQE
+    plans it shuffle-free after the groupBys), and the final
+    (cohort, offset) count. Every stage keys on user_id until the last
+    small aggregate, so a 100 TB event stream reduces immediately to
+    |users|×|active-days| and then to a |days|² matrix — the output is
+    bounded by the calendar, not the data."""
+    ev = _t(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).dropDuplicates(["user_id", "day"])
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.datediff("day", "cohort_day").cast("int").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+@query(
     "agg_time_bucket_interp",
     """
     WITH daily AS (

@@ -236,9 +236,11 @@ EVENTS_ONLY_ENTRIES = [
     "agg_array_agg_sorted",
     "agg_corr_stats",
     "agg_distinct_count",
+    "agg_funnel_steps",
     "agg_mode",
     "agg_percentile",
     "agg_pivot",
+    "agg_retention_cohorts",
     "agg_session_windows",
     "agg_time_bucket_gapfill",
     "agg_time_bucket_interp",
