@@ -1510,7 +1510,10 @@ def sim_ivfpq_topk(spark, sf_dir):
     from ..operators import similarity
 
     e = catalog.table(spark, sf_dir, "embeddings")
-    return similarity.ivfpq_topk(e, "embedding", "vec_id")
+    return similarity.ivfpq_topk(
+        e, "embedding", "vec_id",
+        corpus_rows=_parquet_rows(sf_dir, "embeddings"),
+    )
 
 
 @ext_query("emb_kmeans_exact", _kmeans_exact_oracle())
@@ -1529,7 +1532,10 @@ def emb_kmeans_exact(spark, sf_dir):
     from ..operators import similarity
 
     e = catalog.table(spark, sf_dir, "embeddings")
-    return similarity.kmeans_exact_assign(e, "embedding", "vec_id")
+    return similarity.kmeans_exact_assign(
+        e, "embedding", "vec_id",
+        corpus_rows=_parquet_rows(sf_dir, "embeddings"),
+    )
 
 
 @ext_query(
@@ -1878,7 +1884,10 @@ def dedup_semantic(spark, sf_dir):
     from ..operators import similarity
 
     e = catalog.table(spark, sf_dir, "embeddings")
-    return similarity.semantic_dedup(e, "embedding", "vec_id")
+    return similarity.semantic_dedup(
+        e, "embedding", "vec_id",
+        corpus_rows=_parquet_rows(sf_dir, "embeddings"),
+    )
 
 
 @ext_query("sim_ivf_exact_topk", _ivf_exact_oracle())
@@ -1897,7 +1906,10 @@ def sim_ivf_exact_topk(spark, sf_dir):
     from ..operators import similarity
 
     e = catalog.table(spark, sf_dir, "embeddings")
-    return similarity.ivf_exact_topk(e, "embedding", "vec_id")
+    return similarity.ivf_exact_topk(
+        e, "embedding", "vec_id",
+        corpus_rows=_parquet_rows(sf_dir, "embeddings"),
+    )
 
 
 def _curriculum_oracle() -> str:
