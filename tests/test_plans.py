@@ -509,3 +509,58 @@ def test_sketch_family_plan_shapes(spark, sf_dir):
         plan_of(QUERIES["sketch_quantile_histogram"](spark, sf_dir)),
         "sketch_quantile_histogram entry",
     )
+
+
+def test_runtime_bloom_filter_prunes_big_big_join(spark, sf_dir):
+    """Big-big joins where neither side broadcasts are the 100 TB shuffle
+    that hurts most; Spark's runtime row-level filtering builds a Bloom
+    filter from the SELECTIVE side's join keys and applies
+    might_contain() on the other side BEFORE its shuffle, pruning rows
+    that cannot match. Assert the engine's conf surface actually injects
+    it on our fact tables: a selective orders slice joined to lineitem
+    must show bloom_filter_agg on the creation side and a might_contain
+    filter on the lineitem scan branch. Thresholds are lowered only
+    because the fixture is small (production defaults gate on a 10 GB
+    application-side scan — exactly the big-big regime); broadcast is
+    disabled to force the shuffle join the feature exists for."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        sel = o.where(F.col("o_totalprice") > 150000)
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey).groupBy().count()
+        plan = plan_of(j)
+        assert "bloom_filter_agg" in plan, "no bloom filter built"
+        assert "might_contain" in plan, "fact side not pruned"
+        # the pruning filter must sit on the LINEITEM branch (application
+        # side), keyed on l_orderkey
+        mc_lines = [ln for ln in plan.splitlines() if "might_contain" in ln]
+        assert any("l_orderkey" in ln for ln in mc_lines), mc_lines
+        # and the join result is unchanged by the filter (it only removes
+        # rows that cannot match)
+        n_with = j.collect()[0][0]
+        for k in confs:
+            if saved[k] is not None:
+                spark.conf.set(k, saved[k])
+            else:
+                spark.conf.unset(k)
+        n_without = (
+            li.join(sel, li.l_orderkey == sel.o_orderkey).groupBy().count().collect()
+        )[0][0]
+        assert n_with == n_without
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
