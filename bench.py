@@ -139,6 +139,7 @@ HEADLINE = [
     "sim_ivfpq_topk",
     "agg_funnel_steps",
     "agg_retention_cohorts",
+    "dedup_containment",
 ]
 
 

@@ -186,6 +186,77 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @ext_query(
+    "dedup_containment",
+    f"""
+    WITH {_SQL_SHINGLES.strip().rstrip()}, {_SQL_JACCARD_PAIRS.strip()}
+    SELECT src_id, dst_id, CAST(common AS BIGINT) AS common,
+           CAST(n_src AS BIGINT) AS n_src, containment
+    FROM (
+      SELECT id_a AS src_id, id_b AS dst_id, common, na AS n_src,
+             CAST(common AS DOUBLE) / na AS containment FROM jp
+      UNION ALL
+      SELECT id_b, id_a, common, nb,
+             CAST(common AS DOUBLE) / nb AS containment FROM jp
+    ) WHERE containment >= 0.8
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """DIRECTIONAL shingle containment — |A∩B| / |A| ≥ 0.8 over 3-gram
+    sets — the asymmetric near-dup metric Jaccard cannot express: a short
+    document quoted or boilerplated inside a long one scores near-1
+    containment (src→dst) while its Jaccard stays low, so this is the
+    tier that catches quote extraction, boilerplate wrappers, and
+    subset-republication. One symmetric pair pass (the same
+    bucket-limited shingle equi-join and integer intersection counts as
+    the Jaccard tier — shingle relation persisted once for its three
+    consumers), then each unordered pair fans out to its two directions
+    row-locally; the single division of exact integers is bit-stable
+    cross-engine. Same scale posture as dedup_ngram_jaccard: the exact
+    ground-truth tier (quadratic within shingle buckets BY DESIGN,
+    SCALE.md rule 6) — the LSH tier remains the candidate generator at
+    100 TB, and containment verification there is this same expression
+    over candidate pairs only."""
+    from pyspark import StorageLevel
+
+    d = _docs(spark, sf_dir, fan_out=True)
+    sh = dedup.shingles(d, "doc_id", "text", n=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    jp = dedup.jaccard_pairs(sh, "doc_id", threshold=0.0)
+    directed = jp.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src_id"),
+                    F.col("id_b").alias("dst_id"),
+                    F.col("common").alias("common"),
+                    F.col("na").alias("n_src"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src_id"),
+                    F.col("id_a").alias("dst_id"),
+                    F.col("common").alias("common"),
+                    F.col("nb").alias("n_src"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.src_id", "p.dst_id", "p.common", "p.n_src")
+    return (
+        directed.withColumn(
+            "containment", F.col("common").cast("double") / F.col("n_src")
+        )
+        .where(F.col("containment") >= 0.8)
+        .select(
+            "src_id",
+            "dst_id",
+            F.col("common").cast("long").alias("common"),
+            F.col("n_src").cast("long").alias("n_src"),
+            "containment",
+        )
+    )
+
+
+@ext_query(
     "dedup_levenshtein",
     f"""
     WITH d AS (

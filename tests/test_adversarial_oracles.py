@@ -58,6 +58,7 @@ DOC_ONLY_ENTRIES = [
     "dedup_substring",
     "dedup_substring_trim",
     "dedup_minhash_lsh",
+    "dedup_containment",
     "dedup_components",
     "text_stats",
     "text_quality",
@@ -678,3 +679,37 @@ def test_cdc_apply_drops_null_event_times(spark, tmp_path):
     assert set(rows) == {1, 3}
     assert rows[1]["last_event_id"] == 2 and rows[1]["value_cents"] == 150
     assert rows[3]["last_event_id"] == 5 and rows[3]["value_cents"] is None
+
+
+def test_containment_catches_subset_docs_jaccard_misses(spark, tmp_path):
+    """The directional tier's reason to exist: a short document fully
+    quoted inside a much longer one has containment(short→long) = 1.0
+    while its Jaccard stays far below the 0.8 near-dup cut — so the
+    symmetric tier misses the pair entirely and the containment tier
+    reports exactly the quoted direction."""
+    import duckdb
+
+    quoted = "alpha beta gamma delta epsilon"
+    host = quoted + " " + " ".join(f"filler{i}" for i in range(40))
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [quoted, host, "wholly unrelated content here now"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(quoted), len(host), 33],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    d = str(tmp_path)
+    got = {(r["src_id"], r["dst_id"]): r for r in
+           QUERIES["dedup_containment"](spark, d).collect()}
+    assert (1, 2) in got and got[(1, 2)]["containment"] == 1.0
+    assert (2, 1) not in got  # host is NOT contained in the quote
+    jac = QUERIES["dedup_ngram_jaccard"](spark, d).collect()
+    assert not jac, "Jaccard >= 0.8 must NOT fire on the quoted pair"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    compare(QUERIES["dedup_containment"](spark, d),
+            con.execute(ORACLE["dedup_containment"]).fetchdf(),
+            name="dedup_containment@subset")
+    con.close()
