@@ -713,3 +713,58 @@ def test_containment_catches_subset_docs_jaccard_misses(spark, tmp_path):
             con.execute(ORACLE["dedup_containment"]).fetchdf(),
             name="dedup_containment@subset")
     con.close()
+
+
+def test_funnel_strict_ordering_semantics(spark, tmp_path):
+    """Pin the funnel's order rule by value: a step counts only when it
+    sits strictly AFTER the previous step in the (ts, event_id) order —
+    so a click sharing a timestamp with its view converts only if its
+    event_id is higher, and a click that precedes the user's first view
+    never converts."""
+    import datetime as dt
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        # user 1: view then click at the SAME ts, click has higher eid ->
+        # converts (row order breaks the tie); then purchase -> full funnel
+        (1, t0, 1, "view"), (2, t0, 1, "click"),
+        (3, t0 + dt.timedelta(minutes=1), 1, "purchase"),
+        # user 2: click BEFORE any view -> step 2 never fires even though
+        # both event types exist
+        (4, t0, 2, "click"), (5, t0 + dt.timedelta(minutes=1), 2, "view"),
+        # user 3: same-ts pair but the VIEW has the higher event_id ->
+        # the click sits before it in row order and must NOT convert
+        (6, t0, 3, "click"), (7, t0, 3, "view"),
+        # user 4: view -> purchase -> click: the click converts step 2
+        # (a view precedes it) but the purchase precedes the click in row
+        # order, so step 3 must NOT fire
+        (8, t0, 4, "view"), (9, t0 + dt.timedelta(minutes=1), 4, "purchase"),
+        (10, t0 + dt.timedelta(minutes=2), 4, "click"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array([None] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    d = str(tmp_path)
+    got = {r["step"]: r["users"] for r in QUERIES["agg_funnel_steps"](spark, d).collect()}
+    # users 1,2,3,4 all viewed; users 1 and 4 clicked after a view; only
+    # user 1 purchased after such a click
+    assert got == {"view": 4, "view>click": 2, "view>click>purchase": 1}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    compare(QUERIES["agg_funnel_steps"](spark, d),
+            con.execute(ORACLE["agg_funnel_steps"]).fetchdf(),
+            name="agg_funnel_steps@strictness")
+    con.close()
