@@ -294,3 +294,130 @@ def pagerank_fixed_point(
             "id", F.coalesce(F.col("r_active"), F.lit(base)).cast("long").alias("rank_fp")
         )
     )
+
+
+# k-core peeling: the shared round bound between the Spark loop and the
+# generated DuckDB oracle (which unrolls exactly this many peel rounds and
+# reads the final one — a fixpoint is stable, so any earlier convergence
+# yields the identical set). Peeling converges in at most |V| rounds; 40
+# covers every graph whose longest "peel chain" is shorter than that, and
+# the Spark loop RAISES past the bound rather than silently returning a
+# partially peeled (oracle-divergent) subgraph.
+KCORE_MAX_ROUNDS = 40
+
+
+def _kcore_single_task(edges: DataFrame, k: int) -> DataFrame:
+    """All-rounds-in-one-task tier: iterative peeling with numpy bincount
+    inside a single applyInPandas group — the graph-family analogue of
+    `_pagerank_single_task` for MEASURED-small graphs, where one peel
+    round as a distributed join-agg would cost ~0.65 s of pure task
+    scheduling. Exactness: peeling's fixpoint is unique (the maximal
+    subgraph with min degree >= k), so tier choice can never change the
+    answer."""
+    import pandas as pd
+
+    def solve(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        src = pdf["src"].to_numpy()
+        dst = pdf["dst"].to_numpy()
+        ids = np.unique(np.concatenate([src, dst]))
+        pos = {int(v): i for i, v in enumerate(ids)}
+        si = np.fromiter((pos[int(v)] for v in src), np.int64, len(src))
+        di = np.fromiter((pos[int(v)] for v in dst), np.int64, len(dst))
+        alive = np.ones(len(ids), dtype=bool)
+        for _ in range(KCORE_MAX_ROUNDS):
+            live_edge = alive[si] & alive[di]
+            deg = np.bincount(si[live_edge], minlength=len(ids))
+            new_alive = alive & (deg >= k)
+            if (new_alive == alive).all():
+                break
+            alive = new_alive
+        else:
+            raise RuntimeError(f"k-core did not converge in {KCORE_MAX_ROUNDS} rounds")
+        live_edge = alive[si] & alive[di]
+        deg = np.bincount(si[live_edge], minlength=len(ids))
+        keep = alive & (deg > 0)
+        return pd.DataFrame(
+            {"id": ids[keep].astype(np.int64), "core_degree": deg[keep].astype(np.int64)}
+        )
+
+    return (
+        edges.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(solve, schema="id long, core_degree long")
+    )
+
+
+def kcore(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    k: int = 2,
+) -> DataFrame:
+    """Maximal k-core of an undirected pair graph: (id, core_degree) for
+    every node that survives iterative peeling — repeatedly delete nodes
+    whose degree within the surviving subgraph is < k until none remain.
+    core_degree is the node's degree INSIDE the final core.
+
+    Corpus-hygiene reading (beside triangle_counts): the 2-core of a
+    near-dup graph strips the chain-of-borderline-matches appendages —
+    pendant docs attached to a cluster by a single marginal pair — leaving
+    only nodes held by at least two independent similarity witnesses. The
+    fixpoint is UNIQUE (the union of subgraphs with min degree >= k is
+    itself one), so the result is order- and tier-independent, which is
+    what makes a hash-exact cross-engine oracle possible.
+
+    Scale shape: each peel round is one hash aggregate (degree count over
+    src) plus two semi-joins of the edge list against the surviving node
+    set — all partitioned on the same keys, with the edge relation
+    materialized ONCE and only the (shrinking) alive set moving per round.
+    Rounds needed = the graph's peel depth, typically << 10 for near-dup
+    graphs; convergence is a per-round count probe (an iterative algorithm
+    is the one place per-round actions are the design). Measured-small
+    graphs (<= SMALL_GRAPH_EDGES) run every round inside one Arrow task
+    instead — the r3-verdict two-tier discipline."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    if n_edges <= SMALL_GRAPH_EDGES:
+        return _kcore_single_task(edges, k)
+    par = edges.sparkSession.sparkContext.defaultParallelism
+    nparts = max(1, min(par, -(-n_edges // 100_000)))
+    if nparts < edges.rdd.getNumPartitions():
+        edges = edges.coalesce(nparts)
+    alive = edges.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    prev = alive.count()
+    deg = None
+    for _ in range(KCORE_MAX_ROUNDS):
+        # degree within the surviving subgraph: restrict both endpoints to
+        # the alive set (two hash semi-joins on the edge layout), then one
+        # map-side-combinable count per src
+        deg = (
+            edges.join(alive.withColumnRenamed("id", "src"), on="src", how="leftsemi")
+            .join(alive.withColumnRenamed("id", "dst"), on="dst", how="leftsemi")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+        )
+        new_alive = (
+            deg.filter(F.col("core_degree") >= k)
+            .select(F.col("src").alias("id"))
+            .localCheckpoint(eager=True)
+        )
+        n = new_alive.count()
+        alive = new_alive
+        if n == prev:
+            return deg.filter(F.col("core_degree") >= k).select(
+                F.col("src").alias("id"), "core_degree"
+            )
+        if n == 0:
+            # empty k-core: return the empty (id, core_degree) shape
+            return deg.filter(F.lit(False)).select(
+                F.col("src").alias("id"), "core_degree"
+            )
+        prev = n
+    raise RuntimeError(f"k-core did not converge in {KCORE_MAX_ROUNDS} rounds")

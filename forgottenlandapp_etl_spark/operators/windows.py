@@ -68,3 +68,63 @@ def multikey_sort(df: DataFrame, *cols: Column) -> DataFrame:
     never depend on physical row order.
     """
     return df.orderBy(*cols)
+
+
+# EWMA fixed-point smoothing factor: alpha = EWMA_NUM / EWMA_DEN. Shared
+# with the generated DuckDB oracle (recursive-CTE fold over the identical
+# recurrence) — one source of truth, same discipline as graph.PR_SCALE.
+EWMA_NUM = 1
+EWMA_DEN = 4
+
+
+def ewma_int(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    x_col: str,
+    out_col: str = "ewma_fp",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average as an ORDERED INTEGER
+    FOLD: v_1 = x_1, v_t = (EWMA_NUM·x_t + (EWMA_DEN−EWMA_NUM)·v_{t−1})
+    div EWMA_DEN, returning (key, rn, x, ewma_fp) for every input row.
+
+    Why a fold and not a window expression: the floor division INSIDE each
+    step makes the recurrence non-linear, so there is no closed-form
+    window/`aggregate()` expression — this is the honest shape of any
+    stateful per-key smoother (EWMA, Kalman-style filters, token-bucket
+    accounting). It runs as applyInPandas: one Arrow batch per key, a
+    NumPy int64 loop inside — per-key work is inherently sequential (the
+    recurrence), but keys parallelize perfectly, which is the same
+    distribution story as any keyed stateful operator at 100 TB. No
+    driver-side anything.
+
+    Exactness: x must be non-negative (callers pin with greatest(x, 0)) so
+    NumPy/Python floor division equals the oracle's BIGINT `//`
+    truncation; integer state never touches IEEE floats, so the fold is
+    bit-identical across engines and arrival orders (the sort inside the
+    group is by `order_cols`, which callers make a total order).
+    """
+    import pandas as pd
+
+    cols = [key_col, *order_cols, x_col]
+    src = df.select(*cols)
+    mul = EWMA_DEN - EWMA_NUM
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        x = pdf[x_col].to_numpy()
+        v = x.copy()
+        for i in range(1, len(v)):
+            v[i] = (EWMA_NUM * x[i] + mul * v[i - 1]) // EWMA_DEN
+        out = pd.DataFrame(
+            {
+                key_col: pdf[key_col].to_numpy(),
+                "rn": range(1, len(v) + 1),
+                x_col: x,
+                out_col: v,
+            }
+        )
+        return out
+
+    schema = f"{key_col} long, rn long, {x_col} long, {out_col} long"
+    return src.groupBy(key_col).applyInPandas(fold, schema=schema)

@@ -1047,6 +1047,38 @@ def stream_sliding_counts(spark, sf_dir):
 
 
 @ext_query(
+    "stream_topk_users",
+    """
+    WITH c AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT day, user_id, n_events,
+             ROW_NUMBER() OVER (PARTITION BY day
+                                ORDER BY n_events DESC, user_id ASC) AS rnk
+      FROM c
+    )
+    SELECT day, user_id, n_events, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def stream_topk_users(spark, sf_dir):
+    """Streaming top-K — per 1-day window, the 3 most active users. The
+    stateful streaming half is the watermarked windowed count; the rank is
+    a SERVING-SIDE window over the drained aggregate, because ranking is
+    not incremental-safe (a late event can demote an emitted leader) —
+    the same counts-in-stream / rank-at-read split Flink and Kafka
+    Streams deployments use. Under the availableNow drain the whole
+    pipeline equals the batch rank the oracle states, so the split is
+    verified hash-exact, not just shape-plausible."""
+    from ..streaming.online import stream_events_topk_users
+
+    return stream_events_topk_users(spark, sf_dir)
+
+
+@ext_query(
     "stream_cdc_apply",
     """
     WITH c AS (
@@ -3510,6 +3542,65 @@ def graph_triangles(spark, sf_dir):
     return graph.triangle_counts(pairs, "id_a", "id_b")
 
 
+def _kcore_oracle(k: int = 2) -> str:
+    from ..operators.graph import KCORE_MAX_ROUNDS
+
+    return f"""
+    WITH RECURSIVE {_SQL_SHINGLES.strip()}, {_minhash_sig_sql().strip()},
+    {_lsh_candidates_sql()}, {_SQL_JACCARD_PAIRS.strip()},
+    verified AS (
+      SELECT DISTINCT jp.id_a, jp.id_b
+      FROM jp JOIN cand ON jp.id_a = cand.id_a AND jp.id_b = cand.id_b
+      WHERE jp.jaccard >= 0.8
+    ),
+    edges AS (
+      -- explicit DISTINCT over UNION ALL, not bare UNION: inside a WITH
+      -- RECURSIVE clause DuckDB drops the bare UNION's dedup when the CTE
+      -- is re-evaluated from the recursive member, which doubles degrees
+      -- for pairs matched in >1 LSH band (observed empirically; the
+      -- components oracle survives it only because min-label propagation
+      -- is duplicate-insensitive — degree counting is not)
+      SELECT DISTINCT src, dst FROM (
+        SELECT id_a AS src, id_b AS dst FROM verified
+        UNION ALL
+        SELECT id_b, id_a FROM verified
+      )
+    ),
+    alive(iter, id) AS (
+      SELECT 0, id FROM (SELECT DISTINCT src AS id FROM edges)
+      UNION ALL
+      SELECT s.iter + 1, s.id FROM alive s
+      WHERE s.iter < {KCORE_MAX_ROUNDS} AND (
+        SELECT COUNT(*) FROM edges e
+        JOIN alive s2 ON e.dst = s2.id AND s2.iter = s.iter
+        WHERE e.src = s.id) >= {k}
+    ),
+    core AS (SELECT id FROM alive WHERE iter = {KCORE_MAX_ROUNDS})
+    SELECT e.src AS id, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM edges e
+    JOIN core a ON e.src = a.id
+    JOIN core b ON e.dst = b.id
+    GROUP BY 1
+    """
+
+
+@ext_query("graph_kcore", _kcore_oracle())
+def graph_kcore(spark, sf_dir):
+    """Maximal 2-core of the MinHash-LSH verified near-dup graph — the
+    appendage-stripping signal beside dedup_components and
+    graph_triangles: iterative peeling deletes every doc held in a cluster
+    by only a single marginal pair, keeping nodes with >= 2 independent
+    similarity witnesses. The fixpoint is unique (union of min-degree->=k
+    subgraphs), so the distributed peel loop, the single-Arrow-task tier,
+    and the oracle's unrolled recursive-CTE peel (same KCORE_MAX_ROUNDS
+    constant, final round read — stable at fixpoint) are hash-identical.
+    Scale: one degree aggregate + two semi-joins per round over a
+    once-materialized edge relation, rounds = peel depth."""
+    d = _docs(spark, sf_dir, fan_out=True)
+    pairs = dedup.minhash_lsh_dedup(d, "doc_id", "text", threshold=0.8)
+    return graph.kcore(pairs, "id_a", "id_b", k=2)
+
+
 def _dedup_corpus_oracle() -> str:
     return f"""
     WITH RECURSIVE {_SQL_SHINGLES.strip()}, {_minhash_sig_sql().strip()},
@@ -4107,6 +4198,52 @@ def pii_redact(spark, sf_dir):
         F.size(F.regexp_extract_all(t, F.lit(_PII_IP_RE), 0)).alias("n_ips"),
         F.size(F.regexp_extract_all(t, F.lit(_PII_PHONE_RE), 0)).alias("n_phones"),
         F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+PII_K_ANON = 5
+PII_NC_BAND = 200  # quasi-identifier band width for n_chars
+
+
+@ext_query(
+    "pii_k_anonymity",
+    f"""
+    WITH q AS (
+      SELECT doc_id, lang, source,
+             CAST(n_chars // {PII_NC_BAND} AS BIGINT) AS nc_band
+      FROM documents
+    ),
+    sized AS (
+      SELECT q.*, CAST(COUNT(*) OVER (PARTITION BY lang, source, nc_band)
+                       AS BIGINT) AS class_size
+      FROM q
+    )
+    SELECT doc_id, lang, source, nc_band, class_size
+    FROM sized WHERE class_size >= {PII_K_ANON}
+    """,
+)
+def pii_k_anonymity(spark, sf_dir):
+    """k-anonymity release gate (k = PII_K_ANON = 5) — the privacy sibling of
+    pii_redact: a row may ship only if its quasi-identifier equivalence
+    class (lang, source, banded length) has at least k members, so no
+    released record is isolable by its metadata. The generalization
+    (banding n_chars) is what makes classes mergeable; suppressed rows are
+    the complement (callers invert the filter for the audit set). One hash
+    shuffle on the QI key — a window count, no join — and the QI class
+    count is re-aggregatable, so at 100 TB this is a groupBy-broadcast for
+    low-cardinality QIs or the same window otherwise."""
+    d = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    q = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(f"n_chars div {PII_NC_BAND}").cast("long").alias("nc_band"),
+    )
+    w = Window.partitionBy("lang", "source", "nc_band")
+    return q.withColumn("class_size", F.count(F.lit(1)).over(w)).where(
+        F.col("class_size") >= PII_K_ANON
     )
 
 

@@ -98,6 +98,75 @@ def j8_range_join(spark, sf_dir):
     )
 
 
+@query(
+    "j10_interval_overlap",
+    """
+    WITH iv AS (
+      SELECT o_custkey AS ck, o_orderkey AS ok,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(CAST(o_orderdate AS DATE) + INTERVAL 29 DAY AS DATE) AS e
+      FROM orders
+    )
+    SELECT a.ck AS custkey, a.ok AS okey_a, b.ok AS okey_b,
+           CAST(DATE_DIFF('day', GREATEST(a.s, b.s), LEAST(a.e, b.e)) + 1
+                AS BIGINT) AS overlap_days
+    FROM iv a JOIN iv b
+      ON a.ck = b.ck AND a.ok < b.ok AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def j10_interval_overlap(spark, sf_dir):
+    """Interval-OVERLAP self-join — pairs of orders from the same customer
+    whose 30-day activity windows intersect (interval × interval, unlike
+    j8's point-in-band). Implemented with MONTH-BUCKET candidate
+    generation: each interval explodes into the calendar months it covers
+    (≤ 2 for a 30-day span), candidates equi-join on (custkey, month), and
+    each surviving pair is emitted EXACTLY ONCE by keeping only the match
+    in the overlap's own start month — no global distinct. That composite
+    key is the 100 TB shape: a hot key's candidates are bounded by its
+    per-month density, not its whole history, and with no equi-key at all
+    the month bucket alone carries the join (a plain range-condition join
+    would be a per-key nested loop). Overlap length is day arithmetic —
+    integer-exact in both engines."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("ok"),
+        F.to_date("o_orderdate").alias("s"),
+    )
+    o = o.withColumn("e", F.date_add("s", 29))
+    mo = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731 — month index
+    bucketed = o.withColumn("bucket", F.explode(F.sequence(mo(F.col("s")), mo(F.col("e")))))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    ovl_start = F.greatest(F.col("a.s"), F.col("b.s"))
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.ck") == F.col("b.ck"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.ok") < F.col("b.ok"),
+                F.col("a.s") <= F.col("b.e"),
+                F.col("b.s") <= F.col("a.e"),
+            ],
+        )
+        # one emission per pair: only the bucket holding the overlap start
+        .where(F.col("a.bucket") == mo(ovl_start))
+        .select(
+            F.col("a.ck").alias("custkey"),
+            F.col("a.ok").alias("okey_a"),
+            F.col("b.ok").alias("okey_b"),
+            (
+                F.datediff(
+                    F.least(F.col("a.e"), F.col("b.e")), ovl_start
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("overlap_days"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # multidimensional aggregates
 # ---------------------------------------------------------------------------
@@ -816,6 +885,74 @@ def agg_corr_stats(spark, sf_dir):
                 (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
             ),
         ).alias("corr_vk"),
+    )
+
+
+@query(
+    "agg_ols_slope",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS x,
+             CAST(FLOOR(value * 1000) AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x * y) AS HUGEINT) AS sxy,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx
+      FROM b GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST(sy * sxx - sx * sxy AS BIGINT) AS intercept_num
+    FROM s
+    """,
+)
+def agg_ols_slope(spark, sf_dir):
+    """Per-group least-squares trend (value vs day) as EXACT RATIONALS:
+    slope = slope_num/slope_den and intercept = intercept_num/slope_den are
+    returned as integer numerator/denominator instead of a lossy double —
+    the trend-detection staple (is this metric drifting?) made hash-exact.
+    One map-side-combinable aggregate pass over integer moments (x = day
+    index, y = value in 1e3 fixed point); the closing products are widened
+    to DECIMAL(38,0) (Spark) / HUGEINT (oracle) — the quality_bigram_lm
+    overflow discipline, since n·Σxy overflows BIGINT long before the
+    moments themselves do at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.col("value") * 1000).cast("long").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    s = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long")
+        .alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("slope_den"),
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+        .cast("long")
+        .alias("intercept_num"),
     )
 
 
@@ -1628,6 +1765,54 @@ def wx_last_nonnull(spark, sf_dir):
         "user_id",
         F.last(v, ignorenulls=True).over(w).alias("last_click_value"),
     )
+
+
+def _ewma_oracle() -> str:
+    from ..operators.windows import EWMA_DEN, EWMA_NUM
+
+    return f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn,
+             GREATEST(CAST(FLOOR(value * 1000) AS BIGINT), 0) AS x_fp
+      FROM events
+    ),
+    rec(user_id, rn, x_fp, ewma_fp) AS (
+      SELECT user_id, rn, x_fp, x_fp FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, s.x_fp,
+             ({EWMA_NUM} * s.x_fp + {EWMA_DEN - EWMA_NUM} * r.ewma_fp)
+               // {EWMA_DEN}
+      FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, rn, x_fp, ewma_fp FROM rec
+    """
+
+
+@query("wx_ewma", _ewma_oracle())
+def wx_ewma(spark, sf_dir):
+    """Per-user EWMA of the event value as a fixed-point INTEGER fold
+    (alpha = 1/4): v_1 = x_1, v_t = (x_t + 3·v_{t−1}) div 4 over the
+    (ts, event_id) total order — the stateful smoother every metrics
+    pipeline needs that no window expression can express (the floor inside
+    each step makes the recurrence non-linear, so there is no closed-form
+    frame). Runs as one Arrow batch per user (operators.windows.ewma_int);
+    keys parallelize, per-key history is the only sequential dimension.
+    Values are floored to a non-negative 1e3 fixed-point domain ONCE on
+    both sides, so the fold is bit-identical across engines; the oracle is
+    the same recurrence as a recursive-CTE join on (user_id, rn)."""
+    from ..operators import windows as W
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.greatest(F.floor(F.col("value") * 1000).cast("long"), F.lit(0)).alias(
+            "x_fp"
+        ),
+    )
+    return W.ewma_int(ev, "user_id", ["ts", "event_id"], "x_fp")
 
 
 @query(

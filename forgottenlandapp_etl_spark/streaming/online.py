@@ -216,3 +216,44 @@ def stream_events_enriched_counts(
         )
 
     return drain_events_stream(spark, sf_dir, transform, name)
+
+
+def stream_events_topk_users(
+    spark: SparkSession, sf_dir: str, k: int = 3, name: str = "stream_topk_users"
+) -> DataFrame:
+    """Streaming top-K: per 1-day tumbling window, the K most active users
+    by event count.
+
+    The streaming half is the real stateful work — a watermarked windowed
+    count per (day, user), exactly stream_daily_counts' state shape. The
+    RANK runs on the drained aggregate, not inside the stream: ranking is
+    not an incremental-safe streaming aggregate (a late event can demote an
+    already-emitted leader), so the production shape is
+    stream-counts → serving-side top-K per window — the same split Kafka
+    Streams / Flink deployments use, and under the availableNow drain it is
+    exactly equal to the batch rank the oracle states. The rank window
+    partitions by day (distributes across windows); ties break on user_id
+    for determinism."""
+    from pyspark.sql import Window
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ets", "2 hours")
+            .groupBy(F.window("ets", "1 day").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("w.start").cast("date").cast("string").alias("day"),
+                "user_id",
+                "n_events",
+            )
+        )
+
+    counts = drain_events_stream(spark, sf_dir, transform, name)
+    w = Window.partitionBy("day").orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("day", "user_id", "n_events", F.col("rnk").cast("long").alias("rnk"))
+    )

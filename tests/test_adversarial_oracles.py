@@ -98,6 +98,8 @@ DOC_ONLY_ENTRIES = [
     "text_udtf_chunks",
     "text_span_corruption",
     "graph_triangles",
+    "graph_kcore",
+    "pii_k_anonymity",
     "src_orc_roundtrip",
     "src_csv_roundtrip",
     "pipeline_dsir_select",
@@ -282,10 +284,12 @@ EVENTS_ONLY_ENTRIES = [
     "stream_stream_left_join",
     "w2_level_rank",
     "w3_multikey_rank",
+    "wx_ewma",
     "wx_lag_delta",
     "wx_last_nonnull",
     "wx_moving_sum",
     "wx_range_frame",
+    "agg_ols_slope",
 ]
 
 

@@ -1635,3 +1635,76 @@ def test_span_corruption_construction_guarantees(spark, sf_dir):
     assert all(n_toks[d] * 15 // 100 > 0 for d in docs)
     rerun = QUERIES["text_span_corruption"](spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rerun))
+
+
+def test_kcore_peeling_known_graph(spark):
+    """Deep-peel k-core: a 4-clique with a pendant CHAIN attached (the
+    chain peels one node per round — multi-round convergence), a triangle,
+    a pure chain (empty 2-core), and a star (empty 2-core). Expected set
+    and in-core degrees are hand-computed."""
+    from forgottenlandapp_etl_spark.operators import graph
+
+    pairs = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    pairs += [(4, 10), (10, 11), (11, 12), (12, 13)]   # pendant chain
+    pairs += [(20, 21), (21, 22), (20, 22)]            # triangle
+    pairs += [(30, 31), (31, 32), (32, 33)]            # chain: no 2-core
+    pairs += [(40, j) for j in (41, 42, 43, 44)]       # star: no 2-core
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["id"]: r["core_degree"] for r in graph.kcore(df, k=2).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 20: 2, 21: 2, 22: 2}
+
+
+def test_kcore_two_tiers_agree_and_empty_core(spark, monkeypatch):
+    """Single-Arrow-task tier vs distributed peel loop: identical output on
+    the same graph (threshold forced to 0 routes the distributed path);
+    and a graph with NO 2-core returns an empty frame with the right
+    schema on both tiers."""
+    from forgottenlandapp_etl_spark.operators import graph as g
+
+    pairs = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a < b]
+    pairs += [(3, 10), (10, 11)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    chain = spark.createDataFrame([(50, 51), (51, 52)], "id_a long, id_b long")
+
+    small = {r["id"]: r["core_degree"] for r in g.kcore(df, k=2).collect()}
+    small_empty = g.kcore(chain, k=2)
+    assert small_empty.columns == ["id", "core_degree"]
+    assert small_empty.count() == 0
+    monkeypatch.setattr(g, "SMALL_GRAPH_EDGES", 0)
+    big = {r["id"]: r["core_degree"] for r in g.kcore(df, k=2).collect()}
+    big_empty = g.kcore(chain, k=2)
+    assert big == small == {1: 2, 2: 2, 3: 2}
+    assert big_empty.columns == ["id", "core_degree"]
+    assert big_empty.count() == 0
+
+
+def test_ewma_int_matches_python_fold(spark):
+    """ewma_int vs a direct Python reference fold on a hazard series:
+    ties in ts (event_id tiebreak), zeros, large values, single-row key."""
+    from forgottenlandapp_etl_spark.operators import windows as W
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (1, t0, 10, 400),
+        (1, t0, 11, 0),            # same ts — event_id orders it second
+        (1, t0 + dt.timedelta(seconds=5), 12, 560_210),
+        (1, t0 + dt.timedelta(seconds=9), 13, 3),
+        (2, t0, 20, 7),            # single-row key
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, x_fp long")
+    got = {
+        (r["user_id"], r["rn"]): r["ewma_fp"]
+        for r in W.ewma_int(df, "user_id", ["ts", "event_id"], "x_fp").collect()
+    }
+
+    def ref(xs):
+        out = [xs[0]]
+        for x in xs[1:]:
+            out.append((W.EWMA_NUM * x + (W.EWMA_DEN - W.EWMA_NUM) * out[-1]) // W.EWMA_DEN)
+        return out
+
+    for u, xs in ((1, [400, 0, 560_210, 3]), (2, [7])):
+        for i, v in enumerate(ref(xs), start=1):
+            assert got[(u, i)] == v, (u, i)
