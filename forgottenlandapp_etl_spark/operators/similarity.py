@@ -1283,3 +1283,71 @@ def semantic_dedup(
         component.alias("component"),
         (component == F.col(id_col)).cast("int").alias("is_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# power iteration: top principal direction, hash-exact
+# ---------------------------------------------------------------------------
+
+# Fixed-point domain for the iterated direction vector: max-abs component
+# is renormalized to POWER_SCALE each round. Shared with the generated
+# DuckDB oracle (unrolled CTE rounds) — one source of truth.
+POWER_SCALE = 10**6
+POWER_ITERATIONS = 4
+
+
+def power_iteration_top_component(
+    q_df: DataFrame, dim: int, iterations: int = POWER_ITERATIONS
+) -> DataFrame:
+    """Dominant right-singular direction of the int8 code matrix Q —
+    distributed power iteration on QᵀQ in EXACT INTEGER arithmetic:
+    (j, v_fp) with j 1-based and max|v_fp| = POWER_SCALE.
+
+    Per round, entirely integer: s_i = Σ_k q_ik·v_k (per-row dot, a
+    zip_with/aggregate fold inside whole-stage codegen), y_j = Σ_i q_ij·s_i
+    (posexplode → 64-group hash aggregate, map-side combined), then the
+    renormalization v'_j = sign(y_j)·(|y_j|·SCALE div max|y|) — symmetric
+    TRUNCATION, not floor, so negative components agree with the oracle's
+    BIGINT `//`. The per-round driver collect is dim values — the model,
+    not data (same architecture as the exact-k-means trainer and MLlib
+    itself); the data-sized work is one narrow pass + one tiny-key
+    aggregate per round, linear at any corpus size. Floating-point power
+    iteration can never hash-match across engines (norm sqrt, summation
+    order); this formulation is bit-identical by construction, converging
+    to the same direction as float PCA up to quantization error.
+
+    A zero matrix (or a y that cancels to exact zero) renormalizes to the
+    all-zero vector and stays there — the oracle's CASE states the same
+    rule, so the degenerate path is hash-exact too.
+    """
+    rows = q_df.select("q").localCheckpoint(eager=True)
+    v = [POWER_SCALE] * dim
+    dec = "decimal(38,0)"
+    for _ in range(iterations):
+        vlit = F.array(*[F.lit(int(x)).cast("long") for x in v])
+        s = F.aggregate(
+            F.zip_with(F.col("q"), vlit, lambda a, b: a.cast("long") * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        y_rows = (
+            rows.select(s.alias("s"), F.posexplode("q").alias("p", "qj"))
+            .groupBy("p")
+            .agg(F.sum(F.col("qj").cast(dec) * F.col("s").cast(dec)).alias("y"))
+            .collect()
+        )
+        y = [0] * dim
+        for r in y_rows:
+            y[r["p"]] = int(r["y"])
+        m = max(abs(c) for c in y)
+        if m == 0:
+            v = [0] * dim
+        else:
+            v = [
+                (-((-c) * POWER_SCALE // m) if c < 0 else c * POWER_SCALE // m)
+                for c in y
+            ]
+    spark = q_df.sparkSession
+    return spark.createDataFrame(
+        [(j + 1, int(v[j])) for j in range(dim)], "j long, v_fp long"
+    )

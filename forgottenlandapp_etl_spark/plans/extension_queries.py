@@ -832,6 +832,74 @@ def emb_quantize_int8(spark, sf_dir):
     )
 
 
+def _power_oracle(dim: int = 64) -> str:
+    from ..operators.similarity import POWER_ITERATIONS, POWER_SCALE
+
+    ctes = [
+        f"""sq AS (
+      SELECT vec_id, v,
+             list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id,
+             CASE WHEN scale = 0.0 THEN list_transform(v, x -> 0)
+                  ELSE list_transform(v, x -> CAST(floor(x * 127.0 / scale + 0.5) AS INT))
+             END AS q
+      FROM sq
+    ),
+    qk AS (
+      SELECT vec_id, CAST(i AS BIGINT) AS k, CAST(q[i] AS HUGEINT) AS qv
+      FROM q, UNNEST(generate_series(1, len(q))) g(i)
+    ),
+    v0 AS (
+      SELECT CAST(i AS BIGINT) AS k, CAST({POWER_SCALE} AS HUGEINT) AS vv
+      FROM UNNEST(generate_series(1, {dim})) g(i)
+    )"""
+    ]
+    for t in range(1, POWER_ITERATIONS + 1):
+        ctes.append(
+            f"""s{t} AS (
+      SELECT qk.vec_id, SUM(qk.qv * v{t - 1}.vv) AS s
+      FROM qk JOIN v{t - 1} ON qk.k = v{t - 1}.k GROUP BY 1
+    ),
+    y{t} AS (
+      SELECT qk.k, SUM(qk.qv * s{t}.s) AS y
+      FROM qk JOIN s{t} USING (vec_id) GROUP BY 1
+    ),
+    m{t} AS (SELECT MAX(ABS(y)) AS m FROM y{t}),
+    v{t} AS (
+      SELECT k, CASE WHEN m.m = 0 THEN CAST(0 AS HUGEINT)
+                     WHEN y < 0 THEN -(((-y) * {POWER_SCALE}) // m.m)
+                     ELSE (y * {POWER_SCALE}) // m.m END AS vv
+      FROM y{t}, m{t} m
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {_SQL_EMB},
+    {body}
+    SELECT k AS j, CAST(vv AS BIGINT) AS v_fp FROM v{POWER_ITERATIONS}
+    """
+
+
+@ext_query("emb_power_iteration", _power_oracle())
+def emb_power_iteration(spark, sf_dir):
+    """Top principal direction of the embedding corpus — distributed POWER
+    ITERATION on the int8 code matrix in exact integer arithmetic, the
+    learned-linear-algebra tier beside exact k-means: PCA whose RESULT is
+    hash-verified cross-engine (float PCA never can be — norm sqrt,
+    summation order). Per round: one narrow codegen pass for the per-row
+    dot s_i, one 64-group map-side-combined aggregate for y = Qᵀs, one
+    dim-sized driver collect for the renormalized model (the k-means /
+    MLlib architecture). The oracle unrolls the identical rounds as CTEs
+    over the same quantization SQL. Linear per round at any corpus size;
+    the model is the only thing that moves."""
+    e = _emb(spark, sf_dir)
+    q = similarity.quantize_int8(e, "v", "vec_id")
+    return similarity.power_iteration_top_component(q, dim=64)
+
+
 # Rademacher hyperplanes shared by the Spark plan and the generated oracle
 # (embeddings are 64-dim in the testdata).
 _RHP_PLANES = similarity.rhp_planes(dim=64, n_planes=16, seed=7)

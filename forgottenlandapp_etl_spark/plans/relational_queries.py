@@ -957,6 +957,56 @@ def agg_ols_slope(spark, sf_dir):
 
 
 @query(
+    "agg_markov_transitions",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT from_type, SUM(n) AS tn FROM t GROUP BY 1
+    )
+    SELECT t.from_type, t.to_type, t.n,
+           CAST((t.n * 1000000) // tot.tn AS BIGINT) AS p_fp
+    FROM t JOIN tot USING (from_type)
+    """,
+)
+def agg_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences —
+    the behavioral-model staple (what follows a view? how often does an
+    error precede churn?). The successor is one LEAD window under the
+    (ts, event_id) total order (one shuffle on user_id), the matrix is a
+    hash aggregate over (from, to), and the row-conditional probability is
+    integer fixed point (×10^6, floor) so the distribution — not just the
+    counts — is hash-exact. |event types|² is tiny at any corpus scale, so
+    the per-from totals could equally broadcast; the LEAD pass is the only
+    data-sized stage."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    t = s.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = t.groupBy("from_type").agg(F.sum("n").alias("tn"))
+    return t.join(tot, on="from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("(n * 1000000) div tn").cast("long").alias("p_fp"),
+    )
+
+
+@query(
     "agg_mode",
     """
     WITH c AS (

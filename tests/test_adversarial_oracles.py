@@ -284,6 +284,7 @@ EVENTS_ONLY_ENTRIES = [
     "stream_stream_left_join",
     "w2_level_rank",
     "w3_multikey_rank",
+    "agg_markov_transitions",
     "wx_ewma",
     "wx_lag_delta",
     "wx_last_nonnull",
@@ -419,6 +420,7 @@ EMB_ONLY_ENTRIES = [
     "sim_ivf_exact_topk",
     "sim_ivfpq_topk",
     "dedup_semantic",
+    "emb_power_iteration",
 ]
 
 

@@ -1708,3 +1708,41 @@ def test_ewma_int_matches_python_fold(spark):
     for u, xs in ((1, [400, 0, 560_210, 3]), (2, [7])):
         for i, v in enumerate(ref(xs), start=1):
             assert got[(u, i)] == v, (u, i)
+
+
+def test_power_iteration_direction_and_degenerate(spark):
+    """The integer power iteration must align with float PCA's dominant
+    direction (|cosine| > 0.99 on a spiked covariance — sign is free), and
+    an all-zero matrix must converge to the all-zero vector, not divide by
+    zero."""
+    import numpy as np
+
+    from forgottenlandapp_etl_spark.operators import similarity as S
+
+    rng = np.random.default_rng(11)
+    dim, n = 16, 400
+    spike = rng.normal(size=dim)
+    spike /= np.linalg.norm(spike)
+    data = rng.normal(size=(n, dim)) + 6.0 * np.outer(rng.normal(size=n), spike)
+    rows = [(i, [float(x) for x in data[i]]) for i in range(n)]
+    e = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    q = S.quantize_int8(e, "v", "vec_id")
+    got = S.power_iteration_top_component(q, dim=dim, iterations=6)
+    v = np.array(
+        [r["v_fp"] for r in got.orderBy("j").collect()], dtype=np.float64
+    )
+    # compare to float PCA of the QUANTIZED matrix (that's the operator's
+    # input); quantization itself barely moves the top direction
+    qm = np.array(
+        [r["q"] for r in q.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    _, _, vt = np.linalg.svd(qm, full_matrices=False)
+    cos = abs(v @ vt[0]) / (np.linalg.norm(v) * np.linalg.norm(vt[0]))
+    assert cos > 0.99, cos
+
+    z = spark.createDataFrame(
+        [(i, [0.0] * dim) for i in range(10)], "vec_id long, v array<double>"
+    )
+    zq = S.quantize_int8(z, "v", "vec_id")
+    zv = S.power_iteration_top_component(zq, dim=dim, iterations=3)
+    assert {r["v_fp"] for r in zv.collect()} == {0}
