@@ -140,6 +140,18 @@ HEADLINE = [
     "agg_funnel_steps",
     "agg_retention_cohorts",
     "dedup_containment",
+    # round 6d: iterative graph peeling, the stateful integer smoother,
+    # exact OLS rationals, bucketized interval overlap, sequence
+    # transition matrices, the k-anonymity gate, streaming top-K, and the
+    # integer power-iteration PCA
+    "graph_kcore",
+    "wx_ewma",
+    "agg_ols_slope",
+    "j10_interval_overlap",
+    "agg_markov_transitions",
+    "pii_k_anonymity",
+    "stream_topk_users",
+    "emb_power_iteration",
 ]
 
 

@@ -4342,6 +4342,66 @@ def sample_stratified(spark, sf_dir):
     return d.where(_id_hash() % 100 < rate).select("doc_id", "lang")
 
 
+PPS_SAMPLES_PER_STRATUM = 8
+
+
+@ext_query(
+    "sample_pps_systematic",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS wt,
+             SUM(CAST(n_chars AS BIGINT)) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(CAST(n_chars AS BIGINT)) OVER (PARTITION BY source) AS tw
+      FROM documents
+    ),
+    s AS (
+      SELECT *, GREATEST(tw // {PPS_SAMPLES_PER_STRATUM}, 1) AS stride
+      FROM w
+    )
+    SELECT doc_id, source, wt, CAST(cw AS BIGINT) AS cum_w
+    FROM s
+    WHERE cw // stride > (cw - wt) // stride
+    """,
+)
+def sample_pps_systematic(spark, sf_dir):
+    """Probability-proportional-to-size SYSTEMATIC sampling (Madow) per
+    stratum: lay each source's documents on a 0..total_weight line in
+    doc_id order, draw a grid with stride = total div k, and keep every
+    document whose weight interval crosses a grid point — selection
+    probability ∝ n_chars, sample size ≈ k per stratum, zero randomness.
+    The length-biased sample every quality-audit pipeline wants (big docs
+    carry the token mass). All integer: cumulative and total weights are
+    window sums partitioned by source (one shuffle, no global sort — the
+    grid is per-stratum), grid crossing is floor-division arithmetic, so
+    Spark and the oracle agree bit-for-bit. At 100 TB strata distribute;
+    a single giant stratum would range-partition on the same
+    (source, doc_id) order."""
+    d = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("source")
+    s = d.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("wt"),
+        F.sum(F.col("n_chars").cast("long")).over(wcum).alias("cw"),
+        F.sum(F.col("n_chars").cast("long")).over(wall).alias("tw"),
+    ).withColumn(
+        "stride",
+        F.greatest(F.expr(f"tw div {PPS_SAMPLES_PER_STRATUM}"), F.lit(1)),
+    )
+    return s.where(
+        F.expr("cw div stride") > F.expr("(cw - wt) div stride")
+    ).select("doc_id", "source", "wt", F.col("cw").alias("cum_w"))
+
+
 @ext_query(
     "export_global_shuffle",
     f"""

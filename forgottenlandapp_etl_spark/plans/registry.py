@@ -144,7 +144,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # src_python_datasource (the custom source tier, new r6),
 # tpch_q8_market_share / tpch_q20_excess_stock (derived-partsupp family),
 # wx_window family, set-op entries (incl. the new ALL variants),
-# stream_sliding_counts.
+# stream_sliding_counts; round-6d continuation adds emb_power_iteration
+# (hash-exact integer PCA — the strongest learned-tier candidate),
+# graph_kcore (iterative peel + recursive-CTE oracle), wx_ewma (stateful
+# integer fold), j10_interval_overlap, stream_topk_users.
 
 _missing = [n for n in DRIVER_WINDOW if n not in _ALL_QUERIES]
 if _missing:

@@ -90,6 +90,7 @@ DOC_ONLY_ENTRIES = [
     "pipeline_curriculum_phases",
     "text_lang_id",
     "sample_stratified",
+    "sample_pps_systematic",
     "pipeline_training_ready",
     "sketch_count_min",
     "mix_temperature_sample",

@@ -1746,3 +1746,27 @@ def test_power_iteration_direction_and_degenerate(spark):
     zq = S.quantize_int8(z, "v", "vec_id")
     zv = S.power_iteration_top_component(zq, dim=dim, iterations=3)
     assert {r["v_fp"] for r in zv.collect()} == {0}
+
+
+def test_pps_systematic_sample_size_and_bias(spark, sf_dir):
+    """Systematic PPS must (a) draw ~PPS_SAMPLES_PER_STRATUM docs per
+    stratum (±1 — grid-boundary effects), and (b) be length-biased: the
+    mean n_chars of the sample exceeds the stratum mean (selection
+    probability ∝ size)."""
+    from forgottenlandapp_etl_spark.plans.extension_queries import (
+        PPS_SAMPLES_PER_STRATUM,
+        QUERIES,
+    )
+
+    got = QUERIES["sample_pps_systematic"](spark, sf_dir).toPandas()
+    pop_mean = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg({"n_chars": "avg"})
+        .collect()[0][0]
+    )
+    for src, grp in got.groupby("source"):
+        assert abs(len(grp) - PPS_SAMPLES_PER_STRATUM) <= 1, (src, len(grp))
+    # length bias is a POOLED property — an 8-draw stratum is too noisy to
+    # assert per stratum; across all strata the PPS sample mean must sit
+    # at or above the population mean (within 2% sampling slack)
+    assert got["wt"].mean() >= pop_mean * 0.98, (got["wt"].mean(), pop_mean)
