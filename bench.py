@@ -152,6 +152,8 @@ HEADLINE = [
     "pii_k_anonymity",
     "stream_topk_users",
     "emb_power_iteration",
+    "sample_pps_systematic",
+    "graph_link_prediction",
 ]
 
 

@@ -3669,6 +3669,111 @@ def graph_kcore(spark, sf_dir):
     return graph.kcore(pairs, "id_a", "id_b", k=2)
 
 
+LINKPRED_MIN_SUPPORT = 2  # min common neighbors (market-basket support prune)
+LINKPRED_ORDER_MOD = 10  # deterministic 1-in-10 order slice (analysis window)
+
+
+def _linkpred_oracle() -> str:
+    return f"""
+    WITH li AS (
+      SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      WHERE l_orderkey % {LINKPRED_ORDER_MOD} = 0
+    ),
+    ep AS (
+      SELECT DISTINCT a.pk AS pa, b.pk AS pb
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM ep UNION ALL SELECT pb, pa FROM ep
+    ),
+    deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+    cn AS (
+      SELECT e1.dst AS id_a, e2.dst AS id_b, CAST(COUNT(*) AS BIGINT) AS common
+      FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+      GROUP BY 1, 2 HAVING COUNT(*) >= {LINKPRED_MIN_SUPPORT}
+    ),
+    nonedge AS (
+      SELECT cn.* FROM cn
+      LEFT JOIN ep ON cn.id_a = ep.pa AND cn.id_b = ep.pb
+      WHERE ep.pa IS NULL
+    )
+    SELECT n.id_a, n.id_b, n.common,
+           CAST((n.common * 1000000) // (da.d + db.d - n.common) AS BIGINT)
+             AS score_fp
+    FROM nonedge n
+    JOIN deg da ON n.id_a = da.id
+    JOIN deg db ON n.id_b = db.id
+    """
+
+
+@ext_query("graph_link_prediction", _linkpred_oracle())
+def graph_link_prediction(spark, sf_dir):
+    """Common-neighbor link prediction over the co-purchase graph — the
+    market-basket recommendation staple: part pairs never bought together
+    whose neighborhoods overlap (score = neighborhood Jaccard, 10^6 fixed
+    point) are the "customers also bought" candidates. (The near-dup doc
+    graph can't host this entry: a clean corpus's duplicate clusters are
+    CLIQUES, so missing-edge prediction is vacuously empty there.)
+
+    Shapes, all bounded the way production basket analysis bounds them:
+    basket pairs are per-order-local C(k,2) (narrow after one hash join on
+    orderkey); wedge enumeration — the quadratic step — is cut by the
+    min-support HAVING (the Apriori prune) and a deterministic 1-in-10
+    order window, stated in the oracle so the bounds themselves are
+    verified; candidate pairs anti-join the edge set; degrees join back
+    for the integer Jaccard. Everything shuffles on part ids — no global
+    structure, no driver state."""
+    li = catalog.table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % LINKPRED_ORDER_MOD == 0
+    )
+    li = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    a = li.alias("a")
+    b = li.alias("b")
+    ep = (
+        a.join(b, on=[F.col("a.ok") == F.col("b.ok"), F.col("a.pk") < F.col("b.pk")])
+        .select(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = ep.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
+        ep.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    cn = (
+        e1.join(
+            e2,
+            on=[
+                F.col("e1.src") == F.col("e2.src"),
+                F.col("e1.dst") < F.col("e2.dst"),
+            ],
+        )
+        .groupBy(F.col("e1.dst").alias("id_a"), F.col("e2.dst").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= LINKPRED_MIN_SUPPORT)
+    )
+    nonedge = cn.join(
+        ep,
+        on=[cn.id_a == ep.pa, cn.id_b == ep.pb],
+        how="left_anti",
+    )
+    da = deg.withColumnRenamed("id", "id_a").withColumnRenamed("d", "da")
+    db = deg.withColumnRenamed("id", "id_b").withColumnRenamed("d", "db")
+    return (
+        nonedge.join(da, on="id_a")
+        .join(db, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "common",
+            F.expr("(common * 1000000) div (da + db - common)")
+            .cast("long")
+            .alias("score_fp"),
+        )
+    )
+
+
 def _dedup_corpus_oracle() -> str:
     return f"""
     WITH RECURSIVE {_SQL_SHINGLES.strip()}, {_minhash_sig_sql().strip()},

@@ -409,6 +409,8 @@ TPCH_ONLY_ENTRIES = [
     "tpch_q20_excess_stock",
     "tpch_q21_waiting_supplier",
     "tpch_q22_sales_opportunity",
+    "graph_link_prediction",
+    "j10_interval_overlap",
     "u1_union_tagged",
     "w1_rank_desc",
     "w5_points_from_rank",
