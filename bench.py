@@ -154,6 +154,7 @@ HEADLINE = [
     "emb_power_iteration",
     "sample_pps_systematic",
     "graph_link_prediction",
+    "src_jsonl_roundtrip",
 ]
 
 

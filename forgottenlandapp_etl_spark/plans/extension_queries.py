@@ -1900,6 +1900,74 @@ def src_csv_roundtrip(spark, sf_dir):
     return out
 
 
+@ext_query(
+    "src_jsonl_roundtrip",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(FLOOR(value * 1000) AS BIGINT) AS value_fp,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           LENGTH(COALESCE(props, '')) AS props_len
+    FROM events WHERE event_type IN ('click', 'error')
+    """,
+)
+def src_jsonl_roundtrip(spark, sf_dir):
+    """JSON-lines source/sink roundtrip — the remaining interchange edge in
+    the source matrix (parquet warehouse, ORC, CSV, Arrow DataSource, now
+    JSONL — the format training-corpus distribution actually uses). The
+    events table is written as line-delimited JSON with the timestamp
+    carried as epoch MICROSECONDS (a JSON number): JSON has no timestamp
+    type, and a string round-trip would re-enter the formatter-parity
+    minefield, so the integer encoding is the lossless convention — stated
+    in the oracle, which reads the original parquet. props (already a JSON
+    string column) survives as an embedded string; its length proves
+    byte-exactness. Read back with an EXPLICIT schema (inferSchema on JSONL
+    is a full extra scan) and filtered, so the roundtrip also proves
+    filters still prune after the format hop. JSONL is splittable by
+    newline, so unlike multiLine CSV the read parallelizes within files."""
+    import shutil
+    import tempfile
+
+    ev = catalog.table(spark, sf_dir, "events")
+    staged = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_fp"),
+        # ts arrives TIMESTAMP_NTZ from the dtype-guarded decode; pin it to
+        # UTC-instant semantics before the epoch extraction (unix_micros
+        # rejects NTZ) — the oracle's epoch_us reads the same instant
+        F.unix_micros(F.to_utc_timestamp(F.col("ts").cast("timestamp"), "UTC")).alias(
+            "ts_us"
+        ),
+        "props",
+    )
+    tmp = tempfile.mkdtemp(prefix="jsonl_stage_")
+    try:
+        path = f"{tmp}/events.jsonl"
+        staged.write.mode("overwrite").json(path)
+        schema = (
+            "event_id long, user_id long, event_type string, "
+            "value_fp long, ts_us long, props string"
+        )
+        out = (
+            spark.read.schema(schema)
+            .json(path)
+            .where(F.col("event_type").isin("click", "error"))
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                "value_fp",
+                "ts_us",
+                F.length(F.coalesce("props", F.lit(""))).alias("props_len"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # DSIR data selection (Xie et al. 2023, arXiv:2302.03169)
 # ---------------------------------------------------------------------------

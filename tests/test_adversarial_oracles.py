@@ -275,6 +275,7 @@ EVENTS_ONLY_ENTRIES = [
     "set_union",
     # sql_daily_rollup: register_views registers the FULL catalog (all ten
     # tables) before its spark.sql — cannot run on the events-only dir
+    "src_jsonl_roundtrip",
     "stream_cdc_apply",
     "stream_daily_counts",
     "stream_dedup_keys",
