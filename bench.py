@@ -155,6 +155,7 @@ HEADLINE = [
     "sample_pps_systematic",
     "graph_link_prediction",
     "src_jsonl_roundtrip",
+    "emb_power_top2",
 ]
 
 

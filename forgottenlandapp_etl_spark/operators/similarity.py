@@ -1351,3 +1351,74 @@ def power_iteration_top_component(
     return spark.createDataFrame(
         [(j + 1, int(v[j])) for j in range(dim)], "j long, v_fp long"
     )
+
+
+def _power_normalize(y: list[int]) -> list[int]:
+    """Renormalize to max-abs = POWER_SCALE with the sign-split truncation
+    div shared with the oracle; the all-zero vector stays zero."""
+    m = max(abs(c) for c in y)
+    if m == 0:
+        return [0] * len(y)
+    return [
+        (-((-c) * POWER_SCALE // m) if c < 0 else c * POWER_SCALE // m) for c in y
+    ]
+
+
+def power_iteration_top2(
+    q_df: DataFrame, dim: int, iterations: int = POWER_ITERATIONS
+) -> DataFrame:
+    """Top TWO principal directions of the int8 code matrix via DEFLATED
+    power iteration, all-integer: (comp, j, v_fp) with comp ∈ {1, 2},
+    j 1-based, max|v_fp| = POWER_SCALE per component.
+
+    Component 1 is power_iteration_top_component's recurrence. Component 2
+    re-runs it from a deterministic alternating-sign start, and each round
+    ORTHOGONALIZES against v1 before renormalizing:
+
+        w'_j = D·yn_j − p·v1_j   with  D = v1ᵀv1,  p = v1ᵀyn
+
+    — integer cross-multiplication instead of a rational projection, so
+    v1ᵀw' = D·p − p·D = 0 EXACTLY (no rounding in the orthogonality
+    itself; only the subsequent renormalization truncates). Because yn is
+    renormalized to POWER_SCALE before the projection, every product is
+    bounded by dim·POWER_SCALE³ regardless of corpus size — the overflow
+    headroom is a constant of the model, not a function of N. Per round
+    the cluster work is identical to component 1 (one codegen dot pass,
+    one dim-group aggregate, one dim-sized model collect); the deflation
+    arithmetic is pure driver-side model math on 64 ints."""
+    rows = q_df.select("q").localCheckpoint(eager=True)
+    dec = "decimal(38,0)"
+
+    def qtqu(v: list[int]) -> list[int]:
+        vlit = F.array(*[F.lit(int(x)).cast("long") for x in v])
+        s = F.aggregate(
+            F.zip_with(F.col("q"), vlit, lambda a, b: a.cast("long") * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        y_rows = (
+            rows.select(s.alias("s"), F.posexplode("q").alias("p", "qj"))
+            .groupBy("p")
+            .agg(F.sum(F.col("qj").cast(dec) * F.col("s").cast(dec)).alias("y"))
+            .collect()
+        )
+        y = [0] * dim
+        for r in y_rows:
+            y[r["p"]] = int(r["y"])
+        return y
+
+    v1 = [POWER_SCALE] * dim
+    for _ in range(iterations):
+        v1 = _power_normalize(qtqu(v1))
+    d = sum(c * c for c in v1)
+    u = [POWER_SCALE if j % 2 == 0 else -POWER_SCALE for j in range(dim)]
+    for _ in range(iterations):
+        yn = _power_normalize(qtqu(u))
+        p = sum(a * b for a, b in zip(v1, yn))
+        w = [d * yn[j] - p * v1[j] for j in range(dim)]
+        u = _power_normalize(w)
+    spark = q_df.sparkSession
+    data = [(1, j + 1, int(v1[j])) for j in range(dim)] + [
+        (2, j + 1, int(u[j])) for j in range(dim)
+    ]
+    return spark.createDataFrame(data, "comp long, j long, v_fp long")

@@ -848,7 +848,10 @@ def _power_oracle(dim: int = 64) -> str:
              END AS q
       FROM sq
     ),
-    qk AS (
+    qk AS MATERIALIZED (
+      -- materialized: every iteration references qk twice; without this
+      -- DuckDB re-scans the parquet per reference (2·rounds file opens —
+      -- observed as EMFILE on the deflated two-component oracle)
       SELECT vec_id, CAST(i AS BIGINT) AS k, CAST(q[i] AS HUGEINT) AS qv
       FROM q, UNNEST(generate_series(1, len(q))) g(i)
     ),
@@ -859,16 +862,21 @@ def _power_oracle(dim: int = 64) -> str:
     ]
     for t in range(1, POWER_ITERATIONS + 1):
         ctes.append(
-            f"""s{t} AS (
+            # every iteration CTE is MATERIALIZED: DuckDB inlines plain
+            # CTEs per reference, and v{t}'s chain is referenced 2-3x per
+            # later round — un-materialized, evaluation cost goes
+            # exponential in the round count (observed: 12+ min for the
+            # deflated oracle vs <1 s materialized)
+            f"""s{t} AS MATERIALIZED (
       SELECT qk.vec_id, SUM(qk.qv * v{t - 1}.vv) AS s
       FROM qk JOIN v{t - 1} ON qk.k = v{t - 1}.k GROUP BY 1
     ),
-    y{t} AS (
+    y{t} AS MATERIALIZED (
       SELECT qk.k, SUM(qk.qv * s{t}.s) AS y
       FROM qk JOIN s{t} USING (vec_id) GROUP BY 1
     ),
-    m{t} AS (SELECT MAX(ABS(y)) AS m FROM y{t}),
-    v{t} AS (
+    m{t} AS MATERIALIZED (SELECT MAX(ABS(y)) AS m FROM y{t}),
+    v{t} AS MATERIALIZED (
       SELECT k, CASE WHEN m.m = 0 THEN CAST(0 AS HUGEINT)
                      WHEN y < 0 THEN -(((-y) * {POWER_SCALE}) // m.m)
                      ELSE (y * {POWER_SCALE}) // m.m END AS vv
@@ -881,6 +889,76 @@ def _power_oracle(dim: int = 64) -> str:
     {body}
     SELECT k AS j, CAST(vv AS BIGINT) AS v_fp FROM v{POWER_ITERATIONS}
     """
+
+
+def _power2_oracle(dim: int = 64) -> str:
+    from ..operators.similarity import POWER_ITERATIONS, POWER_SCALE
+
+    S = POWER_SCALE
+    T = POWER_ITERATIONS
+    base = _power_oracle(dim)
+    # reuse component 1's CTE chain: strip the WITH prefix and final SELECT
+    head, _, _ = base.rpartition("SELECT k AS j")
+    norm = (
+        "CASE WHEN {m}.m = 0 THEN CAST(0 AS HUGEINT) "
+        f"WHEN {{y}} < 0 THEN -(((-{{y}}) * {S}) // {{m}}.m) "
+        f"ELSE ({{y}} * {S}) // {{m}}.m END"
+    )
+    ctes = [
+        f"""dd AS MATERIALIZED (SELECT SUM(vv * vv) AS d FROM v{T}),
+    u0 AS (
+      SELECT CAST(i AS BIGINT) AS k,
+             CAST(CASE WHEN i % 2 = 1 THEN {S} ELSE -{S} END AS HUGEINT) AS vv
+      FROM UNNEST(generate_series(1, {dim})) g(i)
+    )"""
+    ]
+    for t in range(1, T + 1):
+        n = norm.format(m=f"b2m{t}", y="y")
+        nw = norm.format(m=f"b2mw{t}", y="y")
+        ctes.append(
+            f"""b2s{t} AS MATERIALIZED (
+      SELECT qk.vec_id, SUM(qk.qv * u{t - 1}.vv) AS s
+      FROM qk JOIN u{t - 1} ON qk.k = u{t - 1}.k GROUP BY 1
+    ),
+    b2y{t} AS MATERIALIZED (
+      SELECT qk.k, SUM(qk.qv * b2s{t}.s) AS y
+      FROM qk JOIN b2s{t} USING (vec_id) GROUP BY 1
+    ),
+    b2m{t} AS MATERIALIZED (SELECT MAX(ABS(y)) AS m FROM b2y{t}),
+    b2n{t} AS MATERIALIZED (SELECT k, {n} AS vv FROM b2y{t}, b2m{t}),
+    b2p{t} AS MATERIALIZED (
+      SELECT SUM(a.vv * n.vv) AS p FROM v{T} a JOIN b2n{t} n ON a.k = n.k
+    ),
+    b2w{t} AS MATERIALIZED (
+      SELECT n.k, dd.d * n.vv - b2p{t}.p * a.vv AS y
+      FROM b2n{t} n JOIN v{T} a ON n.k = a.k, dd, b2p{t}
+    ),
+    b2mw{t} AS MATERIALIZED (SELECT MAX(ABS(y)) AS m FROM b2w{t}),
+    u{t} AS MATERIALIZED (SELECT k, {nw} AS vv FROM b2w{t}, b2mw{t})"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""{head.rstrip().rstrip(',')},
+    {body}
+    SELECT CAST(1 AS BIGINT) AS comp, k AS j, CAST(vv AS BIGINT) AS v_fp FROM v{T}
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), k, CAST(vv AS BIGINT) FROM u{T}
+    """
+
+
+@ext_query("emb_power_top2", _power2_oracle())
+def emb_power_top2(spark, sf_dir):
+    """Top-2 PCA by DEFLATED integer power iteration: component 2 re-runs
+    component 1's recurrence from an alternating-sign start and
+    orthogonalizes against v1 every round by integer cross-multiplication
+    (w' = (v1ᵀv1)·yn − (v1ᵀyn)·v1 — exactly orthogonal, no rounding in the
+    projection itself; renormalizing yn to POWER_SCALE first makes every
+    product bounded by a model constant, independent of corpus size). The
+    oracle replays both component chains as generated CTEs. Cluster work
+    per round is one dot pass + one 64-group aggregate; deflation is
+    driver-side model math on 64 ints."""
+    e = _emb(spark, sf_dir)
+    q = similarity.quantize_int8(e, "v", "vec_id")
+    return similarity.power_iteration_top2(q, dim=64)
 
 
 @ext_query("emb_power_iteration", _power_oracle())

@@ -423,6 +423,7 @@ EMB_ONLY_ENTRIES = [
     "sim_ivfpq_topk",
     "dedup_semantic",
     "emb_power_iteration",
+    "emb_power_top2",
 ]
 
 

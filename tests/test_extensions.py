@@ -1770,3 +1770,39 @@ def test_pps_systematic_sample_size_and_bias(spark, sf_dir):
     # assert per stratum; across all strata the PPS sample mean must sit
     # at or above the population mean (within 2% sampling slack)
     assert got["wt"].mean() >= pop_mean * 0.98, (got["wt"].mean(), pop_mean)
+
+
+def test_power_top2_orthogonal_and_aligned(spark):
+    """Deflated component 2 must be (a) near-orthogonal to component 1
+    (|cos| < 0.02 — only renormalization truncation separates it from
+    exact-zero), and (b) aligned with numpy SVD's second right-singular
+    vector (|cos| > 0.95) on a two-spike covariance."""
+    import numpy as np
+
+    from forgottenlandapp_etl_spark.operators import similarity as S
+
+    rng = np.random.default_rng(23)
+    dim, n = 16, 500
+    s1, s2 = rng.normal(size=dim), rng.normal(size=dim)
+    s1 /= np.linalg.norm(s1)
+    s2 -= (s2 @ s1) * s1
+    s2 /= np.linalg.norm(s2)
+    data = (
+        rng.normal(size=(n, dim))
+        + 9.0 * np.outer(rng.normal(size=n), s1)
+        + 4.0 * np.outer(rng.normal(size=n), s2)
+    )
+    e = spark.createDataFrame(
+        [(i, [float(x) for x in data[i]]) for i in range(n)],
+        "vec_id long, v array<double>",
+    )
+    q = S.quantize_int8(e, "v", "vec_id")
+    got = S.power_iteration_top2(q, dim=dim, iterations=6).toPandas()
+    v1 = got[got["comp"] == 1].sort_values("j")["v_fp"].to_numpy(dtype=np.float64)
+    v2 = got[got["comp"] == 2].sort_values("j")["v_fp"].to_numpy(dtype=np.float64)
+    ortho = abs(v1 @ v2) / (np.linalg.norm(v1) * np.linalg.norm(v2))
+    assert ortho < 0.02, ortho
+    qm = np.array([r["q"] for r in q.orderBy("vec_id").collect()], dtype=np.float64)
+    _, _, vt = np.linalg.svd(qm, full_matrices=False)
+    cos2 = abs(v2 @ vt[1]) / (np.linalg.norm(v2) * np.linalg.norm(vt[1]))
+    assert cos2 > 0.95, cos2
