@@ -156,6 +156,8 @@ HEADLINE = [
     "graph_link_prediction",
     "src_jsonl_roundtrip",
     "emb_power_top2",
+    "dq_anomaly_mad",
+    "mix_diversity_gini",
 ]
 
 

@@ -374,6 +374,98 @@ def agg_percentile(spark, sf_dir):
 
 
 @query(
+    "dq_anomaly_mad",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, ABS(e.value - m.med) AS ad, m.med
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(ad, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           ANY_VALUE(d.med) AS med,
+           ANY_VALUE(m.mad) AS mad,
+           CAST(SUM(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def dq_anomaly_mad(spark, sf_dir):
+    """Median-absolute-deviation anomaly counts per group — the robust
+    outlier gate beside dq_outlier_iqr (MAD tolerates 50% contamination
+    where IQR fences break at 25%). Two exact-percentile passes (Spark
+    ``percentile`` == DuckDB ``quantile_cont``, bit-equal interpolation —
+    the agg_percentile parity) plus a counting aggregate, all shuffling on
+    the same group key so AQE coalesces the exchanges; the medians travel
+    back as a |groups|-row broadcast join, never a window over the fact
+    table. At 100 TB the exact median swaps for the quantile-histogram
+    sketch; this form is its correctness oracle."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), on="event_type").select(
+        "event_type", "value", F.abs(F.col("value") - F.col("med")).alias("ad"), "med"
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), on="event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med").alias("med"),
+            F.any_value("mad").alias("mad"),
+            F.sum((F.col("ad") > 3 * F.col("mad")).cast("long")).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "mix_diversity_gini",
+    """
+    WITH c AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT lang, SUM(n) AS tn, SUM(n * n) AS sq FROM c GROUP BY 1
+    )
+    SELECT lang, CAST(tn AS BIGINT) AS n_docs,
+           CAST(((tn * tn - sq) * 1000000) // (tn * tn) AS BIGINT) AS gini_fp
+    FROM t
+    """,
+)
+def mix_diversity_gini(spark, sf_dir):
+    """Per-language source-mixture diversity as Gini impurity — the
+    mixture-health metric a pretraining pipeline watches (gini → 0 means
+    one source dominates a language's slice). Gini = 1 − Σp² is a RATIONAL
+    of integer counts, so unlike entropy (logs are not correctly-rounded)
+    it is hash-exact in 10^6 fixed point. Two re-aggregatable hash
+    aggregates (source counts, then per-lang moments) — counts-only,
+    re-aggregatable across shards, no data-sized join anywhere."""
+    d = catalog.table(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("lang").agg(
+        F.sum("n").alias("tn"), F.sum(F.col("n") * F.col("n")).alias("sq")
+    )
+    return t.select(
+        "lang",
+        F.col("tn").cast("long").alias("n_docs"),
+        F.expr("((tn * tn - sq) * 1000000) div (tn * tn)")
+        .cast("long")
+        .alias("gini_fp"),
+    )
+
+
+@query(
     "wx_ntile",
     """
     SELECT o_orderkey, o_orderstatus,

@@ -93,6 +93,7 @@ DOC_ONLY_ENTRIES = [
     "sample_pps_systematic",
     "pipeline_training_ready",
     "sketch_count_min",
+    "mix_diversity_gini",
     "mix_temperature_sample",
     "pipeline_pack_sequences",
     "pipeline_pack_ffd",
@@ -251,6 +252,7 @@ EVENTS_ONLY_ENTRIES = [
     "c5_try_int",
     "c7_json_extract",
     "c7b_variant_extract",
+    "dq_anomaly_mad",
     "dq_drift_histogram",
     "dq_profile_events",
     "sketch_cms_daily_merge",
