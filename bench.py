@@ -158,6 +158,7 @@ HEADLINE = [
     "emb_power_top2",
     "dq_anomaly_mad",
     "mix_diversity_gini",
+    "wx_streak_lengths",
 ]
 
 

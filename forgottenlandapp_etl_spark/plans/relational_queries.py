@@ -466,6 +466,74 @@ def mix_diversity_gini(spark, sf_dir):
 
 
 @query(
+    "wx_streak_lengths",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      WHERE ts IS NOT NULL
+    ),
+    g AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INT) AS grp
+      FROM d
+    ),
+    s AS (
+      SELECT user_id, MIN(day) AS streak_start,
+             CAST(COUNT(*) AS BIGINT) AS streak_days
+      FROM g GROUP BY user_id, grp
+    ),
+    r AS (
+      SELECT user_id, CAST(streak_start AS VARCHAR) AS streak_start,
+             streak_days,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY streak_days DESC, streak_start ASC)
+               AS rn
+      FROM s
+    )
+    SELECT user_id, streak_start, streak_days FROM r WHERE rn = 1
+    """,
+)
+def wx_streak_lengths(spark, sf_dir):
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands classic (day − row_number is constant within a run of
+    consecutive days, so the island id costs ONE window pass, never a
+    self-join or a recursive walk). Distinct active days → island id →
+    per-island count → per-user arg-max with a (length desc, start asc)
+    tiebreak. Every stage shuffles on user_id, so AQE collapses the
+    exchanges into one layout; output is one row per user."""
+    ev = _t(spark, sf_dir, "events")
+    # NULL ts guard on BOTH sides: engines disagree on NULL sort position
+    # (Spark ASC nulls-first vs DuckDB nulls-last) and NULL date arithmetic
+    # would silently create a NULL island
+    d = (
+        ev.where(F.col("ts").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    wg = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn(
+        "grp", F.date_sub("day", F.row_number().over(wg))
+    )
+    s = g.groupBy("user_id", "grp").agg(
+        F.min("day").alias("streak_start"),
+        F.count(F.lit(1)).alias("streak_days"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), F.asc("streak_start")
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("streak_start").cast("string").alias("streak_start"),
+            "streak_days",
+        )
+    )
+
+
+@query(
     "wx_ntile",
     """
     SELECT o_orderkey, o_orderstatus,

@@ -291,6 +291,7 @@ EVENTS_ONLY_ENTRIES = [
     "agg_markov_transitions",
     "wx_ewma",
     "wx_lag_delta",
+    "wx_streak_lengths",
     "wx_last_nonnull",
     "wx_moving_sum",
     "wx_range_frame",
