@@ -159,6 +159,7 @@ HEADLINE = [
     "dq_anomaly_mad",
     "mix_diversity_gini",
     "wx_streak_lengths",
+    "stream_ivm_rollup",
 ]
 
 

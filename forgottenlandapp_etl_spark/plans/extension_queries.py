@@ -1193,6 +1193,34 @@ def stream_sliding_counts(spark, sf_dir):
 
 
 @ext_query(
+    "stream_ivm_rollup",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END)
+                AS BIGINT) AS n_events,
+           CAST(SUM((CASE WHEN event_type = 'error' THEN -1 ELSE 1 END)
+                    * CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def stream_ivm_rollup(spark, sf_dir):
+    """Incremental view maintenance — the events stream replayed as an
+    insert/retract changelog ('error' retracts) whose per-(day, type)
+    additive rollup is kept current by foreachBatch DELTA MERGES into a
+    day-partitioned view (streaming/ivm.py): each micro-batch reduces its
+    own rows, reads only the touched days, adds counters, overwrites those
+    partitions. SUM's associativity makes the result batch-boundary- and
+    replay-independent, so the maintained view hash-equals the one-shot
+    batch aggregate the oracle states — IVM verified exactly, not just
+    shape-plausible."""
+    from ..streaming.ivm import maintain_events_rollup
+
+    return maintain_events_rollup(spark, sf_dir)
+
+
+@ext_query(
     "stream_topk_users",
     """
     WITH c AS (

@@ -281,6 +281,7 @@ EVENTS_ONLY_ENTRIES = [
     "stream_cdc_apply",
     "stream_daily_counts",
     "stream_dedup_keys",
+    "stream_ivm_rollup",
     "stream_distinct_hll",
     "stream_session_windows",
     "stream_sliding_counts",
