@@ -1303,54 +1303,75 @@ def power_iteration_top_component(
     distributed power iteration on QᵀQ in EXACT INTEGER arithmetic:
     (j, v_fp) with j 1-based and max|v_fp| = POWER_SCALE.
 
-    Per round, entirely integer: s_i = Σ_k q_ik·v_k (per-row dot, a
-    zip_with/aggregate fold inside whole-stage codegen), y_j = Σ_i q_ij·s_i
-    (posexplode → 64-group hash aggregate, map-side combined), then the
-    renormalization v'_j = sign(y_j)·(|y_j|·SCALE div max|y|) — symmetric
-    TRUNCATION, not floor, so negative components agree with the oracle's
-    BIGINT `//`. The per-round driver collect is dim values — the model,
-    not data (same architecture as the exact-k-means trainer and MLlib
-    itself); the data-sized work is one narrow pass + one tiny-key
-    aggregate per round, linear at any corpus size. Floating-point power
-    iteration can never hash-match across engines (norm sqrt, summation
-    order); this formulation is bit-identical by construction, converging
-    to the same direction as float PCA up to quantization error.
+    The identity that sets the execution shape: the round update
+    y = Qᵀ(Qv) equals G·v with G = QᵀQ — a dim×dim INTEGER Gram matrix.
+    So the cluster computes G in ONE Arrow pass (per-partition numpy
+    int64 QᵀQ partials, summed driver-side as Python ints — exact at any
+    N, since a partition partial is bounded by rows·127² and the final
+    sum is arbitrary-precision), and every iteration is then a 64×64
+    integer matvec on the driver: ZERO Spark jobs per round. This is the
+    classical distributed-PCA architecture (covariance once, eigensolve
+    on the model) and replaced the first implementation's
+    one-aggregate-per-round form, whose real cost was Catalyst/codegen
+    COMPILATION of a fresh 64-literal plan every round (~0.9 s/round at
+    any data size — a constant the bench surfaced, and one the Gram form
+    deletes along with the per-round shuffles).
+
+    Renormalization per round: v'_j = sign(y_j)·(|y_j|·SCALE div max|y|)
+    — symmetric TRUNCATION, not floor, so negative components agree with
+    the oracle's BIGINT `//`. Floating-point power iteration can never
+    hash-match across engines (norm sqrt, summation order); this
+    formulation is bit-identical by construction, converging to the same
+    direction as float PCA up to quantization error.
 
     A zero matrix (or a y that cancels to exact zero) renormalizes to the
     all-zero vector and stays there — the oracle's CASE states the same
     rule, so the degenerate path is hash-exact too.
     """
-    rows = q_df.select("q").localCheckpoint(eager=True)
+    G = _gram_matrix(q_df, dim)
     v = [POWER_SCALE] * dim
-    dec = "decimal(38,0)"
     for _ in range(iterations):
-        vlit = F.array(*[F.lit(int(x)).cast("long") for x in v])
-        s = F.aggregate(
-            F.zip_with(F.col("q"), vlit, lambda a, b: a.cast("long") * b),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        y_rows = (
-            rows.select(s.alias("s"), F.posexplode("q").alias("p", "qj"))
-            .groupBy("p")
-            .agg(F.sum(F.col("qj").cast(dec) * F.col("s").cast(dec)).alias("y"))
-            .collect()
-        )
-        y = [0] * dim
-        for r in y_rows:
-            y[r["p"]] = int(r["y"])
-        m = max(abs(c) for c in y)
-        if m == 0:
-            v = [0] * dim
-        else:
-            v = [
-                (-((-c) * POWER_SCALE // m) if c < 0 else c * POWER_SCALE // m)
-                for c in y
-            ]
+        v = _power_normalize(_matvec(G, v))
     spark = q_df.sparkSession
     return spark.createDataFrame(
         [(j + 1, int(v[j])) for j in range(dim)], "j long, v_fp long"
     )
+
+
+def _gram_matrix(q_df: DataFrame, dim: int) -> list[list[int]]:
+    """Exact integer Gram matrix G = QᵀQ in one Arrow pass: numpy int64
+    partials per partition (safe — a partial entry is ≤ rows·127², inside
+    int64 for any partition under ~5·10^14 rows), summed into Python ints
+    on the driver (arbitrary precision, so the TOTAL is exact at any
+    corpus size). The collect is |partitions| rows of dim² longs —
+    model-sized metadata, not data."""
+
+    def part(it):
+        import numpy as np
+        import pandas as pd
+
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        for pdf in it:
+            if len(pdf):
+                Q = np.asarray(pdf["q"].tolist(), dtype=np.int64)
+                acc += Q.T @ Q
+        yield pd.DataFrame({"g": [acc.reshape(-1).tolist()]})
+
+    parts = q_df.select("q").mapInPandas(part, schema="g array<long>").collect()
+    G = [[0] * dim for _ in range(dim)]
+    for r in parts:
+        flat = r["g"]
+        for j in range(dim):
+            row = G[j]
+            base = j * dim
+            for k in range(dim):
+                row[k] += flat[base + k]
+    return G
+
+
+def _matvec(G: list[list[int]], v: list[int]) -> list[int]:
+    """Exact y = G·v in Python ints (64×64 — microseconds per round)."""
+    return [sum(gj[k] * v[k] for k in range(len(v))) for gj in G]
 
 
 def _power_normalize(y: list[int]) -> list[int]:
@@ -1382,30 +1403,15 @@ def power_iteration_top2(
     itself; only the subsequent renormalization truncates). Because yn is
     renormalized to POWER_SCALE before the projection, every product is
     bounded by dim·POWER_SCALE³ regardless of corpus size — the overflow
-    headroom is a constant of the model, not a function of N. Per round
-    the cluster work is identical to component 1 (one codegen dot pass,
-    one dim-group aggregate, one dim-sized model collect); the deflation
-    arithmetic is pure driver-side model math on 64 ints."""
-    rows = q_df.select("q").localCheckpoint(eager=True)
-    dec = "decimal(38,0)"
+    headroom is a constant of the model, not a function of N. Cluster
+    work for BOTH components is the single Gram pass (_gram_matrix);
+    every round of either component is a driver-side 64×64 integer
+    matvec plus the deflation arithmetic on 64 ints — zero per-round
+    Spark jobs."""
+    G = _gram_matrix(q_df, dim)
 
     def qtqu(v: list[int]) -> list[int]:
-        vlit = F.array(*[F.lit(int(x)).cast("long") for x in v])
-        s = F.aggregate(
-            F.zip_with(F.col("q"), vlit, lambda a, b: a.cast("long") * b),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        y_rows = (
-            rows.select(s.alias("s"), F.posexplode("q").alias("p", "qj"))
-            .groupBy("p")
-            .agg(F.sum(F.col("qj").cast(dec) * F.col("s").cast(dec)).alias("y"))
-            .collect()
-        )
-        y = [0] * dim
-        for r in y_rows:
-            y[r["p"]] = int(r["y"])
-        return y
+        return _matvec(G, v)
 
     v1 = [POWER_SCALE] * dim
     for _ in range(iterations):
