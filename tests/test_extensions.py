@@ -1806,3 +1806,39 @@ def test_power_top2_orthogonal_and_aligned(spark):
     _, _, vt = np.linalg.svd(qm, full_matrices=False)
     cos2 = abs(v2 @ vt[1]) / (np.linalg.norm(v2) * np.linalg.norm(vt[1]))
     assert cos2 > 0.95, cos2
+
+
+def test_ewma_int_carries_state_across_arrow_batches(spark):
+    """The mapInPandas fold must survive Arrow splitting one key's run
+    across batches: force 7-row batches over a 60-row single-key series
+    and compare to the Python reference fold."""
+    import datetime as dt
+
+    from forgottenlandapp_etl_spark.operators import windows as W
+
+    t0 = dt.datetime(2024, 3, 1)
+    xs = [(i * 37) % 1000 for i in range(60)]
+    rows = [
+        (1, t0 + dt.timedelta(seconds=i), i, xs[i]) for i in range(60)
+    ] + [(2, t0, 100, 5)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, x_fp long"
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = {
+            (r["user_id"], r["rn"]): r["ewma_fp"]
+            for r in W.ewma_int(df, "user_id", ["ts", "event_id"], "x_fp").collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    ref = [xs[0]]
+    for x in xs[1:]:
+        ref.append((W.EWMA_NUM * x + (W.EWMA_DEN - W.EWMA_NUM) * ref[-1]) // W.EWMA_DEN)
+    for i, v in enumerate(ref, start=1):
+        assert got[(1, i)] == v, i
+    assert got[(2, 1)] == 5
