@@ -160,6 +160,10 @@ HEADLINE = [
     "mix_diversity_gini",
     "wx_streak_lengths",
     "stream_ivm_rollup",
+    "wx_rolling_median",
+    "agg_bounce_rate",
+    "sql_lateral_topk",
+    "pipeline_rag_index",
 ]
 
 

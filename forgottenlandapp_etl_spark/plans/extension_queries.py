@@ -3607,6 +3607,131 @@ def text_chunk_overlap(spark, sf_dir):
     )
 
 
+# RAG-index geometry: hashed-feature dimensionality and the shared ±1
+# planes for the chunk sign code (one source of truth with the oracle,
+# same discipline as _RHP_PLANES). 16 feature buckets × 16 planes →
+# 16-bit code → 4 bands of 4 bits.
+RAG_BUCKETS = 16
+RAG_PLANES = similarity.rhp_planes(dim=16, n_planes=16, seed=13)
+RAG_BANDS = 4
+
+
+def _rag_index_oracle() -> str:
+    h = _SQL_TOKEN_HASH.format(col="u.w")
+    counts = ",\n             ".join(
+        f"SUM(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS c{i}"
+        for i in range(RAG_BUCKETS)
+    )
+    bits = []
+    for p, plane in enumerate(RAG_PLANES):
+        dot = " + ".join(
+            f"({int(plane[i])}) * c{i}" for i in range(RAG_BUCKETS)
+        )
+        bits.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END")
+    code = " + ".join(bits)
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    c AS (
+      SELECT doc_id, CAST(g.i AS INT) AS chunk_idx,
+             t[g.i * {CHUNK_STRIDE} + 1 : g.i * {CHUNK_STRIDE} + {CHUNK_WINDOW}]
+               AS ctoks
+      FROM toks,
+           UNNEST(generate_series(
+             0, CAST(ceil(len(t) / {CHUNK_STRIDE}.0) AS INT) - 1)) g(i)
+    ),
+    feat AS (
+      SELECT doc_id, chunk_idx, {h} % {RAG_BUCKETS} AS b
+      FROM c, UNNEST(ctoks) u(w) WHERE u.w <> ''
+    ),
+    vecs AS (
+      SELECT doc_id, chunk_idx,
+             {counts}
+      FROM feat GROUP BY 1, 2
+    ),
+    coded AS (
+      SELECT doc_id, chunk_idx, CAST({code} AS BIGINT) AS code FROM vecs
+    )
+    SELECT doc_id, chunk_idx, code,
+           CAST(g.i AS INT) AS band,
+           CAST((code // CAST(POWER(16, g.i) AS BIGINT)) % 16 AS INT)
+             AS band_key
+    FROM coded, UNNEST(generate_series(0, {RAG_BANDS - 1})) g(i)
+    """
+
+
+@ext_query("pipeline_rag_index", _rag_index_oracle())
+def pipeline_rag_index(spark, sf_dir):
+    """The RAG indexing pipeline composed end-to-end and verified
+    hash-exact: sliding-window chunking (text_chunk_overlap's geometry) →
+    hashed-feature chunk vectors (token hash into 16 count buckets — the
+    model-free stand-in with the same plumbing a real encoder needs) →
+    16-bit sign code over shared ±1 planes → 4×4-bit banded index rows
+    (band, band_key, doc_id, chunk_idx): exactly the relation a retrieval
+    service persists, bucketed so candidate lookup is an equi-join. Every
+    stage is integer column math (the sign of a ±1·count dot is exact in
+    both engines); the only shuffle is the per-chunk count aggregate —
+    chunking explodes narrowly, banding is a 4-row constant fan-out."""
+    d = _docs(spark, sf_dir, fan_out=True)
+    # chunk token arrays rebuilt directly (cheaper than re-splitting the
+    # joined chunk string: slice the token array once)
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    c = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.expr(f"int(ceil(n / {CHUNK_STRIDE}.0)) - 1"))
+        ).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_idx"),
+        F.slice(F.col("t"), F.col("i") * CHUNK_STRIDE + 1, CHUNK_WINDOW).alias(
+            "ctoks"
+        ),
+    )
+    feat = c.select(
+        "doc_id",
+        "chunk_idx",
+        F.explode("ctoks").alias("w"),
+    ).where(F.col("w") != "").select(
+        "doc_id",
+        "chunk_idx",
+        (dedup.token_hash(F.col("w")) % RAG_BUCKETS).alias("b"),
+    )
+    vecs = feat.groupBy("doc_id", "chunk_idx").agg(
+        *[
+            F.sum((F.col("b") == i).cast("long")).alias(f"c{i}")
+            for i in range(RAG_BUCKETS)
+        ]
+    )
+    code = None
+    for p, plane in enumerate(RAG_PLANES):
+        dot = None
+        for i in range(RAG_BUCKETS):
+            term = F.col(f"c{i}") * int(plane[i])
+            dot = term if dot is None else dot + term
+        bit = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        code = bit if code is None else code + bit
+    coded = vecs.select(
+        "doc_id", "chunk_idx", code.cast("long").alias("code")
+    )
+    return coded.select(
+        "doc_id",
+        "chunk_idx",
+        "code",
+        F.explode(F.sequence(F.lit(0), F.lit(RAG_BANDS - 1))).alias("band"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        "code",
+        F.col("band").cast("int").alias("band"),
+        F.expr("cast((code div cast(pow(16, band) as bigint)) % 16 as int)").alias(
+            "band_key"
+        ),
+    )
+
+
 #: fixed-point scale for the bigram-LM quality score (1.0 == 10^9); the
 #: Spark plan (operators.text.bigram_lm_scores) and the generated oracle
 #: below share this one constant

@@ -534,6 +534,60 @@ def wx_streak_lengths(spark, sf_dir):
 
 
 @query(
+    "wx_rolling_median",
+    """
+    WITH b AS (
+      SELECT user_id, ts, event_id,
+             GREATEST(CAST(FLOOR(value * 1000) AS BIGINT), 0) AS x_fp
+      FROM events WHERE ts IS NOT NULL
+    ),
+    w AS (
+      SELECT user_id, event_id, x_fp,
+             list_sort(list(x_fp) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS BETWEEN 6 PRECEDING
+                                        AND CURRENT ROW)) AS win
+      FROM b
+    )
+    SELECT user_id, event_id, x_fp,
+           win[(len(win) + 1) // 2] AS med_fp
+    FROM w
+    """,
+)
+def wx_rolling_median(spark, sf_dir):
+    """Exact rolling median (lower median of the trailing 7-row frame per
+    user) — the robust smoother beside wx_ewma: one spike can drag a mean
+    or an EWMA, never the median. No native windowed-median exists in
+    either engine, so the frame is collected as a bounded k-element array
+    and sorted per row — O(k log k) per row with k a CONSTANT (7), which
+    keeps it a pure column expression inside whole-stage codegen: one
+    shuffle on user_id, no UDF, no second pass. The LOWER median
+    (element (n+1) div 2 of the sorted frame) avoids even-count
+    interpolation entirely, so the result is integer-exact cross-engine."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.where(F.col("ts").isNotNull()).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.greatest(F.floor(F.col("value") * 1000).cast("long"), F.lit(0)).alias(
+            "x_fp"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    win = F.sort_array(F.collect_list("x_fp").over(w))
+    return b.select(
+        "user_id",
+        "event_id",
+        "x_fp",
+        F.element_at(win, ((F.size(win) + 1) / 2).cast("int")).alias("med_fp"),
+    )
+
+
+@query(
     "wx_ntile",
     """
     SELECT o_orderkey, o_orderstatus,
@@ -1113,6 +1167,63 @@ def agg_ols_slope(spark, sf_dir):
         (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
         .cast("long")
         .alias("intercept_num"),
+    )
+
+
+@query(
+    "agg_bounce_rate",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, sid, CAST(CAST(MIN(ts) AS DATE) AS VARCHAR) AS day,
+             COUNT(*) AS n
+      FROM g GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+           CAST((SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+                AS BIGINT) AS bounce_fp
+    FROM s GROUP BY day
+    """,
+)
+def agg_bounce_rate(spark, sf_dir):
+    """Daily bounce rate — the share of 30-minute-gap sessions containing
+    exactly one event, keyed by the session's START day: the engagement
+    metric every product dashboard leads with. Sessionizes with
+    F.session_window (one shuffle on user_id — the same state shape the
+    streaming variant runs live), then one day-keyed aggregate; the rate
+    is integer fixed point (×10^6 floor), so the metric — not just the
+    counts — is hash-exact. The oracle reconstructs identical sessions
+    with the gaps-and-islands idiom."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.to_date(F.col("w.start")).cast("string").alias("day"),
+            "n",
+        )
+    )
+    return s.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum((F.col("n") == 1).cast("long")).alias("n_bounces"),
+        F.expr(
+            "(sum(cast(n = 1 as long)) * 1000000) div count(1)"
+        ).alias("bounce_fp"),
     )
 
 
@@ -2205,6 +2316,45 @@ def sql_daily_rollup(spark, sf_dir):
                COUNT(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
+        """
+    )
+
+
+@query(
+    "sql_lateral_topk",
+    """
+    SELECT t.event_type, l.event_id, l.x_fp, l.rn
+    FROM (SELECT DISTINCT event_type FROM events) t,
+    LATERAL (
+      SELECT event_id, CAST(FLOOR(value * 1000) AS BIGINT) AS x_fp,
+             ROW_NUMBER() OVER (ORDER BY value DESC, event_id ASC) AS rn
+      FROM events e
+      WHERE e.event_type = t.event_type
+      ORDER BY value DESC, event_id ASC LIMIT 3
+    ) l
+    """,
+)
+def sql_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery — per event type, its top-3 events by
+    value through the textual SQL front-end (Spark 4 lateral correlated
+    subqueries): the 'for each row of t, run this parameterized query'
+    surface analysts reach for before learning window functions. Catalyst
+    DECORRELATES the lateral into the same join+window plan the wx_* rank
+    entries state directly — which is the point of the entry: the naive
+    per-group re-scan formulation still executes set-at-a-time, verified
+    by the same oracle shape running in DuckDB's lateral binder."""
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT t.event_type, l.event_id, l.x_fp, l.rn
+        FROM (SELECT DISTINCT event_type FROM events) t,
+        LATERAL (
+          SELECT event_id, CAST(FLOOR(value * 1000) AS BIGINT) AS x_fp,
+                 ROW_NUMBER() OVER (ORDER BY value DESC, event_id ASC) AS rn
+          FROM events e
+          WHERE e.event_type = t.event_type
+          ORDER BY value DESC, event_id ASC LIMIT 3
+        ) l
         """
     )
 

@@ -105,6 +105,7 @@ DOC_ONLY_ENTRIES = [
     "src_orc_roundtrip",
     "src_csv_roundtrip",
     "pipeline_dsir_select",
+    "pipeline_rag_index",
 ]
 
 
@@ -296,6 +297,11 @@ EVENTS_ONLY_ENTRIES = [
     "wx_last_nonnull",
     "wx_moving_sum",
     "wx_range_frame",
+    "wx_rolling_median",
+    "agg_bounce_rate",
+    # sql_lateral_topk: register_views registers the FULL catalog before
+    # its spark.sql — cannot run on the events-only dir (sql_daily_rollup
+    # has the same exclusion)
     "agg_ols_slope",
 ]
 
