@@ -164,6 +164,7 @@ HEADLINE = [
     "agg_bounce_rate",
     "sql_lateral_topk",
     "pipeline_rag_index",
+    "dq_uniqueness",
 ]
 
 

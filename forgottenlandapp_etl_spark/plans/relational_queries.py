@@ -1171,6 +1171,43 @@ def agg_ols_slope(spark, sf_dir):
 
 
 @query(
+    "dq_uniqueness",
+    """
+    WITH k AS (
+      SELECT user_id, ts, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_keys,
+           CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_rows,
+           CAST(MAX(n) AS BIGINT) AS worst_key_rows,
+           CAST((SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) * 1000000)
+                // COUNT(*) AS BIGINT) AS dup_key_fp
+    FROM k
+    """,
+)
+def dq_uniqueness(spark, sf_dir):
+    """Candidate-key uniqueness audit — would (user_id, ts) serve as a
+    key? Reports total keys, violating keys, rows trapped in violations,
+    the worst key's multiplicity, and the violation rate in fixed point —
+    the promotion gate run before declaring any natural key or building a
+    MERGE on it. One map-side-combinable count per key then a scalar
+    reduce; at 100 TB this is the cheapest full-table audit there is (no
+    join, no sort, one shuffle)."""
+    ev = _t(spark, sf_dir, "events")
+    k = ev.groupBy("user_id", "ts").agg(F.count(F.lit(1)).alias("n"))
+    return k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum((F.col("n") > 1).cast("long")).alias("dup_keys"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias("dup_rows"),
+        F.max("n").alias("worst_key_rows"),
+        F.expr("(sum(cast(n > 1 as long)) * 1000000) div count(1)").alias(
+            "dup_key_fp"
+        ),
+    )
+
+
+@query(
     "agg_bounce_rate",
     """
     WITH o AS (

@@ -254,6 +254,7 @@ EVENTS_ONLY_ENTRIES = [
     "c7_json_extract",
     "c7b_variant_extract",
     "dq_anomaly_mad",
+    "dq_uniqueness",
     "dq_drift_histogram",
     "dq_profile_events",
     "sketch_cms_daily_merge",
