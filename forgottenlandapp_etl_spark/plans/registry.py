@@ -147,7 +147,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # stream_sliding_counts; round-6d continuation adds emb_power_iteration
 # (hash-exact integer PCA — the strongest learned-tier candidate),
 # graph_kcore (iterative peel + recursive-CTE oracle), wx_ewma (stateful
-# integer fold), j10_interval_overlap, stream_topk_users.
+# integer fold), j10_interval_overlap, stream_topk_users; and from the 6d
+# tail: emb_power_top2 (deflated second component), stream_ivm_rollup
+# (delta-merge view maintenance — the write-side streaming shape),
+# pipeline_rag_index (composed chunk→feature→code→band index),
+# graph_link_prediction (bounded wedge join).
 
 _missing = [n for n in DRIVER_WINDOW if n not in _ALL_QUERIES]
 if _missing:

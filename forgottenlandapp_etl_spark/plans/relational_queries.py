@@ -2363,11 +2363,12 @@ def sql_daily_rollup(spark, sf_dir):
     SELECT t.event_type, l.event_id, l.x_fp, l.rn
     FROM (SELECT DISTINCT event_type FROM events) t,
     LATERAL (
-      SELECT event_id, CAST(FLOOR(value * 1000) AS BIGINT) AS x_fp,
-             ROW_NUMBER() OVER (ORDER BY value DESC, event_id ASC) AS rn
-      FROM events e
-      WHERE e.event_type = t.event_type
-      ORDER BY value DESC, event_id ASC LIMIT 3
+      SELECT * FROM (
+        SELECT event_id, CAST(FLOOR(value * 1000) AS BIGINT) AS x_fp,
+               ROW_NUMBER() OVER (ORDER BY value DESC, event_id ASC) AS rn
+        FROM events e
+        WHERE e.event_type = t.event_type
+      ) r WHERE r.rn <= 3
     ) l
     """,
 )
@@ -2379,18 +2380,23 @@ def sql_lateral_topk(spark, sf_dir):
     DECORRELATES the lateral into the same join+window plan the wx_* rank
     entries state directly — which is the point of the entry: the naive
     per-group re-scan formulation still executes set-at-a-time, verified
-    by the same oracle shape running in DuckDB's lateral binder."""
+    by the same oracle shape running in DuckDB's lateral binder. The
+    top-3 is taken by filtering the ROW_NUMBER, not ORDER BY…LIMIT: the
+    decorrelator preserves a lateral's inner ORDER BY as a GLOBAL range
+    sort (caught by the universal no-global-sort plan gate), while the
+    rank filter decorrelates into a properly partitioned window."""
     catalog.register_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT t.event_type, l.event_id, l.x_fp, l.rn
         FROM (SELECT DISTINCT event_type FROM events) t,
         LATERAL (
-          SELECT event_id, CAST(FLOOR(value * 1000) AS BIGINT) AS x_fp,
-                 ROW_NUMBER() OVER (ORDER BY value DESC, event_id ASC) AS rn
-          FROM events e
-          WHERE e.event_type = t.event_type
-          ORDER BY value DESC, event_id ASC LIMIT 3
+          SELECT * FROM (
+            SELECT event_id, CAST(FLOOR(value * 1000) AS BIGINT) AS x_fp,
+                   ROW_NUMBER() OVER (ORDER BY value DESC, event_id ASC) AS rn
+            FROM events e
+            WHERE e.event_type = t.event_type
+          ) r WHERE r.rn <= 3
         ) l
         """
     )
