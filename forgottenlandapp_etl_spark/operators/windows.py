@@ -92,11 +92,12 @@ def ewma_int(
     step makes the recurrence non-linear, so there is no closed-form
     window/`aggregate()` expression — this is the honest shape of any
     stateful per-key smoother (EWMA, Kalman-style filters, token-bucket
-    accounting). It runs as applyInPandas: one Arrow batch per key, a
-    NumPy int64 loop inside — per-key work is inherently sequential (the
-    recurrence), but keys parallelize perfectly, which is the same
-    distribution story as any keyed stateful operator at 100 TB. No
-    driver-side anything.
+    accounting). It runs as a repartition-on-key + sortWithinPartitions +
+    mapInPandas fold over contiguous key runs (carrying state across Arrow
+    batch splits), with a NumPy int64 loop inside — per-key work is
+    inherently sequential (the recurrence), but keys parallelize
+    perfectly, which is the same distribution story as any keyed stateful
+    operator at 100 TB. No driver-side anything.
 
     Exactness: x must be non-negative (callers pin with greatest(x, 0)) so
     NumPy/Python floor division equals the oracle's BIGINT `//`

@@ -453,8 +453,12 @@ def mix_diversity_gini(spark, sf_dir):
     re-aggregatable across shards, no data-sized join anywhere."""
     d = catalog.table(spark, sf_dir, "documents")
     c = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    # tn*tn*1e6 passes 2^63 once a language slice holds ~3e6 docs, so the
+    # closing products run in DECIMAL(38,0) (the agg_ols_slope widening
+    # discipline) to match the oracle's HUGEINT arithmetic at 100 TB.
     t = c.groupBy("lang").agg(
-        F.sum("n").alias("tn"), F.sum(F.col("n") * F.col("n")).alias("sq")
+        F.sum("n").cast("decimal(38,0)").alias("tn"),
+        F.sum(F.col("n") * F.col("n")).cast("decimal(38,0)").alias("sq"),
     )
     return t.select(
         "lang",
@@ -1216,6 +1220,7 @@ def dq_uniqueness(spark, sf_dir):
                     OR LAG(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_s
       FROM events
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     g AS (
@@ -1245,8 +1250,11 @@ def agg_bounce_rate(spark, sf_dir):
     streaming variant runs live), then one day-keyed aggregate; the rate
     is integer fixed point (×10^6 floor), so the metric — not just the
     counts — is hash-exact. The oracle reconstructs identical sessions
-    with the gaps-and-islands idiom."""
-    ev = _t(spark, sf_dir, "events")
+    with the gaps-and-islands idiom. Null timestamps are dropped
+    EXPLICITLY on both sides (F.session_window would drop them silently;
+    the oracle's LAG would fold them into a session) so the drop rule is
+    stated, not incidental."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     s = (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -145,6 +145,14 @@ def zorder_write(
             F.max(col_b).cast("long"),
         ).first()
     )
+    if lo_a is None or lo_b is None:
+        # empty input (or all-NULL keys): the bounds row is NULLs and there
+        # is nothing to cluster — write the frame as-is so the sink still
+        # materializes a valid (empty) dataset instead of a TypeError
+        df.write.mode("overwrite").option(
+            "maxRecordsPerFile", target_rows_per_file
+        ).parquet(path)
+        return
     z = zvalue(col_a, col_b, lo_a, hi_a, lo_b, hi_b)
     zdf = df.withColumn("__z", z)
     if n_ranges is not None:

@@ -668,3 +668,18 @@ def test_zvalue_degenerate_and_monotone(spark):
     ).orderBy("a").collect()
     assert all(r1["z"] <= r2["z"] for r1, r2 in zip(z, z[1:]))
     assert z[0]["z"] >= 0
+
+
+def test_zorder_write_empty_input(spark, tmp_path):
+    """zorder_write on an empty frame: the bounds aggregate returns a row
+    of NULLs; the writer must short-circuit and still materialize a valid
+    empty parquet dataset (round-7 ADVICE — it used to TypeError on
+    `hi <= lo` with None bounds)."""
+    from forgottenlandapp_etl_spark.sources import ordering
+
+    empty = spark.range(0).selectExpr("id", "id AS x", "id AS y")
+    out = str(tmp_path / "empty_z")
+    ordering.zorder_write(empty, out, "x", "y")
+    back = spark.read.parquet(out)
+    assert back.count() == 0
+    assert set(back.columns) == {"id", "x", "y"}
