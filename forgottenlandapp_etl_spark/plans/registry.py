@@ -40,12 +40,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # buying rows for the round-5 promotions below; all stay oracle-gated
     # by tools/drive_gate.py)
     # §2.4 joins
+    # (j2_enrichment_join / j3_accumulating_merge / j5_semi_probe /
+    # j6_anti_probe rotated out r7 after six green rounds each — r6 verdict
+    # item 1 names j5/j6 explicitly and the r6 registry comment named
+    # j2/j3; j1 keeps the flagship diff-join row, j4/j7/j8 keep the
+    # rollup/as-of/range join families)
     "j1_snapshot_diff",
-    "j2_enrichment_join",
-    "j3_accumulating_merge",
     "j4_period_rollup",
-    "j5_semi_probe",
-    "j6_anti_probe",
     "j7_asof_join",
     "j8_range_join",
     # §2.5 aggregations
@@ -54,14 +55,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # after three driver-green rounds — same r3-verdict-item-2 mechanism)
     # §2.6 windows / ranks
     # (w1_rank_desc / w5_points_from_rank rotated out r6 after five green
-    # rounds; w3_multikey_rank keeps the multi-key sort family's driver row)
-    "w3_multikey_rank",
+    # rounds; w3_multikey_rank / wx_range_frame rotated out r7 after 6/4
+    # green rounds — wx_partitioned_rank keeps the rank family's row, and
+    # the promoted wx_ewma below keeps the wx window family windowed)
     "wx_partitioned_rank",
-    "wx_range_frame",
     # §2.8 scalar functions
     # (c1_skill_points rotated out r6 after five green rounds — the
-    # skill-points formula stays exercised inside w5/j2's gate entries)
-    "c7_json_extract",
+    # skill-points formula stays exercised inside w5/j2's gate entries;
+    # c7_json_extract rotated out r7 after six green rounds — the JSON
+    # scalar surface stays pinned by S2/S3's json_ingest pytest coverage
+    # and the c7b gate entry)
     # (c7b_variant_extract, text_fingerprint, text_token_count rotated out
     # after two driver-green rounds — same mechanism as the r3 quantization
     # promotion — to buy hard driver rows for the round-3 flagships below;
@@ -85,20 +88,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # components/levenshtein/substring for dedup, chunk-overlap + bigram-LM
     # for text, clean_corpus for pipelines; split semantics stay pinned by
     # the leakage-safe split gate entries)
+    # (dedup_simhash / dedup_levenshtein / text_lang_id rotated out r7
+    # after 6/4/6 green rounds — ngram-jaccard/minhash-lsh/components keep
+    # the dedup family's hard rows, clean_corpus keeps text-pipeline)
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_components",
-    "text_lang_id",
     "pipeline_clean_corpus",
     "sim_bruteforce_topk",
-    # int8 quantization tier (promoted r3: new, exactly-oracle-checkable)
-    "emb_quantize_int8",
+    # int8 quantization tier (promoted r3; emb_quantize_int8 rotated out
+    # r7 after four green rounds — sim_quantized_topk CONSUMES the int8
+    # quantizer end-to-end so the formula stays driver-checked)
     "sim_quantized_topk",
-    # round-3 flagships (promoted r3: edit-distance dedup tier, exactly-
-    # verified integer PageRank, end-to-end integer ANN)
-    "dedup_levenshtein",
-    "graph_pagerank",
+    # round-3 flagships (graph_pagerank rotated out r7 after four green
+    # rounds — the promoted graph_kcore below keeps the iterative-graph
+    # family's driver row)
     "sim_rp_lsh_topk",
     # round-4 promotions: exact-substring dedup with trim (Lee et al.),
     # winnowing fingerprints, frame-level multimodal dedup — never had a
@@ -131,27 +135,39 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q4_order_priority",
     "stream_stream_join",
     "stream_dedup_keys",
+    # round-7 promotions (r6 verdict items 1 and 6): the never-windowed
+    # round-6 surface — IVF-PQ serving with three replayed trainings, both
+    # Python DataSource entries (batch + streaming lifecycle), the stateful
+    # integer EWMA fold, deflated power-iteration PCA, iterative k-core
+    # peel, the decorrelated LATERAL top-K, delta-merge incremental view
+    # maintenance — plus four more TPC-H shapes: q2 (10-scan min-cost
+    # correlated subquery), q8 (7-broadcast market share), q17/q20
+    # (correlated avg / excess-stock rewrites)
+    "sim_ivfpq_topk",
+    "src_python_datasource",
+    "stream_python_datasource",
+    "wx_ewma",
+    "emb_power_top2",
+    "graph_kcore",
+    "sql_lateral_topk",
+    "stream_ivm_rollup",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q20_excess_stock",
 )
-# Round-7 rotation candidates (same mechanism, once the r6 promotions go
-# multi-round green): swap out j2_enrichment_join / j3_accumulating_merge /
-# text_lang_id-class entries for never-windowed hard rows — strongest:
-# dedup_semantic (SemDeDup end-to-end incl. recursive-closure oracle, new
-# r6), sim_ivfpq_topk (IVF-PQ with three replayed trainings, new r6c),
-# pipeline_dsir_select / agg_time_bucket_gapfill / stream_cdc_apply (new
-# r6c), the exact-integer sketch family (sketch_hll_exact_daily_merge /
-# stream_distinct_hll / sketch_quantile_histogram /
-# sketch_kmv_intersection, new r6b), stream_python_datasource /
-# src_python_datasource (the custom source tier, new r6),
-# tpch_q8_market_share / tpch_q20_excess_stock (derived-partsupp family),
-# wx_window family, set-op entries (incl. the new ALL variants),
-# stream_sliding_counts; round-6d continuation adds emb_power_iteration
-# (hash-exact integer PCA — the strongest learned-tier candidate),
-# graph_kcore (iterative peel + recursive-CTE oracle), wx_ewma (stateful
-# integer fold), j10_interval_overlap, stream_topk_users; and from the 6d
-# tail: emb_power_top2 (deflated second component), stream_ivm_rollup
-# (delta-merge view maintenance — the write-side streaming shape),
+# Round-8 rotation candidates (same mechanism, once the r7 promotions go
+# multi-round green): dedup_semantic (SemDeDup end-to-end incl.
+# recursive-closure oracle), pipeline_dsir_select /
+# agg_time_bucket_gapfill / stream_cdc_apply, the exact-integer sketch
+# family (sketch_hll_exact_daily_merge / stream_distinct_hll /
+# sketch_quantile_histogram / sketch_kmv_intersection), emb_power_iteration
+# (hash-exact integer PCA), j10_interval_overlap, stream_topk_users,
 # pipeline_rag_index (composed chunk→feature→code→band index),
-# graph_link_prediction (bounded wedge join).
+# graph_link_prediction (bounded wedge join), and the remaining
+# never-windowed TPC-H shapes (q3/q5/q7/q10/q11/q12/q13/q14/q15/q16/
+# q18/q19/q22 — r6 verdict item 6 asks for ≥4 more by r8, satisfied this
+# round with q2/q8/q17/q20; keep feeding the rest through).
 
 _missing = [n for n in DRIVER_WINDOW if n not in _ALL_QUERIES]
 if _missing:
