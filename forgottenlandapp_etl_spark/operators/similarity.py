@@ -239,6 +239,88 @@ def brute_force_topk_vectorized(
     )
 
 
+def brute_force_topk_vectorized_int(
+    corpus_q: DataFrame,
+    queries_pdf,
+    k: int = 5,
+    id_col: str = "vec_id",
+    q_col: str = "q",
+    max_queries: int = 4096,
+) -> DataFrame:
+    """Arrow-batched NumPy GEMM top-k over INT8-QUANTIZED codes — the
+    high-throughput serving path made HASH-EXACT (r6 verdict item 3).
+
+    The float GEMM sibling (brute_force_topk_vectorized) can only be
+    property-tested: BLAS reassociates the float accumulation, so the last
+    bits differ from the sequential JVM dot. Running the same GEMM in
+    int64 over the quantized codes removes the caveat entirely — integer
+    matmul is exact and order-independent, so batch boundaries, BLAS
+    threading, and accumulation order cannot change a single score, and
+    the result is bit-identical to the JVM zip_with integer dot
+    (quantized_topk) and to a DuckDB list_dot_product oracle. |dot| <=
+    d·127² (~6.6e7 at d=4096) — nowhere near int64.
+
+    ``corpus_q`` is a pre-quantized (id, q array<int>) frame
+    (quantize_int8) and ``queries_pdf`` a small pandas frame
+    (query_id, qa) captured in the closure; per-batch top-k selection uses
+    the SAME total order as the global window (qdot DESC, neighbor_id ASC
+    via lexsort), so keeping k per batch is lossless."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    if len(queries_pdf) > max_queries:
+        raise ValueError(
+            f"brute_force_topk_vectorized_int: query set has "
+            f"{len(queries_pdf)} rows > max_queries={max_queries}; chunk "
+            "the queries or use quantized_topk"
+        )
+    qids = queries_pdf["query_id"].to_numpy()
+    qm = np.stack(queries_pdf["qa"].to_list()).astype("int64")  # (nq, d)
+
+    out_schema = "query_id LONG, neighbor_id LONG, qdot LONG"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            cm = np.stack(pdf[q_col].to_list()).astype("int64")  # (nb, d)
+            dots = cm @ qm.T  # (nb, nq) — exact int64 GEMM
+            nid = pdf[id_col].to_numpy()
+            rows = []
+            for j, qid in enumerate(qids):
+                col = dots[:, j]
+                cand_idx = np.nonzero(nid != qid)[0]
+                if not len(cand_idx):
+                    continue
+                # total order (qdot DESC, neighbor_id ASC): lexsort keys
+                # are least-significant-first
+                order = np.lexsort((nid[cand_idx], -col[cand_idx]))
+                top = cand_idx[order[:k]]
+                rows.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": nid[top], "qdot": col[top]}
+                    )
+                )
+            yield pd.concat(rows) if rows else pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "neighbor_id": pd.Series([], dtype="int64"),
+                 "qdot": pd.Series([], dtype="int64")}
+            )
+
+    partial = corpus_q.mapInPandas(batches, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("qdot"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "qdot", F.col("rank").cast("int").alias("rank")
+        )
+    )
+
+
 def near_dup_pairs_bucketed(
     corpus: DataFrame,
     centroids: DataFrame,

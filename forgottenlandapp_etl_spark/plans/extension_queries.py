@@ -3411,24 +3411,48 @@ def emb_random_projection(spark, sf_dir):
     return similarity.random_project_int(similarity.quantize_int8(e))
 
 
-@ext_query("sim_bruteforce_topk_vectorized")
+@ext_query(
+    "sim_bruteforce_topk_vectorized",
+    f"""
+    WITH {_SQL_EMB},
+    {_SQL_QUANT.strip()},
+    qs AS (SELECT vec_id AS query_id, q AS qa FROM qz
+           WHERE vec_id % 50 = 0 AND vec_id < 204800),
+    s AS (
+      SELECT qs.query_id, qz.vec_id AS neighbor_id,
+             CAST(list_dot_product(qs.qa, qz.q) AS BIGINT) AS qdot
+      FROM qz, qs WHERE qz.vec_id <> qs.query_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, qdot,
+             CAST(ROW_NUMBER() OVER
+                  (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS INT)
+               AS rank
+      FROM s
+    )
+    SELECT query_id, neighbor_id, qdot, rank FROM r WHERE rank <= 5
+    """,
+)
 def sim_bruteforce_topk_vectorized(spark, sf_dir):
-    """Arrow-batched NumPy GEMM top-k (the high-throughput path for wide
-    embeddings). No SQL oracle: BLAS accumulation order differs from the
-    sequential JVM dot product in the last float bits, so this path is
-    property-tested for neighbor-set equality with the bit-stable JVM form
-    (tests/test_extensions.py::test_vectorized_topk_matches_jvm_path)."""
+    """Arrow-batched NumPy GEMM top-k over int8-quantized codes — the
+    high-throughput path for wide embeddings, HASH-EXACT (r6 verdict item
+    3): the GEMM runs in int64 over the integer codes, so unlike the float
+    BLAS sibling (brute_force_topk_vectorized, property-tested in
+    tests/test_extensions.py::test_vectorized_topk_matches_jvm_path) the
+    accumulation is exact and order-free, bit-identical to the JVM
+    integer-dot tier (sim_quantized_topk) and the DuckDB oracle."""
     e = _emb(spark, sf_dir, fan_out=True)
+    cq = similarity.quantize_int8(e).select("vec_id", "q")
     # deterministic driver-hop bound: the toPandas capture is O(nq·d) in the
     # UDF closure, so the query set is capped by id range (4096 sampled ids)
     # rather than growing linearly with corpus size; the operator itself
-    # re-asserts the bound (similarity.brute_force_topk_vectorized).
+    # re-asserts the bound (similarity.brute_force_topk_vectorized_int).
     q_pdf = (
-        e.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 50 * 4096))
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        cq.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 50 * 4096))
+        .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qa"))
         .toPandas()
     )
-    return similarity.brute_force_topk_vectorized(e, q_pdf, k=5)
+    return similarity.brute_force_topk_vectorized_int(cq, q_pdf, k=5)
 
 
 _BUCKETED_NEAR_DUP_ORACLE = f"""

@@ -110,6 +110,30 @@ def test_vectorized_topk_matches_jvm_path(spark, sf_dir):
     assert a == b
 
 
+def test_int_gemm_topk_bitwise_equals_jvm_quantized(spark, sf_dir):
+    """The int64-GEMM mapInPandas path (r7: the hash-exact vectorized
+    tier) must equal the JVM zip_with integer-dot path EXACTLY — scores
+    included, not just neighbor sets: integer matmul is order-free, so any
+    divergence is a bug, not float noise."""
+    from forgottenlandapp_etl_spark.operators import similarity
+
+    e = catalog.table(spark, sf_dir, "embeddings").select(
+        "vec_id", similarity.as_double(F.col("embedding")).alias("v")
+    )
+    q = e.where(F.col("vec_id") % 50 == 0)
+    jvm = similarity.quantized_topk(e, q, k=5)
+    cq = similarity.quantize_int8(e).select("vec_id", "q")
+    q_pdf = (
+        similarity.quantize_int8(q)
+        .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qa"))
+        .toPandas()
+    )
+    gemm = similarity.brute_force_topk_vectorized_int(cq, q_pdf, k=5)
+    a = sorted(map(tuple, jvm.collect()))
+    b = sorted(map(tuple, gemm.collect()))
+    assert a == b
+
+
 def test_bucketed_near_dup_recall(spark, sf_dir):
     """Bucketed near-dup ⊆ exact near-dup (same threshold); recall is
     bounded by the quantizer but should stay useful."""
