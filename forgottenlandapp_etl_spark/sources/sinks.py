@@ -36,23 +36,187 @@ def read_snapshots(spark: SparkSession, path: str, merge_schema: bool = True) ->
     )
 
 
-def overwrite_latest(df: DataFrame, path: str) -> None:
+# ---------------------------------------------------------------------------
+# Atomic-visibility publish (generation pointer)
+#
+# K2/K3/K4 rewrite data a concurrent reader may be scanning. Spark's own
+# mode("overwrite") — static OR dynamic — deletes live files before/while
+# committing new ones, so a reader racing the write can observe a missing
+# table, a half-deleted partition, or a mix of old and new files (r6
+# verdict item 5). The fix is the classic current-pointer scheme (the
+# filesystem analogue of Iceberg/Delta's metadata-pointer commit, which is
+# the real answer on an object store at 100 TB): table data lives in
+# immutable GENERATION directories ``{path}__gen{k}``; ``path`` itself is
+# a SYMLINK to the current generation; publishing a new generation is one
+# atomic os.replace of the symlink. Readers resolve the symlink at scan
+# start and always see exactly one complete generation; the previous
+# generation is kept until the NEXT publish so in-flight scans finish.
+# Untouched partitions are HARDLINKED into the new generation (metadata
+# cost only — no data copy, same trick as compaction's scoped rewrite).
+# ---------------------------------------------------------------------------
+
+_GEN_MARK = "__COMMITTED"  # written after a generation is fully built
+
+
+def _gen_dir(path: str, k: int) -> str:
+    return path.rstrip("/") + f"__gen{k}"
+
+
+def _list_gens(path: str) -> list[int]:
+    import os
+    import re
+
+    base = os.path.basename(path.rstrip("/"))
+    parent = os.path.dirname(path.rstrip("/")) or "."
+    if not os.path.isdir(parent):
+        return []
+    pat = re.compile(re.escape(base) + r"__gen(\d+)$")
+    return sorted(
+        int(m.group(1)) for d in os.listdir(parent) if (m := pat.match(d))
+    )
+
+
+def _recover_pointer(path: str) -> None:
+    """Crash repair: if ``path`` is missing but committed generations
+    exist (crash between building a generation and the pointer swap, or a
+    legacy-migration crash), repoint at the HIGHEST committed one."""
+    import os
+
+    if os.path.lexists(path):
+        return
+    committed = [
+        k for k in _list_gens(path)
+        if os.path.exists(os.path.join(_gen_dir(path, k), _GEN_MARK))
+    ]
+    if committed:
+        _swap_pointer(path, _gen_dir(path, committed[-1]))
+
+
+def _current_gen(path: str) -> tuple[int | None, str | None]:
+    """(generation number, resolved data dir) of the live table; (None,
+    path) for a legacy real directory; (None, None) if absent."""
+    import os
+
+    _recover_pointer(path)
+    if not os.path.lexists(path):
+        return None, None
+    if os.path.islink(path):
+        target = os.path.realpath(path)
+        k = int(target.rsplit("__gen", 1)[1])
+        return k, target
+    return None, path
+
+
+def _swap_pointer(path: str, gen_dir: str) -> None:
+    """Atomically (re)point the ``path`` symlink at ``gen_dir``."""
+    import os
+
+    tmp = path.rstrip("/") + "__ptr_tmp"
+    if os.path.lexists(tmp):
+        os.remove(tmp)
+    os.symlink(os.path.abspath(gen_dir), tmp)
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+def _publish(path: str, new_gen: int, keep_gen: int | None) -> None:
+    """Mark the new generation committed, atomically repoint the live
+    symlink, then drop every generation except {new, keep} — the kept one
+    is the grace copy for readers that resolved the pointer pre-swap."""
+    import os
+    import shutil
+
+    open(os.path.join(_gen_dir(path, new_gen), _GEN_MARK), "w").close()
+    # legacy migration: a real directory can't be replaced by a symlink in
+    # one rename (ENOTEMPTY), so park it as its own generation first. The
+    # two-syscall gap is one-time (first publish over a legacy table) and
+    # crash-covered by _recover_pointer.
+    if os.path.lexists(path) and not os.path.islink(path):
+        legacy = path.rstrip("/") + "__legacy"
+        if os.path.lexists(legacy):  # debris from a crashed prior migration
+            shutil.rmtree(legacy, ignore_errors=True)
+        os.rename(path, legacy)
+        _swap_pointer(path, _gen_dir(path, new_gen))
+        shutil.rmtree(legacy)
+    else:
+        _swap_pointer(path, _gen_dir(path, new_gen))
+    for k in _list_gens(path):
+        if k != new_gen and k != keep_gen:
+            shutil.rmtree(_gen_dir(path, k), ignore_errors=True)
+
+
+def _hardlink_tree(src: str, dst: str, skip: set[str] | None = None) -> None:
+    """Mirror ``src`` into ``dst`` via hardlinks (copy fallback) — data
+    reuse without data movement. ``skip`` names top-level entries of
+    ``src`` to leave out."""
+    import os
+    import shutil
+
+    os.makedirs(dst, exist_ok=True)
+    for entry in os.listdir(src):
+        if skip and entry in skip:
+            continue
+        if entry == _GEN_MARK:
+            continue
+        s, d = os.path.join(src, entry), os.path.join(dst, entry)
+        if os.path.isdir(s):
+            _hardlink_tree(s, d)
+        else:
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+
+def overwrite_latest(df: DataFrame, path: str, _before_publish=None) -> None:
     """K2 — replace the single current-state row/table (etl.dart:113,:336).
-    The match key is the whole table, so update == overwrite."""
-    df.write.mode("overwrite").parquet(path)
+    The match key is the whole table, so update == overwrite. Builds the
+    new state as a fresh generation and publishes it with one atomic
+    pointer swap: a concurrent reader sees the old table or the new table,
+    never a deleted/half-written one."""
+    cur, _ = _current_gen(path)
+    new = (cur + 1) if cur is not None else 0
+    df.write.mode("overwrite").parquet(_gen_dir(path, new))
+    if _before_publish is not None:
+        _before_publish()
+    _publish(path, new, keep_gen=cur)
 
 
-def upsert_partitions(df: DataFrame, path: str, partition_cols: tuple[str, ...] = ("date",)) -> None:
-    """K3 — upsert on the partition key (etl.dart:271,:357): dynamic
-    partition overwrite rewrites only the partitions present in ``df`` —
-    idempotent re-runs, no read-modify-write of the whole table."""
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+def upsert_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("date",),
+    _before_publish=None,
+) -> None:
+    """K3 — upsert on the partition key (etl.dart:271,:357): rewrites only
+    the partitions present in ``df`` — idempotent re-runs, no
+    read-modify-write of the whole table.
+
+    Visibility: the touched partitions are written into a NEW generation,
+    untouched partitions are hardlinked across (metadata-only, no data
+    copy — the listing runs after the slow write so late concurrent
+    appends to untouched partitions ride along), and the live pointer
+    swaps atomically. A reader concurrent with the upsert therefore never
+    observes a half-deleted partition — it reads the complete old or the
+    complete new generation (Spark's own dynamic partitionOverwriteMode
+    deletes live partition files in place, failing exactly that test).
+    Appends racing the rewrite of a TOUCHED partition lose to it
+    (last-write-wins — the overwrite's contract); concurrent writers at
+    scale belong to a real table format."""
+    import os
+
+    cur, cur_dir = _current_gen(path)
+    new = (cur + 1) if cur is not None else 0
+    new_dir = _gen_dir(path, new)
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(new_dir)
+    if _before_publish is not None:  # test hook: appender racing the write
+        _before_publish()
+    if cur_dir is not None:
+        touched = {
+            e for e in os.listdir(new_dir)
+            if "=" in e and os.path.isdir(os.path.join(new_dir, e))
+        }
+        _hardlink_tree(cur_dir, new_dir, skip=touched | {"_SUCCESS"})
+    _publish(path, new, keep_gen=cur)
 
 
 def retention_keep_only(
@@ -60,14 +224,13 @@ def retention_keep_only(
     path: str,
     predicate: F.Column,
     partition_cols: tuple[str, ...] = (),
-    tmp_suffix: str = "__retained",
 ) -> None:
     """K4 — retention delete (etl.dart:270,:282,:394): keep only rows
-    matching ``predicate`` (e.g. date == latest). Implemented as an
-    anti-predicate rewrite; on a partitioned store this prunes to partition
-    drops. Three-phase swap (write aside → rename old aside → move new in →
-    drop old): a crash at any step leaves either the old or the new table
-    readable at ``path``-adjacent names — never zero copies.
+    matching ``predicate`` (e.g. date == latest). Implemented as a
+    keep-predicate rewrite into a fresh generation + atomic pointer swap;
+    the old generation survives until the next publish, so a crash at any
+    step leaves a complete table readable at ``path`` (the previous
+    three-phase rename scheme had a window where ``path`` didn't exist).
 
     ``partition_cols`` MUST name the table's partition layout: rewriting a
     partitioned table without partitionBy would flatten it, and the next
@@ -75,25 +238,14 @@ def retention_keep_only(
     files — a layout Spark only reads via fragile duplicate-column
     resolution, with every eq() partition prune lost.
     """
-    import os
-    import shutil
-
-    kept = spark.read.parquet(path).where(predicate)
-    tmp = path.rstrip("/") + tmp_suffix
+    cur, cur_dir = _current_gen(path)
+    kept = spark.read.parquet(cur_dir).where(predicate)
+    new = (cur + 1) if cur is not None else 0
     w = kept.write.mode("overwrite")
     if partition_cols:
         w = w.partitionBy(*partition_cols)
-    w.parquet(tmp)
-    old = path.rstrip("/") + "__old"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(path, old)  # old table survives until the new one is in place
-    try:
-        os.rename(tmp, path)
-    except OSError:
-        os.rename(old, path)  # roll back: restore the original table
-        raise
-    shutil.rmtree(old)
+    w.parquet(_gen_dir(path, new))
+    _publish(path, new, keep_gen=cur)
 
 
 def merge_rows(
