@@ -294,14 +294,22 @@ def main() -> None:
         "passes": passes,
         "slow_host_passes": variance["slow_host_passes"],
         "queries": {},
-        "detail": "per-query timings: previous stdout line / SPARK_GRAFT_BENCH_OUT file",
     }
-    print(json.dumps(summary, separators=(",", ":")))
-    sys.stdout.flush()
-    path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
-    if path:
+    # r6 verdict item 8: the driver keeps only this tail line, so it must
+    # NAME where the per-query detail lives. The side file is always
+    # written (env override or the default below, committed per round as
+    # BENCH_LOCAL_r{N}.json).
+    path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL_latest.json"
+    )
+    try:
         with open(path, "w") as fh:
             json.dump(out, fh, separators=(",", ":"))
+        summary["detail"] = f"per-query timings in {os.path.basename(path)}"
+    except OSError as exc:
+        summary["detail"] = f"per-query detail unwritable: {exc}"
+    print(json.dumps(summary, separators=(",", ":")))
+    sys.stdout.flush()
     spark.stop()
 
 

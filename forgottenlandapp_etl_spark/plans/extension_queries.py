@@ -61,7 +61,14 @@ def _parquet_rows(sf_dir, table: str) -> int:
 
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):  # multi-file dataset (e.g. the 10x scale tier)
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 # ---------------------------------------------------------------------------

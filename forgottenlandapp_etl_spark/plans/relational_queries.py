@@ -2535,12 +2535,20 @@ partsupp AS (
 
 
 def _supplier_rows(sf_dir) -> int:
-    """Supplier cardinality from the parquet footer — no Spark job."""
+    """Supplier cardinality from the parquet footer(s) — no Spark job;
+    directory-aware for multi-file datasets (the 10x scale tier)."""
     import os
 
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(os.path.join(sf_dir, "supplier.parquet")).metadata.num_rows
+    path = os.path.join(sf_dir, "supplier.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def _partsupp(spark, sf_dir) -> DataFrame:

@@ -52,8 +52,24 @@ FORMAT_NAME = "arrow_rowgroups"
 
 
 class RowGroupPartition(InputPartition):
-    def __init__(self, index: int):
+    def __init__(self, index: int, file: str):
         self.index = index
+        self.file = file
+
+
+def _data_files(path: str) -> list[str]:
+    """The dataset's part files: [path] for a single file, the sorted
+    *.parquet members for a directory dataset (the 10x scale tier) —
+    sorted so partition planning is deterministic."""
+    import os
+
+    if os.path.isdir(path):
+        return [
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        ]
+    return [path]
 
 
 def _stats_may_match(stats, flt) -> bool:
@@ -103,27 +119,31 @@ class ArrowRowGroupReader(DataSourceReader):
     def partitions(self):
         import pyarrow.parquet as pq
 
-        pf = pq.ParquetFile(self.path)
-        cols = {pf.schema_arrow.names[i]: i for i in range(len(pf.schema_arrow.names))}
         out = []
-        for rg in range(pf.num_row_groups):
-            meta = pf.metadata.row_group(rg)
-            keep = True
-            for f in self.pushed:
-                ci = cols.get(f.attribute[0])
-                if ci is None:
-                    continue
-                if not _stats_may_match(meta.column(ci).statistics, f):
-                    keep = False
-                    break
-            if keep:
-                out.append(RowGroupPartition(rg))
+        for path in _data_files(self.path):
+            pf = pq.ParquetFile(path)
+            cols = {
+                pf.schema_arrow.names[i]: i
+                for i in range(len(pf.schema_arrow.names))
+            }
+            for rg in range(pf.num_row_groups):
+                meta = pf.metadata.row_group(rg)
+                keep = True
+                for f in self.pushed:
+                    ci = cols.get(f.attribute[0])
+                    if ci is None:
+                        continue
+                    if not _stats_may_match(meta.column(ci).statistics, f):
+                        keep = False
+                        break
+                if keep:
+                    out.append(RowGroupPartition(rg, path))
         return out
 
     def read(self, partition):
         import pyarrow.parquet as pq
 
-        pf = pq.ParquetFile(self.path)
+        pf = pq.ParquetFile(partition.file)
         yield from pf.read_row_group(partition.index).to_batches()
 
 
@@ -139,7 +159,7 @@ class ArrowRowGroupDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("arrow_rowgroups requires .option('path', ...)")
-        return from_arrow_schema(pq.ParquetFile(path).schema_arrow)
+        return from_arrow_schema(pq.ParquetFile(_data_files(path)[0]).schema_arrow)
 
     def reader(self, schema):
         return ArrowRowGroupReader(self.options)

@@ -49,11 +49,20 @@ _EVENTS_REST = (
 
 def ts_is_int64(parquet_path: str, col: str = "ts") -> bool:
     """True when the parquet file physically stores ``col`` as an integer
-    (the legacy INT64 nanos encoding). Footer-only read — no Spark job."""
+    (the legacy INT64 nanos encoding). Footer-only read — no Spark job;
+    directory datasets probe their first part file (one writer, one
+    physical schema per dataset)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    field = pq.read_schema(parquet_path).field(col)
+    probe = parquet_path
+    if os.path.isdir(parquet_path):
+        parts = sorted(
+            f for f in os.listdir(parquet_path) if f.endswith(".parquet")
+        )
+        if parts:
+            probe = os.path.join(parquet_path, parts[0])
+    field = pq.read_schema(probe).field(col)
     return pa.types.is_integer(field.type)
 
 
