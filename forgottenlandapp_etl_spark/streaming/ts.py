@@ -173,7 +173,15 @@ def staged_events_stream(
         _PARTS_CONF, str(sized_state_partitions(spark, input_bytes(path)))
     )
     src = tempfile.mkdtemp(prefix="stream_src_")
-    os.symlink(path, os.path.join(src, "events.parquet"))
+    if os.path.isdir(path):
+        # multi-file dataset (e.g. the 10x scale tier): the file stream
+        # source does NOT traverse subdirectories of its input path, so a
+        # dir symlink would list zero files — flatten to per-file links
+        for f in sorted(os.listdir(path)):
+            if f.endswith(".parquet"):
+                os.symlink(os.path.join(path, f), os.path.join(src, f))
+    else:
+        os.symlink(path, os.path.join(src, "events.parquet"))
     try:
         reader = spark.readStream.schema(schema)
         if max_files_per_trigger is not None:
