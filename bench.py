@@ -165,6 +165,12 @@ HEADLINE = [
     "sql_lateral_topk",
     "pipeline_rag_index",
     "dq_uniqueness",
+    # round 7 additions: the two newly driver-windowed TPC-H shapes not
+    # yet benched (q2 10-scan min-cost, q20 excess stock) and the
+    # now-hash-exact int64-GEMM serving tier
+    "tpch_q2_min_cost_supplier",
+    "tpch_q20_excess_stock",
+    "sim_bruteforce_topk_vectorized",
 ]
 
 
