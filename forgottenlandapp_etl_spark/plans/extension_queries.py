@@ -1158,7 +1158,7 @@ def stream_static_enrich(spark, sf_dir):
     """
     SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
 )
 def stream_daily_counts(spark, sf_dir):
@@ -1174,7 +1174,8 @@ def stream_daily_counts(spark, sf_dir):
 @ext_query(
     "stream_sliding_counts",
     """
-    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ets, event_type FROM events),
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ets, event_type FROM events
+            WHERE ts IS NOT NULL),
     x AS (
       SELECT time_bucket(INTERVAL '30 minutes', ets)
                - k * INTERVAL '30 minutes' AS ws,
@@ -2550,20 +2551,24 @@ def sketch_hll_daily_merge(spark, sf_dir):
     return out
 
 
-def _hll_daily_cte() -> str:
+def _hll_daily_cte(guard_null_ts: bool = False) -> str:
     """Shared oracle prefix: per-day HLL registers + the ALL merge + the
     fixed-point estimate components — generated from the sketches-module
-    constants, used by both the batch and the streaming entry (the
-    streaming drain must equal the batch build exactly)."""
+    constants, used by both the batch and the streaming entry. The
+    STREAMING variant sets ``guard_null_ts``: event-time processing has
+    no window for a null event time (the engine drops the row; the
+    oracle must state it — r7 adversarial-corpus finding), while the
+    batch build keeps a genuine NULL-day group."""
     from ..operators import sketches
 
     h_key = _SQL_TOKEN_HASH.format(col="uk")
     rho = sketches.hll_rho_sql("h")
     m, rho_max = sketches.HLL_M, sketches.HLL_RHO_MAX
+    where = "WHERE ts IS NOT NULL" if guard_null_ts else ""
     return f"""ev AS (
       SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
              CAST(user_id AS VARCHAR) AS uk
-      FROM events
+      FROM events {where}
     ),
     hh AS (SELECT day, {h_key} AS h FROM ev),
     hb AS (SELECT day, h % {m} AS bucket, {rho} AS rho FROM hh),
@@ -2664,7 +2669,7 @@ def sketch_hll_exact_daily_merge(spark, sf_dir):
 
 def _stream_hll_oracle() -> str:
     return f"""
-    WITH {_hll_daily_cte()}
+    WITH {_hll_daily_cte(guard_null_ts=True)}
     SELECT day, CAST(n_occ AS BIGINT) AS n_occupied,
            {_hll_est_select()} AS n_est
     FROM est

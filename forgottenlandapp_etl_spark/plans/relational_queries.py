@@ -686,6 +686,7 @@ def wx_range_frame(spark, sf_dir):
                        OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE  -- STRICT: Spark's session_window merges an event landing EXACTLY at the session end (inclusive boundary; probed empirically, pinned by the adversarial-corpus test)
                   THEN 1 ELSE 0 END AS new_s
       FROM events
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     g AS (
@@ -706,8 +707,11 @@ def agg_session_windows(spark, sf_dir):
     (session end = last event + gap). The oracle reconstructs identical
     sessions with the gaps-and-islands idiom (lag → boundary flag →
     running-sum session id). In batch this is one shuffle on user_id; the
-    same expression runs under Structured Streaming for live sessions."""
-    ev = _t(spark, sf_dir, "events")
+    same expression runs under Structured Streaming for live sessions.
+    Null timestamps are dropped EXPLICITLY on both sides (F.session_window
+    drops them silently; the oracle's LAG would fold them into a session —
+    the agg_bounce_rate discipline, r7 adversarial-corpus finding)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -2852,4 +2856,208 @@ def tpch_q20_excess_stock(spark, sf_dir):
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .select("s_suppkey", "s_name")
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-7 additions: referential-integrity audit, last-touch attribution,
+# stratified per-group capping
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_referential_integrity",
+    """
+    WITH r1 AS (
+      SELECT 'lineitem->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS n_child,
+             CAST(SUM(CASE WHEN NOT EXISTS
+                   (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+      FROM lineitem l
+    ),
+    r2 AS (
+      SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN NOT EXISTS
+                   (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+                   THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem l
+    ),
+    r3 AS (
+      SELECT 'lineitem->supplier', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN NOT EXISTS
+                   (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+                   THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem l
+    ),
+    r4 AS (
+      SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN NOT EXISTS
+                   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+                   THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders o
+    ),
+    u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+          UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4)
+    SELECT fk, n_child, n_orphans,
+           CAST((n_orphans * 1000000) // GREATEST(n_child, 1) AS BIGINT)
+             AS orphan_fp
+    FROM u
+    """,
+)
+def dq_referential_integrity(spark, sf_dir):
+    """Foreign-key orphan audit across the star schema — the
+    promotion gate run before trusting any join for metrics (an orphan
+    child row silently vanishes from every inner join downstream). One
+    row per relationship: child rows, orphaned child rows, and the
+    orphan rate in 10^6 fixed point.
+
+    Scale shape: each relationship pre-aggregates the child to
+    (key, count) with map-side combine — the join then carries one row
+    per DISTINCT key, not per child row (lineitem shrinks ~4x before
+    the exchange) — and the groupBy/join share the same key so Catalyst
+    reuses the partitioning (one exchange per side, no re-shuffle).
+    No distinct, no sort; the summary row set is relationship-sized."""
+
+    def rel(child, key, parent, pkey, fkname):
+        ck = child.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        pk = parent.select(F.col(pkey).alias("k"), F.lit(1).alias("__p"))
+        return (
+            ck.join(pk, "k", "left")
+            .agg(
+                F.sum("n").alias("n_child"),
+                F.sum(
+                    F.when(F.col("__p").isNull(), F.col("n")).otherwise(0)
+                ).alias("n_orphans"),
+            )
+            .select(
+                F.lit(fkname).alias("fk"),
+                F.col("n_child").cast("long").alias("n_child"),
+                F.col("n_orphans").cast("long").alias("n_orphans"),
+            )
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    rows = (
+        rel(li, "l_orderkey", _t(spark, sf_dir, "orders"), "o_orderkey",
+            "lineitem->orders")
+        .unionByName(rel(li, "l_partkey", _t(spark, sf_dir, "part"),
+                         "p_partkey", "lineitem->part"))
+        .unionByName(rel(li, "l_suppkey", _t(spark, sf_dir, "supplier"),
+                         "s_suppkey", "lineitem->supplier"))
+        .unionByName(rel(_t(spark, sf_dir, "orders"), "o_custkey",
+                         _t(spark, sf_dir, "customer"), "c_custkey",
+                         "orders->customer"))
+    )
+    return rows.select(
+        "fk",
+        "n_child",
+        "n_orphans",
+        F.expr("(n_orphans * 1000000) div greatest(n_child, 1)")
+        .cast("long")
+        .alias("orphan_fp"),
+    )
+
+
+@query(
+    "agg_attribution_last_touch",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_click_ts
+      FROM events WHERE ts IS NOT NULL
+    ),
+    p AS (
+      SELECT CASE WHEN last_click_ts IS NOT NULL
+                   AND last_click_ts >= ts - INTERVAL 7 DAY
+                  THEN CAST(CAST(last_click_ts AS DATE) AS VARCHAR)
+                  ELSE 'unattributed' END AS day,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM s WHERE event_type = 'purchase'
+    )
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS rev_cents
+    FROM p GROUP BY day
+    """,
+)
+def agg_attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution: each purchase credits the user's most
+    recent click at or before it (7-day horizon), rolled up by the
+    CLICK's day — the marketing-analytics staple. ONE window pass over
+    the interleaved event sequence (last ignore-nulls over an explicit
+    ROWS frame with the (ts, event_id) total order — no as-of join, no
+    per-pair probing), then a day-keyed integer aggregate: purchase
+    value in 10^2 fixed point so revenue is hash-exact. Null timestamps
+    are dropped explicitly on both sides (the bounce-rate discipline).
+
+    Scale: one shuffle on user_id for the window + one map-side-
+    combinable aggregate; state per user is a single carried timestamp,
+    the same shape the streaming variant would hold."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = ev.withColumn(
+        "last_click_ts",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("ts")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    p = s.where(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("last_click_ts").isNotNull()
+            & (F.col("last_click_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY")),
+            F.to_date("last_click_ts").cast("string"),
+        )
+        .otherwise(F.lit("unattributed"))
+        .alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return p.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").alias("rev_cents"),
+    )
+
+
+@query(
+    "sample_stratified_cap",
+    """
+    WITH r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                             AS BIGINT), doc_id) AS rk
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 50
+    """,
+)
+def sample_stratified_cap(spark, sf_dir):
+    """Stratified cap: keep at most K=50 documents per language, chosen
+    by md5 rank — the deterministic 'reservoir' a mixture pipeline uses
+    to cap an over-represented slice without order bias (hash rank is
+    uniform and reproducible across runs/engines, unlike any RNG-based
+    reservoir). Partitioned window rank (one shuffle on lang, no global
+    sort; doc_id tiebreak makes the order total), hash-exact because
+    the rank key lives in the shared md5 hash domain."""
+    d = _t(spark, sf_dir, "documents")
+    hk = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    w = Window.partitionBy("lang").orderBy(hk.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 50)
+        .select("doc_id", "lang", F.col("rk").cast("int").alias("rk"))
     )

@@ -111,7 +111,9 @@ def stream_distinct_user_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     def transform(stream: DataFrame) -> DataFrame:
         h = token_hash(F.col("user_id").cast("string"))
         return (
-            stream.withWatermark("ets", "1 day")
+            # explicit null-event-time drop (r7 adversarial-corpus rule)
+            stream.where(F.col("ets").isNotNull())
+            .withWatermark("ets", "1 day")
             .groupBy(
                 F.window("ets", "1 day").alias("w"),
                 sketches.hll_bucket(h).alias("bucket"),

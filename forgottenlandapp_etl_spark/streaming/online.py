@@ -134,8 +134,12 @@ def stream_events_daily_counts(
     1-day tumbling window count per (day, user) → in-memory sink."""
 
     def transform(stream: DataFrame) -> DataFrame:
+        # explicit: event-time processing has no window for a null event
+        # time; the engine would drop the row anyway — state the rule so
+        # the oracle can state it too (r7 adversarial-corpus finding)
         return (
-            stream.withWatermark("ets", "1 day")
+            stream.where(F.col("ets").isNotNull())
+            .withWatermark("ets", "1 day")
             .groupBy(F.window("ets", "1 day").alias("w"), "user_id")
             .agg(F.count(F.lit(1)).alias("n_events"))
             .select(
@@ -162,8 +166,10 @@ def stream_events_sliding_counts(
     """
 
     def transform(stream: DataFrame) -> DataFrame:
+        # explicit null-event-time drop — same rule as the tumbling form
         return (
-            stream.withWatermark("ets", "2 hours")
+            stream.where(F.col("ets").isNotNull())
+            .withWatermark("ets", "2 hours")
             .groupBy(
                 F.window("ets", "60 minutes", "30 minutes").alias("w"),
                 "event_type",

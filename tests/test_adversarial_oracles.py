@@ -106,6 +106,7 @@ DOC_ONLY_ENTRIES = [
     "src_csv_roundtrip",
     "pipeline_dsir_select",
     "pipeline_rag_index",
+    "sample_stratified_cap",
 ]
 
 
@@ -200,6 +201,27 @@ def _adv_events():
         u = 9 + (i % 2)
         add(t0 + dt.timedelta(days=4, minutes=11 * i), u,
             "error" if i % 3 == 0 else "click", float(i % 5), '{"k": %d}' % i)
+    # (j) NULL event time (r6 ADVICE: the fixtures carried none, so an
+    # oracle missing its `ts IS NOT NULL` guard hash-passed by luck while
+    # Spark's session_window dropped the row silently)
+    add(None, 11, "purchase", 10.0, None)
+    add(None, 11, "click", 1.0, None)
+    # (k) last-touch attribution 7-day horizon: click EXACTLY 7 days
+    # before its purchase (attributes) vs 7 days + 1us (unattributed)
+    b12 = dt.datetime(2024, 3, 8, 12, 0, 0)
+    add(b12 - dt.timedelta(days=7), 12, "click", 0.0, None)
+    add(b12, 12, "purchase", 3.0, None)
+    b13 = dt.datetime(2024, 3, 20, 12, 0, 0)
+    add(b13 - dt.timedelta(days=7, microseconds=1), 13, "click", 0.0, None)
+    add(b13, 13, "purchase", 4.0, None)
+    # (l) same-instant click/purchase: the (ts, event_id) total order
+    # decides — purchase-before-click stays unattributed, click-before-
+    # purchase attributes
+    b14 = dt.datetime(2024, 3, 25, 9, 0, 0)
+    add(b14, 14, "purchase", 5.0, None)
+    add(b14, 14, "click", 0.0, None)
+    add(b14, 15, "click", 0.0, None)
+    add(b14, 15, "purchase", 6.0, None)
     return rows
 
 
@@ -304,6 +326,7 @@ EVENTS_ONLY_ENTRIES = [
     # its spark.sql — cannot run on the events-only dir (sql_daily_rollup
     # has the same exclusion)
     "agg_ols_slope",
+    "agg_attribution_last_touch",
 ]
 
 
@@ -787,4 +810,57 @@ def test_funnel_strict_ordering_semantics(spark, tmp_path):
     compare(QUERIES["agg_funnel_steps"](spark, d),
             con.execute(ORACLE["agg_funnel_steps"]).fetchdf(),
             name="agg_funnel_steps@strictness")
+    con.close()
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity audit: the fixtures are FK-clean (orphan counts all
+# zero), so the audit's counting arms need an injected-orphan proof
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def orphaned_star_dir(tmp_path_factory):
+    """A tiny star schema with DELIBERATE violations: lineitems pointing at
+    missing orders/parts/suppliers (some keys repeated — orphan ROWS, not
+    keys, must be counted) and an order with a missing customer."""
+    d = tmp_path_factory.mktemp("orphaned_star")
+    pd.DataFrame({"o_orderkey": [1, 2, 3], "o_custkey": [10, 10, 99]}).to_parquet(
+        d / "orders.parquet"
+    )
+    pd.DataFrame({"c_custkey": [10]}).to_parquet(d / "customer.parquet")
+    pd.DataFrame({"p_partkey": [100, 101]}).to_parquet(d / "part.parquet")
+    pd.DataFrame({"s_suppkey": [200]}).to_parquet(d / "supplier.parquet")
+    pd.DataFrame(
+        {
+            # rows 0-2 clean; 3-4 orphan order (same missing key twice —
+            # both ROWS must count); 5 orphan part; 6 orphan supplier
+            "l_orderkey": [1, 2, 3, 7, 7, 1, 2],
+            "l_partkey": [100, 101, 100, 100, 101, 555, 100],
+            "l_suppkey": [200, 200, 200, 200, 200, 200, 777],
+        }
+    ).to_parquet(d / "lineitem.parquet")
+    return str(d)
+
+
+def test_referential_integrity_counts_injected_orphans(spark, orphaned_star_dir):
+    rows = {
+        r["fk"]: (r["n_child"], r["n_orphans"], r["orphan_fp"])
+        for r in QUERIES["dq_referential_integrity"](spark, orphaned_star_dir).collect()
+    }
+    assert rows["lineitem->orders"] == (7, 2, 285714)
+    assert rows["lineitem->part"] == (7, 1, 142857)
+    assert rows["lineitem->supplier"] == (7, 1, 142857)
+    assert rows["orders->customer"] == (3, 1, 333333)
+
+
+def test_referential_integrity_matches_oracle_on_orphans(spark, orphaned_star_dir):
+    con = duckdb.connect()
+    for t in ("orders", "customer", "part", "supplier", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{orphaned_star_dir}/{t}.parquet'"
+        )
+    got = QUERIES["dq_referential_integrity"](spark, orphaned_star_dir)
+    want = con.execute(ORACLE["dq_referential_integrity"]).fetchdf()
+    compare(got, want, name="dq_referential_integrity@orphans")
     con.close()
