@@ -2464,43 +2464,6 @@ def sql_recursive_rollup(spark, sf_dir):
     )
 
 
-@query(
-    "dq_referential_integrity",
-    """
-    SELECT 'orders->customer' AS fk, CAST(COUNT(*) AS BIGINT) AS n_orphans
-    FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
-    UNION ALL
-    SELECT 'lineitem->orders', CAST(COUNT(*) AS BIGINT)
-    FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
-    UNION ALL
-    SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT)
-    FROM lineitem l ANTI JOIN part p ON l.l_partkey = p.p_partkey
-    """,
-)
-def dq_referential_integrity(spark, sf_dir):
-    """Referential-integrity audit: orphan-row counts for each foreign key,
-    one anti join per edge (broadcast where the parent is small, shuffled
-    otherwise — planner's choice), unioned into a single conformance
-    report. The zero counts ARE the assertion a pipeline gates on."""
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part")
-
-    def orphans(child, parent, ck, pk, label):
-        return (
-            child.join(parent, child[ck] == parent[pk], "left_anti")
-            .agg(F.count(F.lit(1)).alias("n_orphans"))
-            .select(F.lit(label).alias("fk"), "n_orphans")
-        )
-
-    return (
-        orphans(o, c, "o_custkey", "c_custkey", "orders->customer")
-        .unionAll(orphans(li, o, "l_orderkey", "o_orderkey", "lineitem->orders"))
-        .unionAll(orphans(li, p, "l_partkey", "p_partkey", "lineitem->part"))
-    )
-
-
 # ---------------------------------------------------------------------------
 # Derived partsupp: the five TPC-H queries previously written off
 # ---------------------------------------------------------------------------
@@ -2909,7 +2872,11 @@ def dq_referential_integrity(spark, sf_dir):
     promotion gate run before trusting any join for metrics (an orphan
     child row silently vanishes from every inner join downstream). One
     row per relationship: child rows, orphaned child rows, and the
-    orphan rate in 10^6 fixed point.
+    orphan rate in 10^6 fixed point; the zero counts ARE the assertion a
+    pipeline gates on (r7: supersedes the earlier 3-edge anti-join form —
+    adds lineitem->supplier, total/rate columns so the report is
+    actionable, and an injected-orphan adversarial proof, since the
+    fixtures are FK-clean and a broken audit would zero-pass forever).
 
     Scale shape: each relationship pre-aggregates the child to
     (key, count) with map-side combine — the join then carries one row
