@@ -164,10 +164,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # sketch_quantile_histogram / sketch_kmv_intersection), emb_power_iteration
 # (hash-exact integer PCA), j10_interval_overlap, stream_topk_users,
 # pipeline_rag_index (composed chunk→feature→code→band index),
-# graph_link_prediction (bounded wedge join), and the remaining
-# never-windowed TPC-H shapes (q3/q5/q7/q10/q11/q12/q13/q14/q15/q16/
-# q18/q19/q22 — r6 verdict item 6 asks for ≥4 more by r8, satisfied this
-# round with q2/q8/q17/q20; keep feeding the rest through).
+# graph_link_prediction (bounded wedge join), the round-7 additions
+# (dq_referential_integrity — injected-orphan-proven FK audit,
+# agg_attribution_last_touch — ignore-nulls window attribution,
+# sample_stratified_cap — md5-rank per-group capping,
+# sim_bruteforce_topk_vectorized — newly hash-exact int64 GEMM), and the
+# remaining never-windowed TPC-H shapes (q3/q5/q7/q10/q11/q12/q13/q14/
+# q15/q16/q18/q19/q22 — r6 verdict item 6 asked for ≥4 more by r8,
+# satisfied in r7 with q2/q8/q17/q20; keep feeding the rest through).
 
 _missing = [n for n in DRIVER_WINDOW if n not in _ALL_QUERIES]
 if _missing:
