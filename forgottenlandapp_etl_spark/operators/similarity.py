@@ -275,10 +275,17 @@ def brute_force_topk_vectorized_int(
             f"{len(queries_pdf)} rows > max_queries={max_queries}; chunk "
             "the queries or use quantized_topk"
         )
+    out_schema = "query_id LONG, neighbor_id LONG, qdot LONG"
+    if not len(queries_pdf):
+        # np.stack([]) raises; an empty query set (e.g. a sampling
+        # predicate that matched nothing on a small corpus) is a valid
+        # input with an empty answer (r7 advice)
+        spark = corpus_q.sparkSession
+        return spark.createDataFrame(
+            [], out_schema + ", rank INT"
+        ).select("query_id", "neighbor_id", "qdot", "rank")
     qids = queries_pdf["query_id"].to_numpy()
     qm = np.stack(queries_pdf["qa"].to_list()).astype("int64")  # (nq, d)
-
-    out_schema = "query_id LONG, neighbor_id LONG, qdot LONG"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

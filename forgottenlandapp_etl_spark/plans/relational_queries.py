@@ -2889,7 +2889,14 @@ def dq_referential_integrity(spark, sf_dir):
         ck = child.groupBy(F.col(key).alias("k")).agg(
             F.count(F.lit(1)).alias("n")
         )
-        pk = parent.select(F.col(pkey).alias("k"), F.lit(1).alias("__p"))
+        # dropDuplicates: a DIRTY parent with a duplicated key would
+        # multiply grouped child rows through the join, inflating n_child
+        # (the NOT EXISTS oracle is immune) — and this audit exists
+        # precisely to run on possibly-broken data (r7 advice)
+        pk = (
+            parent.select(F.col(pkey).alias("k"), F.lit(1).alias("__p"))
+            .dropDuplicates(["k"])
+        )
         return (
             ck.join(pk, "k", "left")
             .agg(

@@ -126,19 +126,24 @@ def _publish(path: str, new_gen: int, keep_gen: int | None) -> None:
     import shutil
 
     open(os.path.join(_gen_dir(path, new_gen), _GEN_MARK), "w").close()
+    legacy = path.rstrip("/") + "__legacy"
     # legacy migration: a real directory can't be replaced by a symlink in
-    # one rename (ENOTEMPTY), so park it as its own generation first. The
-    # two-syscall gap is one-time (first publish over a legacy table) and
-    # crash-covered by _recover_pointer.
+    # one rename (ENOTEMPTY), so park it aside first. The two-syscall gap
+    # is one-time (first publish over a legacy table) and crash-covered by
+    # _recover_pointer. The parked copy is KEPT until the NEXT publish —
+    # it is the grace generation for readers that were already scanning the
+    # pre-pointer table (deleting it inside this same publish contradicted
+    # the module's never-observe-a-half-deleted-table contract for that
+    # first publish — r7 advice).
     if os.path.lexists(path) and not os.path.islink(path):
-        legacy = path.rstrip("/") + "__legacy"
         if os.path.lexists(legacy):  # debris from a crashed prior migration
             shutil.rmtree(legacy, ignore_errors=True)
         os.rename(path, legacy)
         _swap_pointer(path, _gen_dir(path, new_gen))
-        shutil.rmtree(legacy)
     else:
         _swap_pointer(path, _gen_dir(path, new_gen))
+        if os.path.lexists(legacy):  # grace expired: this publish supersedes
+            shutil.rmtree(legacy, ignore_errors=True)
     for k in _list_gens(path):
         if k != new_gen and k != keep_gen:
             shutil.rmtree(_gen_dir(path, k), ignore_errors=True)
@@ -146,25 +151,57 @@ def _publish(path: str, new_gen: int, keep_gen: int | None) -> None:
 
 def _hardlink_tree(src: str, dst: str, skip: set[str] | None = None) -> None:
     """Mirror ``src`` into ``dst`` via hardlinks (copy fallback) — data
-    reuse without data movement. ``skip`` names top-level entries of
-    ``src`` to leave out."""
+    reuse without data movement. ``skip`` names RELATIVE paths under
+    ``src`` to leave out (any depth — used to skip exactly the LEAF
+    partition dirs a new generation rewrote, so sibling leaves under a
+    shared coarse partition dir still come across; the earlier top-level
+    form dropped period=p1/date=d1 when the upsert touched only
+    period=p1/date=d2 — r7 advice, medium)."""
     import os
     import shutil
 
-    os.makedirs(dst, exist_ok=True)
-    for entry in os.listdir(src):
-        if skip and entry in skip:
-            continue
-        if entry == _GEN_MARK:
-            continue
-        s, d = os.path.join(src, entry), os.path.join(dst, entry)
-        if os.path.isdir(s):
-            _hardlink_tree(s, d)
-        else:
-            try:
-                os.link(s, d)
-            except OSError:
-                shutil.copy2(s, d)
+    def rec(s_dir: str, d_dir: str, rel: str) -> None:
+        os.makedirs(d_dir, exist_ok=True)
+        for entry in os.listdir(s_dir):
+            r = os.path.join(rel, entry) if rel else entry
+            if skip and r in skip:
+                continue
+            if entry == _GEN_MARK:
+                continue
+            s, d = os.path.join(s_dir, entry), os.path.join(d_dir, entry)
+            if os.path.isdir(s):
+                rec(s, d, r)
+            else:
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
+
+    rec(src, dst, "")
+
+
+def _leaf_partition_dirs(root: str, depth: int) -> set[str]:
+    """Relative ``a=1/b=2`` paths of every key=value directory chain
+    exactly ``depth`` levels under ``root``."""
+    import os
+
+    out: set[str] = set()
+
+    def rec(d: str, rel: str, lvl: int) -> None:
+        if not os.path.isdir(d):
+            return
+        for entry in os.listdir(d):
+            p = os.path.join(d, entry)
+            if not (os.path.isdir(p) and "=" in entry):
+                continue
+            r = os.path.join(rel, entry) if rel else entry
+            if lvl == depth - 1:
+                out.add(r)
+            else:
+                rec(p, r, lvl + 1)
+
+    rec(root, "", 0)
+    return out
 
 
 def overwrite_latest(df: DataFrame, path: str, _before_publish=None) -> None:
@@ -202,8 +239,6 @@ def upsert_partitions(
     Appends racing the rewrite of a TOUCHED partition lose to it
     (last-write-wins — the overwrite's contract); concurrent writers at
     scale belong to a real table format."""
-    import os
-
     cur, cur_dir = _current_gen(path)
     new = (cur + 1) if cur is not None else 0
     new_dir = _gen_dir(path, new)
@@ -211,10 +246,11 @@ def upsert_partitions(
     if _before_publish is not None:  # test hook: appender racing the write
         _before_publish()
     if cur_dir is not None:
-        touched = {
-            e for e in os.listdir(new_dir)
-            if "=" in e and os.path.isdir(os.path.join(new_dir, e))
-        }
+        # touched = LEAF partition dirs the new generation wrote (full
+        # len(partition_cols) depth): skipping at top level would drop
+        # sibling leaves under a shared coarse dir (period=p1/date=d1 lost
+        # when only period=p1/date=d2 was upserted — r7 advice, medium)
+        touched = _leaf_partition_dirs(new_dir, len(partition_cols))
         _hardlink_tree(cur_dir, new_dir, skip=touched | {"_SUCCESS"})
     _publish(path, new, keep_gen=cur)
 

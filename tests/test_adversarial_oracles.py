@@ -864,3 +864,37 @@ def test_referential_integrity_matches_oracle_on_orphans(spark, orphaned_star_di
     want = con.execute(ORACLE["dq_referential_integrity"]).fetchdf()
     compare(got, want, name="dq_referential_integrity@orphans")
     con.close()
+
+
+def test_referential_integrity_exact_under_duplicated_parent_keys(spark, tmp_path):
+    """r7-advice regression (low): a DIRTY parent with a duplicated key
+    must not multiply grouped child rows through the audit's join —
+    n_child stays the true child row count (the NOT EXISTS oracle is
+    immune; the DataFrame form needs the parent-key dedup)."""
+    d = str(tmp_path)
+    pd.DataFrame({"o_orderkey": [1, 2, 3], "o_custkey": [10, 10, 99]}).to_parquet(
+        tmp_path / "orders.parquet"
+    )
+    # duplicated parent key 10 — the broken form would count custkey-10
+    # orders twice (n_child 5, not 3)
+    pd.DataFrame({"c_custkey": [10, 10]}).to_parquet(tmp_path / "customer.parquet")
+    pd.DataFrame({"p_partkey": [100]}).to_parquet(tmp_path / "part.parquet")
+    pd.DataFrame({"s_suppkey": [200, 200]}).to_parquet(tmp_path / "supplier.parquet")
+    pd.DataFrame(
+        {"l_orderkey": [1, 2], "l_partkey": [100, 100], "l_suppkey": [200, 200]}
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    rows = {
+        r["fk"]: (r["n_child"], r["n_orphans"])
+        for r in QUERIES["dq_referential_integrity"](spark, d).collect()
+    }
+    assert rows["orders->customer"] == (3, 1)
+    assert rows["lineitem->supplier"] == (2, 0)
+    con = duckdb.connect()
+    for t in ("orders", "customer", "part", "supplier", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    compare(
+        QUERIES["dq_referential_integrity"](spark, d),
+        con.execute(ORACLE["dq_referential_integrity"]).fetchdf(),
+        name="dq_referential_integrity@dirty_parent",
+    )
+    con.close()

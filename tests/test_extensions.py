@@ -134,6 +134,27 @@ def test_int_gemm_topk_bitwise_equals_jvm_quantized(spark, sf_dir):
     assert a == b
 
 
+def test_int_gemm_topk_empty_query_set_returns_empty(spark, sf_dir):
+    """r7-advice regression (low): an EMPTY query frame (a sampling
+    predicate that matched nothing on a small corpus) must return an
+    empty, correctly-schema'd result — not ValueError from np.stack([])."""
+    from forgottenlandapp_etl_spark.operators import similarity
+
+    e = catalog.table(spark, sf_dir, "embeddings").select(
+        "vec_id", similarity.as_double(F.col("embedding")).alias("v")
+    )
+    cq = similarity.quantize_int8(e).select("vec_id", "q")
+    q_pdf = (
+        similarity.quantize_int8(e.where(F.lit(False)))
+        .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qa"))
+        .toPandas()
+    )
+    assert len(q_pdf) == 0
+    out = similarity.brute_force_topk_vectorized_int(cq, q_pdf, k=5)
+    assert out.columns == ["query_id", "neighbor_id", "qdot", "rank"]
+    assert out.count() == 0
+
+
 def test_bucketed_near_dup_recall(spark, sf_dir):
     """Bucketed near-dup ⊆ exact near-dup (same threshold); recall is
     bounded by the quantizer but should stay useful."""

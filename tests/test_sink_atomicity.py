@@ -272,3 +272,65 @@ def test_legacy_real_directory_migrates_in_place(spark, tmp_path):
     assert os.path.islink(path)
     rows = {(r["v"], r["date"]) for r in spark.read.parquet(path).collect()}
     assert rows == {(1, "d1"), (20, "d2")}
+
+
+def test_upsert_multilevel_keeps_sibling_leaf_partitions(spark, tmp_path):
+    """r7-advice regression (medium): with multi-level partition_cols
+    (routes.py's ("period","date") exp-gain shape), upserting
+    period=p1/date=d2 must NOT drop the sibling leaf period=p1/date=d1 —
+    the old top-level touched-set skipped the whole period=p1 subtree."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "p1", "d1"), (2, "p1", "d2"), (3, "p2", "d1")],
+        "v long, period string, date string",
+    )
+    sinks.upsert_partitions(base, path, ("period", "date"))
+    sinks.upsert_partitions(
+        spark.createDataFrame([(20, "p1", "d2")], "v long, period string, date string"),
+        path,
+        ("period", "date"),
+    )
+    rows = {
+        (r["v"], r["period"], r["date"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert rows == {(1, "p1", "d1"), (20, "p1", "d2"), (3, "p2", "d1")}, (
+        "sibling leaf partition lost under multi-level upsert"
+    )
+    # idempotent re-run converges to the same table
+    sinks.upsert_partitions(
+        spark.createDataFrame([(20, "p1", "d2")], "v long, period string, date string"),
+        path,
+        ("period", "date"),
+    )
+    assert {
+        (r["v"], r["period"], r["date"])
+        for r in spark.read.parquet(path).collect()
+    } == rows
+
+
+def test_legacy_migration_keeps_grace_copy_until_next_publish(spark, tmp_path):
+    """r7-advice (low): the first pointer-era publish over a legacy real
+    directory must keep the parked __legacy dir as the grace generation
+    (in-flight pre-pointer readers), dropping it only at the NEXT publish."""
+    path = str(tmp_path / "t")
+    spark.range(5).select(F.col("id"), F.lit(0).alias("ver")).write.parquet(path)
+    assert not os.path.islink(path)
+    legacy = path + "__legacy"
+    sinks.overwrite_latest(
+        spark.range(5).select(F.col("id"), F.lit(1).alias("ver")), path
+    )
+    assert os.path.islink(path)
+    assert os.path.isdir(legacy), "grace copy dropped inside the migrating publish"
+    # the grace copy still reads as the complete pre-pointer table
+    con = duckdb.connect()
+    try:
+        n = con.execute(f"SELECT count(*) FROM '{legacy}/*.parquet'").fetchone()[0]
+    finally:
+        con.close()
+    assert n == 5
+    sinks.overwrite_latest(
+        spark.range(5).select(F.col("id"), F.lit(2).alias("ver")), path
+    )
+    assert not os.path.lexists(legacy), "grace copy must expire at the next publish"
+    assert {r["ver"] for r in spark.read.parquet(path).collect()} == {2}
