@@ -171,6 +171,17 @@ HEADLINE = [
     "tpch_q2_min_cost_supplier",
     "tpch_q20_excess_stock",
     "sim_bruteforce_topk_vectorized",
+    # round 8 additions: the production-geometry LSH entries (the measured
+    # α≈0.0 configs promoted to oracle rows), the salted skew join, the
+    # newly driver-windowed TPC-H shapes not yet benched, and the
+    # now-hash-exact lang-ID UDF entry
+    "emb_near_dup_rhp_sized",
+    "sim_rp_lsh_topk_sized",
+    "j11_salted_skew_join",
+    "tpch_q3_shipping_priority",
+    "tpch_q12_priority_class",
+    "tpch_q18_large_orders",
+    "text_lang_id_udf",
 ]
 
 

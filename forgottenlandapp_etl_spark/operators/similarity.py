@@ -664,14 +664,30 @@ def quantized_topk(
 # generated DuckDB oracle share the one sign matrix.
 RP_DIM_IN = 64
 RP_DIM_OUT = 16
-_rp_rng = random.Random(7)
-RP_SIGNS: list[list[int]] = [
-    [_rp_rng.choice((-1, 1)) for _ in range(RP_DIM_OUT)] for _ in range(RP_DIM_IN)
-]
+
+
+def rp_signs(dim_in: int, dim_out: int, seed: int) -> list[list[int]]:
+    """Deterministic ±1 sign matrix (dim_in × dim_out) — the rhp_planes
+    discipline for the projection tier, so alternate geometries (the
+    production-sized 64-bit code, r7 verdict item 2) pin their own matrix
+    shared verbatim by plan and oracle."""
+    rng = random.Random(seed)
+    return [[rng.choice((-1, 1)) for _ in range(dim_out)] for _ in range(dim_in)]
+
+
+RP_SIGNS: list[list[int]] = rp_signs(RP_DIM_IN, RP_DIM_OUT, seed=7)
+# production-sized geometry: 64 projected sign bits → 4 bands × 16 bits
+# (65 536 buckets/band; expected bucket size n/65 536 — the config
+# SCALING.md measured at α ≈ 0.0). Distinct seed so the wide matrix is not
+# a correlated extension of the 16-bit one.
+RP_SIGNS_64: list[list[int]] = rp_signs(RP_DIM_IN, 64, seed=11)
 
 
 def random_project_int(
-    quantized: DataFrame, q_col: str = "q", id_col: str = "vec_id"
+    quantized: DataFrame,
+    q_col: str = "q",
+    id_col: str = "vec_id",
+    signs: list[list[int]] | None = None,
 ) -> DataFrame:
     """±1 sign random projection over int8-quantized embeddings, all-integer:
     (id, j, comp BIGINT) with comp_j = Σ_i q_i · sign[i][j].
@@ -684,11 +700,16 @@ def random_project_int(
     (id, dim, value) layout downstream consumers bucket on.
 
     |comp| ≤ 64 · 127 per output dim — nowhere near BIGINT, and the narrow
-    layout keeps any later exchange rows small.
+    layout keeps any later exchange rows small. ``signs`` overrides the
+    default 64→16 matrix (e.g. RP_SIGNS_64 for the sized 64-bit-code
+    geometry).
     """
+    if signs is None:
+        signs = RP_SIGNS
+    dim_in, dim_out = len(signs), len(signs[0])
     comps = []
-    for j in range(RP_DIM_OUT):
-        sj = F.array(*[F.lit(RP_SIGNS[i][j]) for i in range(RP_DIM_IN)])
+    for j in range(dim_out):
+        sj = F.array(*[F.lit(signs[i][j]) for i in range(dim_in)])
         comps.append(
             F.aggregate(
                 F.zip_with(
@@ -718,35 +739,51 @@ def rp_codes(proj: DataFrame, id_col: str = "vec_id") -> DataFrame:
     )
 
 
-def rp_lsh_topk(emb: DataFrame, id_col: str = "vec_id", k: int = 5) -> DataFrame:
+def rp_lsh_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    k: int = 5,
+    signs: list[list[int]] | None = None,
+    band_bits: int = 4,
+) -> DataFrame:
     """ANN top-k via banded random-projection sign codes, exact-verifiable:
 
-    quantize(int8) → sign-project (64→16, integer) → 16-bit code → 4 bands
-    × 4 bits → candidates = pairs sharing ANY band value (equi-join per
-    band, linear candidate generation — the MinHash-LSH discipline applied
-    to embeddings) → EXACT integer dot product on the int8 codes, top-k per
-    query among candidates (rank ties broken on neighbor id).
+    quantize(int8) → sign-project (integer) → sign bits → bands of
+    ``band_bits`` bits → candidates = pairs sharing ANY band value
+    (equi-join per band, linear candidate generation — the MinHash-LSH
+    discipline applied to embeddings) → EXACT integer dot product on the
+    int8 codes, top-k per query among candidates (rank ties broken on
+    neighbor id).
 
     Every stage is integer arithmetic, so the whole ANN pipeline — not just
     its pieces — hash-matches a generated DuckDB oracle. Recall against the
     exhaustive tier is property-tested; at scale the band join's bucket
-    sizes (n/2^4 per band value) bound the quadratic verify step, and the
-    narrow (id, band, value) exchange rows keep the shuffle small.
+    sizes (n/2^band_bits per band value) bound the quadratic verify step,
+    and the narrow (id, band, value) exchange rows keep the shuffle small.
+
+    Geometry: the default (16 projected bits, 4-bit bands ⇒ 16 buckets) is
+    the fixture-sized demo kept AS the oracle-pinned entry; production is
+    ``signs=RP_SIGNS_64, band_bits=16`` (64 bits, 16-bit bands ⇒ 65 536
+    buckets/band — SCALING.md measured α ≈ 0.0 at 10×). Band values are
+    computed straight from the projection (bit j lands in band j//band_bits
+    at position j%band_bits) — identical to the earlier single-code split
+    for the default geometry, and free of the <<63 signed-overflow hazard a
+    monolithic 64-bit code would carry.
     """
     from pyspark import StorageLevel
 
     q = quantize_int8(emb, id_col=id_col).persist(StorageLevel.MEMORY_AND_DISK)
-    codes = rp_codes(random_project_int(q, id_col=id_col))
-    bands = codes.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("code"), 4 * b).bitwiseAND(F.lit(15))
-                    for b in range(RP_LSH_BANDS)
-                ]
-            )
-        ).alias("b", "bv"),
+    proj = random_project_int(q, id_col=id_col, signs=signs)
+    bands = proj.groupBy(
+        F.col(id_col), (F.col("j") / band_bits).cast("int").alias("b")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("comp") >= 0, F.expr(f"shiftleft(1, j % {band_bits})")
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("bv")
     )
     la = bands.select(F.col(id_col).alias("id_a"), "b", "bv")
     lb = bands.select(F.col(id_col).alias("id_b"), "b", "bv")

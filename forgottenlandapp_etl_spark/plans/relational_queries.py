@@ -167,6 +167,36 @@ def j10_interval_overlap(spark, sf_dir):
     )
 
 
+@query(
+    "j11_salted_skew_join",
+    """
+    WITH dim AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_total
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.user_id, e.event_type, d.type_total
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    """,
+)
+def j11_salted_skew_join(spark, sf_dir):
+    """Skew-salted equi-join under the oracle (r7 verdict item 7): the
+    events fact is EXTREMELY skewed on event_type (three values carry the
+    whole table — the one-hot-key shape AQE's skew splitting cannot fix,
+    because a single key's build bucket is indivisible), joined to a
+    per-type dim through operators.joins.salted_join. The left side gets
+    a deterministic hash-derived salt, the dim is replicated 16×, and the
+    join key becomes (event_type, salt) — one hot key spreads over 16
+    tasks. Salting is pure plan surgery: the result must be IDENTICAL to
+    the unsalted join, which is exactly what the plain-SQL oracle pins;
+    the salt fan-out itself is plan-gated in tests/test_skew.py."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    dim = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("type_total")
+    )
+    out = joins.salted_join(ev, dim, on="event_type", salt_buckets=16)
+    return out.select("event_id", "user_id", "event_type", "type_total")
+
+
 # ---------------------------------------------------------------------------
 # multidimensional aggregates
 # ---------------------------------------------------------------------------

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -44,7 +45,6 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
-    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -188,24 +188,54 @@ def register(spark) -> None:
 
 STREAM_FORMAT_NAME = "events_replay"
 STREAM_SCHEMA = "event_id bigint, user_id bigint, event_type string"
-STREAM_CHUNK_ROWS = 8192
 
 
-class ParquetReplayStreamReader(SimpleDataSourceStreamReader):
-    """``SimpleDataSourceStreamReader`` replaying a parquet events table in
-    fixed-size micro-batch chunks by row position — the custom STREAMING
-    ingestion tier (a queue/feed protocol Spark lacks a connector for,
-    stood in by a file so the replay is exactly oracle-checkable).
+class ReplayRangePartition(InputPartition):
+    """One executor task's slice of a micro-batch: a contiguous row range
+    WITHIN one parquet row group (``start``/``end`` are positions relative
+    to the row group's first row)."""
 
-    Offsets are ``{"pos": n}`` row positions: ``read`` advances one chunk
-    per micro-batch and returns the same offset with an empty iterator at
-    exhaustion (so ``processAllAvailable`` terminates), and
-    ``readBetweenOffsets`` re-slices the same rows for recovery replay —
-    determinism IS the exactly-once story. The Simple reader variant is
-    driver-side prefetch BY DESIGN (Spark re-distributes the rows to
-    executors per batch); ``mod`` bounds the replayed subset accordingly,
-    and a partition-planned ``DataSourceStreamReader`` is the
-    executor-parallel upgrade path for unbounded feeds.
+    def __init__(self, file: str, row_group: int, start: int, end: int):
+        self.file = file
+        self.row_group = row_group
+        self.start = start
+        self.end = end
+
+
+class ParquetReplayStreamReader(DataSourceStreamReader):
+    """Partition-planned ``DataSourceStreamReader`` replaying a parquet
+    events table in fixed-size micro-batch chunks by row position — the
+    custom STREAMING ingestion tier (a queue/feed protocol Spark lacks a
+    connector for, stood in by a file so the replay is exactly
+    oracle-checkable).
+
+    This is the executor-parallel upgrade over the earlier
+    ``SimpleDataSourceStreamReader`` form (r7 verdict item 1): the driver
+    never touches a data page. Planning state is an index of (file,
+    row-group, rows) built from parquet FOOTERS only; offsets are
+    ``{"pos": n}`` RAW row positions over that index; ``partitions(start,
+    end)`` maps the batch's row range onto the row groups it intersects —
+    one ``InputPartition`` per intersection, so a batch spanning many row
+    groups (or many files: the 10x directory tier) fans out across the
+    cluster — and ``read`` opens the file executor-side, slices the
+    planned range, and yields Arrow RecordBatches. Recovery replays the
+    same (start, end) range through the same deterministic planning —
+    determinism IS the exactly-once story. The ``mod`` row filter is
+    applied executor-side inside ``read`` (the Simple form filtered on
+    the driver, which also forced offsets to count post-filter rows;
+    positions here are raw, so planning needs only footer row counts).
+
+    Protocol note (why latestOffset = ALL available data): the Python
+    DataSource API carries no admission control (no
+    maxOffsetsPerTrigger/ReadLimit), and Trigger.AvailableNow captures
+    latestOffset ONCE at query start — a reader that meters out
+    chunk-sized offsets under-drains it (measured: 1 chunk of N). Batch
+    sizing is admission control's job; parallelism within the batch is
+    ``partitions()``'s job. This also keeps the reader STATELESS: with
+    latestOffset a pure function of the (immutable) replayed table, a
+    restarted query can never observe an offset regression, whatever
+    order Spark calls initialOffset/latestOffset/commit in after
+    recovery. A live-feed variant would re-probe the feed tail here.
     """
 
     def __init__(self, options):
@@ -213,37 +243,63 @@ class ParquetReplayStreamReader(SimpleDataSourceStreamReader):
         if not self.path:
             raise ValueError("events_replay requires .option('path', ...)")
         self.mod = int(options.get("mod", "1"))
-        self._rows_cache = None
+        self._index_cache = None  # [(file, row_group, global_start, n_rows)]
 
-    def _rows(self):
-        if self._rows_cache is None:
+    def _index(self):
+        """Footer-only planning index; O(row groups) driver memory, zero
+        data pages read (a production feed would checkpoint/refresh this
+        per poll — here the replayed table is immutable)."""
+        if self._index_cache is None:
             import pyarrow.parquet as pq
 
-            t = pq.read_table(
-                self.path, columns=["event_id", "user_id", "event_type"]
-            ).to_pandas()
-            if self.mod > 1:
-                t = t[t.event_id % self.mod == 0]
-            self._rows_cache = [
-                (int(a), int(b), str(c))
-                for a, b, c in zip(t.event_id, t.user_id, t.event_type)
-            ]
-        return self._rows_cache
+            idx, pos = [], 0
+            for path in _data_files(self.path):
+                md = pq.ParquetFile(path).metadata
+                for rg in range(md.num_row_groups):
+                    n = md.row_group(rg).num_rows
+                    idx.append((path, rg, pos, n))
+                    pos += n
+            self._index_cache = (idx, pos)
+        return self._index_cache
 
     def initialOffset(self):
         return {"pos": 0}
 
-    def read(self, start):
-        rows = self._rows()
-        pos = int(start["pos"])
-        end = min(pos + STREAM_CHUNK_ROWS, len(rows))
-        return iter(rows[pos:end]), {"pos": end}
+    def latestOffset(self):
+        """Everything the replayed table holds (see protocol note above);
+        at exhaustion latestOffset == committed offset, so the stream goes
+        idle and processAllAvailable / availableNow terminate."""
+        _idx, total = self._index()
+        return {"pos": total}
 
-    def readBetweenOffsets(self, start, end):
-        return iter(self._rows()[int(start["pos"]) : int(end["pos"])])
+    def partitions(self, start, end):
+        lo, hi = int(start["pos"]), int(end["pos"])
+        idx, _total = self._index()
+        out = []
+        for path, rg, g0, n in idx:
+            s, e = max(lo, g0), min(hi, g0 + n)
+            if s < e:
+                out.append(ReplayRangePartition(path, rg, s - g0, e - g0))
+        return out
+
+    def read(self, partition):
+        import pyarrow.parquet as pq
+        import pyarrow.compute as pc
+
+        pf = pq.ParquetFile(partition.file)
+        t = pf.read_row_group(
+            partition.row_group, columns=["event_id", "user_id", "event_type"]
+        ).slice(partition.start, partition.end - partition.start)
+        if self.mod > 1:
+            # event_id % mod == 0, via truncating integer divide (ids are
+            # nonnegative; Arrow has no modulo kernel)
+            ids = t.column("event_id")
+            rem = pc.subtract(ids, pc.multiply(pc.divide(ids, self.mod), self.mod))
+            t = t.filter(pc.equal(rem, 0))
+        yield from t.to_batches()
 
     def commit(self, end):
-        pass
+        pass  # nothing to release: planning state is footer metadata only
 
 
 class EventsReplayDataSource(DataSource):
@@ -254,7 +310,7 @@ class EventsReplayDataSource(DataSource):
     def schema(self):
         return STREAM_SCHEMA
 
-    def simpleStreamReader(self, schema):
+    def streamReader(self, schema):
         return ParquetReplayStreamReader(self.options)
 
 

@@ -112,57 +112,96 @@ def test_missing_path_option_raises(spark):
         pds.ArrowRowGroupReader(_Opts())
 
 
-def test_stream_reader_offsets_and_recovery(tmp_path):
-    """Positional offset protocol: chunked advance, empty-at-exhaustion
-    (same offset back — processAllAvailable's termination condition), and
-    readBetweenOffsets replaying the IDENTICAL slice (recovery
-    determinism)."""
+def _replay_rows(reader, start, end):
+    out = []
+    for p in reader.partitions(start, end):
+        for batch in reader.read(p):
+            out.extend(
+                (row["event_id"], row["user_id"], row["event_type"])
+                for row in batch.to_pylist()
+            )
+    return out
+
+
+def test_stream_reader_plans_executor_partitions(tmp_path):
+    """The partition-planned protocol (r7 verdict item 1): a batch range
+    spanning several row groups fans out into one InputPartition per
+    row-group intersection (>1 task per micro-batch — the Simple reader's
+    driver-side bottleneck removed), boundary slices land on the right
+    groups, and the mod filter is applied executor-side in read()."""
     import pandas as pd
 
     f = str(tmp_path / "events.parquet")
+    n = 100
     pd.DataFrame(
         {
-            "event_id": range(100),
-            "user_id": [i % 7 for i in range(100)],
-            "event_type": [f"t{i % 3}" for i in range(100)],
+            "event_id": range(n),
+            "user_id": [i % 7 for i in range(n)],
+            "event_type": [f"t{i % 3}" for i in range(n)],
         }
-    ).to_parquet(f)
+    ).to_parquet(f, row_group_size=10)
     r = pds.ParquetReplayStreamReader(_Opts(path=f, mod="2"))
-    r2 = pds.ParquetReplayStreamReader(_Opts(path=f, mod="2"))
 
     assert r.initialOffset() == {"pos": 0}
-    it, off = r.read({"pos": 0})
-    rows = list(it)
-    assert off == {"pos": 50} and len(rows) == 50  # 100 rows, mod 2
+    assert r.latestOffset() == {"pos": n}
+    parts = r.partitions({"pos": 0}, {"pos": n})
+    assert len(parts) == 10, "one InputPartition per row group"
+    # a sub-range crossing a group boundary: two partitions, exact slices
+    sub = r.partitions({"pos": 15}, {"pos": 25})
+    assert [(p.row_group, p.start, p.end) for p in sub] == [(1, 5, 10), (2, 0, 5)]
+    # empty range (start == end) plans nothing — the idle-stream contract
+    assert r.partitions({"pos": 40}, {"pos": 40}) == []
+    rows = _replay_rows(r, {"pos": 0}, {"pos": n})
     assert rows[0] == (0, 0, "t0") and rows[1] == (2, 2, "t2")
-    # exhausted: same offset, empty iterator
-    it2, off2 = r.read(off)
-    assert off2 == off and list(it2) == []
-    # recovery: a FRESH reader re-slices the identical rows
-    assert list(r2.readBetweenOffsets({"pos": 10}, {"pos": 20})) == rows[10:20]
+    assert [x[0] for x in rows] == [i for i in range(n) if i % 2 == 0]
 
 
-def test_stream_chunking_boundary(tmp_path):
-    """A table larger than one chunk advances in STREAM_CHUNK_ROWS steps
-    with no row lost or duplicated across micro-batches."""
+def test_stream_reader_recovery_replays_identical_slice(tmp_path):
+    """Recovery determinism: a FRESH reader replaying the same (start,
+    end) offset range through partitions()+read() produces the identical
+    rows — the exactly-once story for checkpoint recovery."""
     import pandas as pd
 
-    n = pds.STREAM_CHUNK_ROWS + 100
     f = str(tmp_path / "events.parquet")
+    n = 60
     pd.DataFrame(
         {"event_id": range(n), "user_id": [0] * n, "event_type": ["x"] * n}
-    ).to_parquet(f)
+    ).to_parquet(f, row_group_size=7)
     r = pds.ParquetReplayStreamReader(_Opts(path=f))
-    seen = []
-    off = r.initialOffset()
-    while True:
-        it, nxt = r.read(off)
-        batch = list(it)
-        if not batch and nxt == off:
-            break
-        seen.extend(batch)
-        off = nxt
-    assert [row[0] for row in seen] == list(range(n))
+    r2 = pds.ParquetReplayStreamReader(_Opts(path=f))
+    a = _replay_rows(r, {"pos": 13}, {"pos": 41})
+    b = _replay_rows(r2, {"pos": 13}, {"pos": 41})
+    assert a == b and [x[0] for x in a] == list(range(13, 41))
+    # adjacent ranges partition the stream: no row lost or duplicated
+    whole = _replay_rows(r, {"pos": 0}, {"pos": n})
+    split = _replay_rows(r2, {"pos": 0}, {"pos": 29}) + _replay_rows(
+        r2, {"pos": 29}, {"pos": n}
+    )
+    assert whole == split and len(whole) == n
+
+
+def test_stream_reader_multi_file_directory(tmp_path):
+    """Directory datasets (the 10x scale tier): the footer index
+    concatenates sorted part files, so a batch range spans FILES as well
+    as row groups — partitions carry the right file paths."""
+    import pandas as pd
+
+    d = tmp_path / "events_dir"
+    d.mkdir()
+    for i in range(3):
+        pd.DataFrame(
+            {
+                "event_id": range(i * 20, (i + 1) * 20),
+                "user_id": [0] * 20,
+                "event_type": ["x"] * 20,
+            }
+        ).to_parquet(str(d / f"part-{i}.parquet"), row_group_size=10)
+    r = pds.ParquetReplayStreamReader(_Opts(path=str(d)))
+    assert r.latestOffset() == {"pos": 60}
+    parts = r.partitions({"pos": 0}, {"pos": 60})
+    assert len(parts) == 6 and len({p.file for p in parts}) == 3
+    rows = _replay_rows(r, {"pos": 15}, {"pos": 45})
+    assert [x[0] for x in rows] == list(range(15, 45))
 
 
 def test_writer_round_trip_and_overwrite(spark, sf_dir, tmp_path):

@@ -334,3 +334,80 @@ def test_legacy_migration_keeps_grace_copy_until_next_publish(spark, tmp_path):
     )
     assert not os.path.lexists(legacy), "grace copy must expire at the next publish"
     assert {r["ver"] for r in spark.read.parquet(path).collect()} == {2}
+
+
+def test_streaming_upsert_crash_mid_publish_recovers_exactly_once(spark, tmp_path):
+    """r7 verdict item 6 — the COMPOSED case crossing both recovery
+    mechanisms: a foreachBatch partition-upsert stream is killed
+    MID-PUBLISH (new generation fully written, pointer not yet swapped).
+    The live table must still read as the complete previous generation;
+    restarting the stream from the same checkpoint must replay the failed
+    micro-batch through the pointer swap EXACTLY ONCE — the checkpoint
+    replays the batch, the generation scheme makes the replay idempotent
+    (the debris generation is simply overwritten) — and the drained table
+    holds every row exactly once with no uncommitted debris left behind."""
+    import pandas as pd
+
+    from forgottenlandapp_etl_spark.sources import sinks as sk
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    # pre-existing committed table: the crash must not damage it
+    sinks.upsert_partitions(
+        spark.createDataFrame([(100, "d0"), (101, "d0")], "v long, day string"),
+        out,
+        ("day",),
+    )
+    pd.DataFrame({"v": [1, 2], "day": ["d1", "d1"]}).to_parquet(src / "f1.parquet")
+    pd.DataFrame({"v": [3], "day": ["d2"]}).to_parquet(src / "f2.parquet")
+
+    crashed = {"done": False}
+
+    def run(inject_crash: bool) -> None:
+        def upsert(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            hook = None
+            if inject_crash and not crashed["done"]:
+                def hook():
+                    crashed["done"] = True
+                    raise RuntimeError("injected crash mid-publish")
+            sinks.upsert_partitions(
+                batch_df, out, ("day",), _before_publish=hook
+            )
+
+        q = (
+            spark.readStream.schema("v long, day string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(Exception, match="injected crash"):
+        run(inject_crash=True)
+    assert crashed["done"]
+    # mid-publish state: the live pointer still serves the COMPLETE old
+    # generation (an independent engine reads it), debris gen uncommitted
+    rows_mid = _read_all(out, "**/*.parquet")
+    assert sorted(r[0] for r in rows_mid) == [100, 101]
+    # restart from the same checkpoint: the failed batch replays through
+    # the pointer swap exactly once, then the remaining file drains
+    run(inject_crash=False)
+    got = {(r["v"], r["day"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(100, "d0"), (101, "d0"), (1, "d1"), (2, "d1"), (3, "d2")}
+    # no duplicate rows (exactly-once through the replay)
+    assert spark.read.parquet(out).count() == 5
+    # a single committed generation chain: no uncommitted debris beyond the
+    # one grace generation the pointer scheme keeps by design
+    gens = sk._list_gens(out)
+    committed = [
+        k for k in gens
+        if os.path.exists(os.path.join(sk._gen_dir(out, k), sk._GEN_MARK))
+    ]
+    assert len(gens) <= 2 and committed, (gens, committed)

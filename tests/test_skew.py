@@ -216,3 +216,16 @@ def test_plain_join_concentrates_the_hot_key(spark, no_broadcast):
     total = sum(counts)
     # hot key ≈ 1/3 of all rows in a single partition
     assert counts[0] >= 0.30 * total
+
+def test_j11_entry_plan_carries_salt_fanout(spark, no_broadcast):
+    """The oracle-paired registry entry (j11_salted_skew_join) must
+    actually go through the salted path: the physical plan carries the
+    16-way salt replication (explode of the salt array) and joins on the
+    composite (event_type, __salt) key — so the hash-PASS vs the plain
+    oracle proves salting is pure plan surgery, not a different query."""
+    from forgottenlandapp_etl_spark.plans.registry import QUERIES
+
+    df = QUERIES["j11_salted_skew_join"](spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan, "salt key missing from the entry's physical plan"
+    assert "explode" in plan.lower(), "salt replication (explode) missing"
