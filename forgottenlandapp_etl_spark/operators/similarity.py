@@ -473,6 +473,34 @@ def rhp_near_dup(
     return scored.groupBy("id_a", "id_b").agg(F.min("cos").alias("cos"))
 
 
+def rhp_near_dup_multipass(
+    corpus: DataFrame,
+    threshold: float,
+    plane_sets: list[list[list[float]]],
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Multi-pass RHP near-dup: union of :func:`rhp_near_dup` over several
+    independently-seeded plane sets — THE production recall recipe for the
+    sized geometry (each 16-bit-band pass keeps candidates linear but has
+    per-pass recall ~bands·p^16; K passes with fresh hyperplanes push
+    recall toward 1-(1-r)^K while total cost stays K× linear, never
+    quadratic). Verified pairs are exact-cosine either way, so the union
+    is a plain pair-key dedup: MIN over identical recomputed cosines, the
+    same map-side-combinable aggregate as the single-pass form."""
+    passes = [
+        rhp_near_dup(
+            corpus, threshold, planes=ps, bands=bands, id_col=id_col, vec_col=vec_col
+        )
+        for ps in plane_sets
+    ]
+    out = passes[0]
+    for p in passes[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("id_a", "id_b").agg(F.min("cos").alias("cos"))
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     k: int = 8,

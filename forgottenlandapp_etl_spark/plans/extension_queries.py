@@ -1069,6 +1069,55 @@ _RHP_PLANES_SIZED = similarity.rhp_planes(dim=64, n_planes=64, seed=7)
 _RHP_BANDS_SIZED = 4
 
 
+def _rhp_multipass_oracle(
+    threshold: float,
+    plane_sets: list[list[list[float]]],
+    n_bands: int,
+) -> str:
+    """Union-of-passes form of _rhp_oracle: one sig CTE carrying every
+    pass's bits (offset-indexed), candidates = UNION of each pass's band
+    selects — DISTINCT folded in by the explicit SELECT DISTINCT wrapper
+    (the bare-UNION-in-recursive-CTE hazard doesn't apply here, but the
+    explicit form keeps the dedup visible)."""
+    all_planes = [p for ps in plane_sets for p in ps]
+    per = len(plane_sets[0])
+    rows = per // n_bands
+    bits = ",\n         ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(f"{x:.1f}" for x in plane)
+        + f"]) > 0 THEN 1 ELSE 0 END AS bit{j}"
+        for j, plane in enumerate(all_planes)
+    )
+    selects = []
+    for s in range(len(plane_sets)):
+        off = s * per
+        for band in range(n_bands):
+            conds = " AND ".join(
+                f"a.bit{off + i} = b.bit{off + i}"
+                for i in range(band * rows, (band + 1) * rows)
+            )
+            selects.append(
+                f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM sig a "
+                f"JOIN sig b ON a.vec_id < b.vec_id AND {conds}"
+            )
+    cand = (
+        "cand AS (\n  SELECT DISTINCT id_a, id_b FROM (\n  "
+        + "\n  UNION ALL\n  ".join(selects)
+        + "\n  )\n)"
+    )
+    cos = _SQL_COS.format(a="ea.v", b="eb.v")
+    return f"""
+    WITH {_SQL_EMB},
+    sig AS (SELECT vec_id, v,
+         {bits}
+    FROM e),
+    {cand}
+    SELECT id_a, id_b, {cos} AS cos
+    FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+    WHERE {cos} >= CAST({threshold} AS DOUBLE)
+    """
+
+
 @ext_query(
     "emb_near_dup_rhp_sized",
     _rhp_oracle(threshold=0.2, planes=_RHP_PLANES_SIZED, n_bands=_RHP_BANDS_SIZED),
@@ -1085,6 +1134,35 @@ def emb_near_dup_rhp_sized(spark, sf_dir):
     e = _emb(spark, sf_dir, fan_out=True)
     return similarity.rhp_near_dup(
         e, threshold=0.2, planes=_RHP_PLANES_SIZED, bands=_RHP_BANDS_SIZED
+    )
+
+
+# second independently-seeded sized plane set for the multipass recipe
+_RHP_PLANES_SIZED_B = similarity.rhp_planes(dim=64, n_planes=64, seed=13)
+
+
+@ext_query(
+    "emb_near_dup_rhp_multipass",
+    _rhp_multipass_oracle(
+        threshold=0.2,
+        plane_sets=[_RHP_PLANES_SIZED, _RHP_PLANES_SIZED_B],
+        n_bands=_RHP_BANDS_SIZED,
+    ),
+)
+def emb_near_dup_rhp_multipass(spark, sf_dir):
+    """TWO-PASS sized RHP near-dup — the full production recall recipe
+    (operators/similarity.rhp_near_dup docstring: union passes with fresh
+    plane seeds): each pass runs the linear 64-plane/16-bit-band geometry,
+    per-pass recall r ≈ bands·p^16 compounds to 1-(1-r)² across the union,
+    and total cost stays 2× linear. The union is a pair-key dedup over
+    exact-cosine-verified rows, so the multipass RESULT — not just each
+    pass — is hash-exact against the generated two-sig-set oracle."""
+    e = _emb(spark, sf_dir, fan_out=True)
+    return similarity.rhp_near_dup_multipass(
+        e,
+        threshold=0.2,
+        plane_sets=[_RHP_PLANES_SIZED, _RHP_PLANES_SIZED_B],
+        bands=_RHP_BANDS_SIZED,
     )
 
 

@@ -1887,3 +1887,49 @@ def test_ewma_int_carries_state_across_arrow_batches(spark):
     for i, v in enumerate(ref, start=1):
         assert got[(1, i)] == v, i
     assert got[(2, 1)] == 5
+
+
+def test_rhp_multipass_contains_single_pass_and_stays_exact(spark, sf_dir):
+    """Multipass RHP (union of fresh-seed passes) must be a SUPERSET of
+    the single sized pass at the same threshold (recall only grows), and
+    every emitted pair must carry the exact cosine (precision 1.0 — the
+    LSH only gates candidates, never scores)."""
+    from forgottenlandapp_etl_spark.operators import similarity
+    from forgottenlandapp_etl_spark.plans.extension_queries import (
+        _RHP_BANDS_SIZED,
+        _RHP_PLANES_SIZED,
+        _RHP_PLANES_SIZED_B,
+    )
+
+    e = catalog.table(spark, sf_dir, "embeddings").select(
+        "vec_id", similarity.as_double(F.col("embedding")).alias("v")
+    )
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.rhp_near_dup(
+            e, 0.2, planes=_RHP_PLANES_SIZED, bands=_RHP_BANDS_SIZED
+        ).collect()
+    }
+    multi_rows = similarity.rhp_near_dup_multipass(
+        e,
+        0.2,
+        plane_sets=[_RHP_PLANES_SIZED, _RHP_PLANES_SIZED_B],
+        bands=_RHP_BANDS_SIZED,
+    ).collect()
+    multi = {(r["id_a"], r["id_b"]) for r in multi_rows}
+    assert single <= multi
+    # exact scores: recompute one pair's cosine independently
+    if multi_rows:
+        import numpy as np
+
+        lookup = {
+            r["vec_id"]: np.array(r["v"])
+            for r in e.where(
+                F.col("vec_id").isin(
+                    [multi_rows[0]["id_a"], multi_rows[0]["id_b"]]
+                )
+            ).collect()
+        }
+        a, b = lookup[multi_rows[0]["id_a"]], lookup[multi_rows[0]["id_b"]]
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(multi_rows[0]["cos"] - want) < 1e-9

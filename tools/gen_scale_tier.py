@@ -176,10 +176,12 @@ def generate(base: str, out: str, copies: int = 10) -> None:
     )
 
     d = _replicate(spark.read.parquet(f"{base}/documents.parquet"), copies)
-    text = F.col("text")
-    for i in range(copies - 1, 0, -1):
-        src, dst = cipher_alphabet(i)
-        text = F.when(F.col("__c") == i, F.translate("text", src, dst)).otherwise(text)
+    # flat per-copy cipher lookup (same depth-constant rationale as the
+    # embeddings permutation below; alphabets are alnum-only, quote-safe)
+    dsts_sql = "array(" + ", ".join(
+        f"'{cipher_alphabet(i)[1]}'" for i in range(copies)
+    ) + ")"
+    text = F.expr(f"translate(text, '{_ALPHA}', element_at({dsts_sql}, __c + 1))")
     w(
         d.select(
             _shift("doc_id", strides["documents"]),
@@ -190,13 +192,19 @@ def generate(base: str, out: str, copies: int = 10) -> None:
     )
 
     e = _replicate(spark.read.parquet(f"{base}/embeddings.parquet"), copies)
-    vec = F.col("embedding")
-    for i in range(copies - 1, 0, -1):
-        perm = dim_permutation(i)
-        vec = F.when(
-            F.col("__c") == i,
-            F.array(*[F.col("embedding")[perm[j]] for j in range(EMB_DIM)]),
-        ).otherwise(vec)
+    # one literal copies×EMB_DIM permutation table + a transform() lookup:
+    # the earlier per-copy nested-when chain was O(copies) expression DEPTH
+    # and blew whole-stage codegen at the 100-copy (second-decade) tier;
+    # this form is depth-constant and produces identical content (the 10x
+    # tier's pytest-pinned table hashes are unchanged)
+    perms_sql = "array(" + ", ".join(
+        "array(" + ", ".join(str(p) for p in dim_permutation(i)) + ")"
+        for i in range(copies)
+    ) + ")"
+    vec = F.expr(
+        f"transform(element_at({perms_sql}, __c + 1),"
+        " i -> element_at(embedding, i + 1))"
+    )
     w(
         e.select(
             _shift("vec_id", strides["embeddings"]),
