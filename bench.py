@@ -182,6 +182,16 @@ HEADLINE = [
     "tpch_q12_priority_class",
     "tpch_q18_large_orders",
     "text_lang_id_udf",
+    # round 8b: complete the TPC-H coverage — every one of the 22 shapes
+    # is now timed per round (the 7 below were oracle-gated but never
+    # benched)
+    "tpch_q7_volume_shipping",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_parts_supplier_relationship",
+    "tpch_q19_disjunctive_pred",
+    "tpch_q22_sales_opportunity",
 ]
 
 

@@ -458,6 +458,10 @@ EMB_ONLY_ENTRIES = [
     "dedup_semantic",
     "emb_power_iteration",
     "emb_power_top2",
+    # round 8: the production-sized LSH geometries and the two-pass union
+    "emb_near_dup_rhp_sized",
+    "emb_near_dup_rhp_multipass",
+    "sim_rp_lsh_topk_sized",
 ]
 
 
@@ -468,6 +472,31 @@ def test_emb_entry_matches_oracle_on_adversarial_corpus(
     got = QUERIES[name](spark, adv_emb_dir)
     want = adv_emb_con.execute(ORACLE[name]).fetchdf()
     compare(got, want, name=f"{name}@adversarial-embeddings")
+
+
+def test_sized_rhp_recalls_true_near_duplicates(spark, adv_emb_dir):
+    """The production geometry must actually CATCH near-dups, not just
+    hash-match on tail pairs: the corpus's near-identical cluster (ids
+    8-11, cos ≈ 1 — verified offline that the sign bits agree on every
+    plane, so every 16-bit band collides) and the exact-duplicate /
+    collinear trio (ids 1, 2, 3) must all be emitted by the sized single
+    pass; the multipass union must contain the single pass."""
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["emb_near_dup_rhp_sized"](spark, adv_emb_dir).collect()
+    }
+    cluster = {8, 9, 10, 11}
+    for a in sorted(cluster):
+        for b in sorted(cluster):
+            if a < b:
+                assert (a, b) in single, f"missed near-identical pair ({a},{b})"
+    for pair in [(1, 2), (1, 3), (2, 3)]:
+        assert pair in single, f"missed exact/collinear pair {pair}"
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["emb_near_dup_rhp_multipass"](spark, adv_emb_dir).collect()
+    }
+    assert single <= multi
 
 
 # ---------------------------------------------------------------------------
