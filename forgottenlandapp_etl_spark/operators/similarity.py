@@ -391,17 +391,27 @@ def rhp_signature(
 ) -> DataFrame:
     """Append random-hyperplane signature bits bit0..bitN (int 0/1).
 
-    One narrow map — each bit is sign(v · plane_j). 16 bits at 64 dims is
-    16 fused higher-order-function dot products inside whole-stage codegen;
-    no shuffle, no Python.
+    One narrow map — each bit is sign(v · plane_j); no shuffle, no Python.
+    All planes ride in ONE literal array-of-arrays inside a single
+    transform() expression (r8): the earlier per-plane withColumn chain
+    built 64 separate 64-literal dot expressions through py4j — ~5 s of
+    driver-side plan construction PER QUERY at the sized geometry,
+    dwarfing the actual scan at fixture SFs. The inner
+    aggregate(zip_with(...)) is the same sequential-order double fold as
+    :func:`dot`, so every bit (and every downstream hash) is unchanged.
     """
-    out = df
-    for j, plane in enumerate(planes):
-        p = F.array(*[F.lit(x) for x in plane])
-        out = out.withColumn(
-            f"bit{j}", (dot(F.col(vec_col), p) > 0).cast("int")
-        )
-    return out
+    planes_sql = "array(" + ", ".join(
+        "array(" + ", ".join(f"{x!r}D" for x in plane) + ")" for plane in planes
+    ) + ")"
+    bits = F.expr(
+        f"transform({planes_sql}, p -> CAST((aggregate(zip_with({vec_col}, p,"
+        " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) > 0) AS INT))"
+    )
+    out = df.withColumn("__rhp_bits", bits)
+    out = out.select(
+        "*", *[F.col("__rhp_bits")[j].alias(f"bit{j}") for j in range(len(planes))]
+    )
+    return out.drop("__rhp_bits")
 
 
 def rhp_near_dup(
@@ -735,20 +745,22 @@ def random_project_int(
     if signs is None:
         signs = RP_SIGNS
     dim_in, dim_out = len(signs), len(signs[0])
-    comps = []
-    for j in range(dim_out):
-        sj = F.array(*[F.lit(signs[i][j]) for i in range(dim_in)])
-        comps.append(
-            F.aggregate(
-                F.zip_with(
-                    F.col(q_col), sj, lambda a, b: (a * b).cast("long")
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-        )
+    # one TRANSPOSED literal sign matrix inside a single transform() (r8):
+    # the per-output-dim expression list built dim_out separate
+    # 64-literal aggregates through py4j — at the sized 64-bit geometry
+    # that is ~4k literal calls of pure driver-side plan construction per
+    # query. Integer sums are order-free, so values are unchanged.
+    signs_t_sql = "array(" + ", ".join(
+        "array(" + ", ".join(str(signs[i][j]) for i in range(dim_in)) + ")"
+        for j in range(dim_out)
+    ) + ")"
+    comps = F.expr(
+        f"transform({signs_t_sql}, s -> aggregate(zip_with({q_col}, s,"
+        " (a, b) -> CAST(a * b AS BIGINT)), CAST(0 AS BIGINT),"
+        " (acc, x) -> acc + x))"
+    )
     return quantized.select(
-        F.col(id_col), F.posexplode(F.array(*comps)).alias("j", "comp")
+        F.col(id_col), F.posexplode(comps).alias("j", "comp")
     ).select(F.col(id_col), F.col("j").cast("int").alias("j"), "comp")
 
 
