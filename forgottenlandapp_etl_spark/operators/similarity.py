@@ -764,19 +764,10 @@ def random_project_int(
     ).select(F.col(id_col), F.col("j").cast("int").alias("j"), "comp")
 
 
-RP_LSH_BANDS = 4  # 16 sign bits = 4 bands x 4 bits
-
-
-def rp_codes(proj: DataFrame, id_col: str = "vec_id") -> DataFrame:
-    """Collapse the (id, j, comp) projection to one 16-bit sign code per
-    vector: bit_j = [comp_j >= 0]. Integer end-to-end."""
-    return proj.groupBy(id_col).agg(
-        # SQL form: the DataFrame shiftleft() only takes a literal shift,
-        # but the bit position here is the column j
-        F.sum(
-            F.when(F.col("comp") >= 0, F.expr("shiftleft(1, j)")).otherwise(F.lit(0))
-        ).cast("int").alias("code")
-    )
+# (the former rp_codes single-16-bit-code collapse was absorbed into
+# rp_lsh_topk's per-band values in r8 — a monolithic code column caps the
+# geometry at 31 bits before shiftleft(1, j) overflows signed int, which
+# is exactly what the sized 64-bit form must avoid)
 
 
 def rp_lsh_topk(
