@@ -185,9 +185,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # sketch_quantile_histogram / sketch_kmv_intersection), emb_power_iteration
 # (hash-exact integer PCA), j10_interval_overlap, stream_topk_users,
 # pipeline_rag_index (composed chunk→feature→code→band index),
-# graph_link_prediction (bounded wedge join), emb_near_dup_rhp_sized (the
-# sized RHP sibling of the promoted sim_rp_lsh_topk_sized), the salted
-# skew join (j11_salted_skew_join, new in r8), and the remaining
+# graph_link_prediction (bounded wedge join), emb_near_dup_rhp_sized and
+# emb_near_dup_rhp_multipass (the sized/two-pass RHP siblings of the
+# promoted sim_rp_lsh_topk_sized), the salted skew join
+# (j11_salted_skew_join, new in r8), and the remaining
 # never-windowed TPC-H shapes (q5/q7/q10/q11/q13/q14/q16/q19/q22 — keep
 # feeding ≥4 per round through the window).
 
