@@ -483,6 +483,31 @@ def rhp_near_dup(
     return scored.groupBy("id_a", "id_b").agg(F.min("cos").alias("cos"))
 
 
+def validate_plane_sets(
+    plane_sets: list[list[list[float]]], bands: int
+) -> None:
+    """Shared precondition for the multipass RHP plan AND its generated
+    oracle (r8-advice): an empty list would IndexError deep inside, and
+    RAGGED sets would silently mis-band the oracle — its bit columns are
+    offset by ``len(plane_sets[0])`` uniformly, so a shorter second set
+    shifts every later pass's band window onto the wrong bits. Fail loudly
+    at the boundary instead."""
+    if not plane_sets:
+        raise ValueError("plane_sets must be non-empty")
+    per = len(plane_sets[0])
+    if any(len(ps) != per for ps in plane_sets):
+        raise ValueError(
+            f"ragged plane_sets (lengths {[len(ps) for ps in plane_sets]}): "
+            "every pass must carry the same number of planes — the multipass "
+            "oracle offsets bit indexes by the first set's length uniformly"
+        )
+    if per == 0 or per % bands != 0:
+        raise ValueError(
+            f"planes per pass ({per}) must be a positive multiple of bands "
+            f"({bands}) so each band holds an equal bit window"
+        )
+
+
 def rhp_near_dup_multipass(
     corpus: DataFrame,
     threshold: float,
@@ -499,6 +524,7 @@ def rhp_near_dup_multipass(
     quadratic). Verified pairs are exact-cosine either way, so the union
     is a plain pair-key dedup: MIN over identical recomputed cosines, the
     same map-side-combinable aggregate as the single-pass form."""
+    validate_plane_sets(plane_sets, bands)
     passes = [
         rhp_near_dup(
             corpus, threshold, planes=ps, bands=bands, id_col=id_col, vec_col=vec_col

@@ -1009,6 +1009,15 @@ _RHP_PLANES = similarity.rhp_planes(dim=64, n_planes=16, seed=7)
 _RHP_BANDS = 4
 
 
+def _plane_lit(x: float) -> str:
+    """Render one hyperplane component for the generated oracle with the
+    SAME repr-based formatting the Spark side uses (similarity.rhp_signature
+    renders ``{x!r}D``) — r8-advice: the old ``{x:.1f}`` form was exact
+    only because rhp_planes emits ±1.0; a Gaussian plane set would have
+    made plan and oracle silently diverge at the sign boundary."""
+    return repr(float(x))
+
+
 def _rhp_oracle(
     threshold: float = 0.4,
     planes: list[list[float]] | None = None,
@@ -1020,7 +1029,7 @@ def _rhp_oracle(
     rows = n // n_bands
     bits = ",\n         ".join(
         "CASE WHEN list_dot_product(v, ["
-        + ", ".join(f"{x:.1f}" for x in plane)
+        + ", ".join(_plane_lit(x) for x in plane)
         + f"]) > 0 THEN 1 ELSE 0 END AS bit{j}"
         for j, plane in enumerate(planes)
     )
@@ -1079,12 +1088,13 @@ def _rhp_multipass_oracle(
     selects — DISTINCT folded in by the explicit SELECT DISTINCT wrapper
     (the bare-UNION-in-recursive-CTE hazard doesn't apply here, but the
     explicit form keeps the dedup visible)."""
+    similarity.validate_plane_sets(plane_sets, n_bands)
     all_planes = [p for ps in plane_sets for p in ps]
     per = len(plane_sets[0])
     rows = per // n_bands
     bits = ",\n         ".join(
         "CASE WHEN list_dot_product(v, ["
-        + ", ".join(f"{x:.1f}" for x in plane)
+        + ", ".join(_plane_lit(x) for x in plane)
         + f"]) > 0 THEN 1 ELSE 0 END AS bit{j}"
         for j, plane in enumerate(all_planes)
     )

@@ -225,6 +225,14 @@ class ParquetReplayStreamReader(DataSourceStreamReader):
     the driver, which also forced offsets to count post-filter rows;
     positions here are raw, so planning needs only footer row counts).
 
+    Offsets are VERSIONED (``{"v": 2, "pos": n}``) because the meaning of
+    ``pos`` changed when the Simple reader was replaced: the old reader's
+    positions counted post-mod-filter rows, this reader's count raw rows.
+    An unversioned nonzero offset recovered from a pre-v2 checkpoint would
+    silently map to the wrong rows (skips/duplicates), so it is rejected
+    loudly instead (``_pos``); position 0 means "start of stream" under
+    every version and is accepted.
+
     Protocol note (why latestOffset = ALL available data): the Python
     DataSource API carries no admission control (no
     maxOffsetsPerTrigger/ReadLimit), and Trigger.AvailableNow captures
@@ -262,18 +270,39 @@ class ParquetReplayStreamReader(DataSourceStreamReader):
             self._index_cache = (idx, pos)
         return self._index_cache
 
+    #: offset schema version — bump whenever the meaning of ``pos`` changes
+    OFFSET_VERSION = 2
+
+    @classmethod
+    def _pos(cls, offset) -> int:
+        """Decode an offset dict, enforcing the version marker (r8-advice):
+        a checkpoint written by the retired driver-side Simple reader
+        carries unversioned post-filter counts that would resume WITHOUT
+        ERROR but map to the wrong raw positions — fail fast instead of
+        silently skipping/duplicating rows. Position 0 is version-neutral
+        ("start of stream") and accepted from any checkpoint."""
+        pos = int(offset.get("pos", -1))
+        if offset.get("v") == cls.OFFSET_VERSION or pos == 0:
+            return pos
+        raise ValueError(
+            f"events_replay offset {offset!r} lacks the version marker "
+            f"v={cls.OFFSET_VERSION}: pre-v2 checkpoints (driver-side Simple "
+            "reader) count post-filter rows, not raw positions, and cannot "
+            "be translated — discard the old checkpoint directory and restart"
+        )
+
     def initialOffset(self):
-        return {"pos": 0}
+        return {"v": self.OFFSET_VERSION, "pos": 0}
 
     def latestOffset(self):
         """Everything the replayed table holds (see protocol note above);
         at exhaustion latestOffset == committed offset, so the stream goes
         idle and processAllAvailable / availableNow terminate."""
         _idx, total = self._index()
-        return {"pos": total}
+        return {"v": self.OFFSET_VERSION, "pos": total}
 
     def partitions(self, start, end):
-        lo, hi = int(start["pos"]), int(end["pos"])
+        lo, hi = self._pos(start), self._pos(end)
         idx, _total = self._index()
         out = []
         for path, rg, g0, n in idx:

@@ -1889,6 +1889,47 @@ def test_ewma_int_carries_state_across_arrow_batches(spark):
     assert got[(2, 1)] == 5
 
 
+def test_rhp_multipass_validates_plane_sets():
+    """r8-advice: empty / ragged / non-band-divisible plane sets must fail
+    loudly at the boundary in BOTH the Spark plan and the generated oracle
+    — ragged sets would silently mis-band the oracle (its bit offsets use
+    the first set's length uniformly)."""
+    import pytest as _pytest
+
+    from forgottenlandapp_etl_spark.operators import similarity
+    from forgottenlandapp_etl_spark.plans import extension_queries as ext
+
+    p4 = similarity.rhp_planes(dim=8, n_planes=4, seed=1)
+    p8 = similarity.rhp_planes(dim=8, n_planes=8, seed=2)
+    with _pytest.raises(ValueError, match="non-empty"):
+        similarity.validate_plane_sets([], bands=4)
+    with _pytest.raises(ValueError, match="ragged"):
+        similarity.validate_plane_sets([p8, p4], bands=4)
+    with _pytest.raises(ValueError, match="multiple of bands"):
+        similarity.validate_plane_sets([p4, p4], bands=3)
+    similarity.validate_plane_sets([p8, p8], bands=4)  # well-formed: no raise
+    # the oracle generator shares the same gate
+    with _pytest.raises(ValueError, match="ragged"):
+        ext._rhp_multipass_oracle(0.2, [p8, p4], 4)
+    with _pytest.raises(ValueError, match="non-empty"):
+        ext._rhp_multipass_oracle(0.2, [], 4)
+    # and rhp_near_dup_multipass itself rejects before touching any plan
+    with _pytest.raises(ValueError, match="non-empty"):
+        similarity.rhp_near_dup_multipass(None, 0.2, plane_sets=[], bands=4)
+
+
+def test_rhp_oracle_literal_matches_spark_repr():
+    """r8-advice: the oracle must render plane literals with the same
+    repr-based formatting as rhp_signature's `{x!r}D` — a Gaussian plane
+    component like 0.25 would have been truncated by the old `{x:.1f}`
+    ('0.2') and silently diverged at the sign boundary."""
+    from forgottenlandapp_etl_spark.plans import extension_queries as ext
+
+    assert ext._plane_lit(1.0) == "1.0" and ext._plane_lit(-1.0) == "-1.0"
+    assert ext._plane_lit(0.25) == "0.25"
+    assert ext._plane_lit(0.1) == repr(0.1)  # full 17-sig-digit round-trip
+
+
 def test_rhp_multipass_contains_single_pass_and_stays_exact(spark, sf_dir):
     """Multipass RHP (union of fresh-seed passes) must be a SUPERSET of
     the single sized pass at the same threshold (recall only grows), and

@@ -142,16 +142,16 @@ def test_stream_reader_plans_executor_partitions(tmp_path):
     ).to_parquet(f, row_group_size=10)
     r = pds.ParquetReplayStreamReader(_Opts(path=f, mod="2"))
 
-    assert r.initialOffset() == {"pos": 0}
-    assert r.latestOffset() == {"pos": n}
-    parts = r.partitions({"pos": 0}, {"pos": n})
+    assert r.initialOffset() == {"v": 2, "pos": 0}
+    assert r.latestOffset() == {"v": 2, "pos": n}
+    parts = r.partitions({"v": 2, "pos": 0}, {"v": 2, "pos": n})
     assert len(parts) == 10, "one InputPartition per row group"
     # a sub-range crossing a group boundary: two partitions, exact slices
-    sub = r.partitions({"pos": 15}, {"pos": 25})
+    sub = r.partitions({"v": 2, "pos": 15}, {"v": 2, "pos": 25})
     assert [(p.row_group, p.start, p.end) for p in sub] == [(1, 5, 10), (2, 0, 5)]
     # empty range (start == end) plans nothing — the idle-stream contract
-    assert r.partitions({"pos": 40}, {"pos": 40}) == []
-    rows = _replay_rows(r, {"pos": 0}, {"pos": n})
+    assert r.partitions({"v": 2, "pos": 40}, {"v": 2, "pos": 40}) == []
+    rows = _replay_rows(r, {"v": 2, "pos": 0}, {"v": 2, "pos": n})
     assert rows[0] == (0, 0, "t0") and rows[1] == (2, 2, "t2")
     assert [x[0] for x in rows] == [i for i in range(n) if i % 2 == 0]
 
@@ -169,15 +169,40 @@ def test_stream_reader_recovery_replays_identical_slice(tmp_path):
     ).to_parquet(f, row_group_size=7)
     r = pds.ParquetReplayStreamReader(_Opts(path=f))
     r2 = pds.ParquetReplayStreamReader(_Opts(path=f))
-    a = _replay_rows(r, {"pos": 13}, {"pos": 41})
-    b = _replay_rows(r2, {"pos": 13}, {"pos": 41})
+    a = _replay_rows(r, {"v": 2, "pos": 13}, {"v": 2, "pos": 41})
+    b = _replay_rows(r2, {"v": 2, "pos": 13}, {"v": 2, "pos": 41})
     assert a == b and [x[0] for x in a] == list(range(13, 41))
     # adjacent ranges partition the stream: no row lost or duplicated
-    whole = _replay_rows(r, {"pos": 0}, {"pos": n})
-    split = _replay_rows(r2, {"pos": 0}, {"pos": 29}) + _replay_rows(
-        r2, {"pos": 29}, {"pos": n}
+    whole = _replay_rows(r, {"v": 2, "pos": 0}, {"v": 2, "pos": n})
+    split = _replay_rows(r2, {"v": 2, "pos": 0}, {"v": 2, "pos": 29}) + _replay_rows(
+        r2, {"v": 2, "pos": 29}, {"v": 2, "pos": n}
     )
     assert whole == split and len(whole) == n
+
+
+def test_stream_reader_rejects_unversioned_offsets(tmp_path):
+    """r8-advice: offsets changed meaning (post-filter counts -> raw
+    positions) when the Simple reader was replaced, so a NONZERO offset
+    without the v=2 marker must fail fast instead of silently resuming at
+    the wrong rows. Position 0 is version-neutral and still accepted."""
+    import pandas as pd
+
+    f = str(tmp_path / "events.parquet")
+    pd.DataFrame(
+        {"event_id": range(20), "user_id": [0] * 20, "event_type": ["x"] * 20}
+    ).to_parquet(f, row_group_size=5)
+    r = pds.ParquetReplayStreamReader(_Opts(path=f))
+    with pytest.raises(ValueError, match="version marker"):
+        r.partitions({"pos": 7}, {"v": 2, "pos": 20})
+    with pytest.raises(ValueError, match="discard the old checkpoint"):
+        r.partitions({"v": 2, "pos": 0}, {"pos": 20})
+    with pytest.raises(ValueError, match="version marker"):
+        r.partitions({"v": 1, "pos": 7}, {"v": 2, "pos": 20})
+    # pos=0 means "start of stream" in every version — accepted unversioned
+    parts = r.partitions({"pos": 0}, {"v": 2, "pos": 20})
+    assert len(parts) == 4
+    rows = _replay_rows(r, {"pos": 0}, {"v": 2, "pos": 20})
+    assert [x[0] for x in rows] == list(range(20))
 
 
 def test_stream_reader_multi_file_directory(tmp_path):
@@ -197,10 +222,10 @@ def test_stream_reader_multi_file_directory(tmp_path):
             }
         ).to_parquet(str(d / f"part-{i}.parquet"), row_group_size=10)
     r = pds.ParquetReplayStreamReader(_Opts(path=str(d)))
-    assert r.latestOffset() == {"pos": 60}
-    parts = r.partitions({"pos": 0}, {"pos": 60})
+    assert r.latestOffset() == {"v": 2, "pos": 60}
+    parts = r.partitions({"v": 2, "pos": 0}, {"v": 2, "pos": 60})
     assert len(parts) == 6 and len({p.file for p in parts}) == 3
-    rows = _replay_rows(r, {"pos": 15}, {"pos": 45})
+    rows = _replay_rows(r, {"v": 2, "pos": 15}, {"v": 2, "pos": 45})
     assert [x[0] for x in rows] == list(range(15, 45))
 
 
