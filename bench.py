@@ -192,6 +192,13 @@ HEADLINE = [
     "tpch_q16_parts_supplier_relationship",
     "tpch_q19_disjunctive_pred",
     "tpch_q22_sales_opportunity",
+    # round 9: published quality-rule batteries, domain mixing weights, and
+    # the two-stage IVF + int8 shortlist + exact re-rank serve
+    "quality_gopher_rules",
+    "quality_c4_rules",
+    "mix_domain_weights",
+    "sim_ivf_rerank",
+    "wx_time_weighted_avg",
 ]
 
 

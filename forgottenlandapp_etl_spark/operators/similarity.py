@@ -143,6 +143,90 @@ def ivf_topk(
     )
 
 
+def ivf_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Two-stage ANN serving (the FAISS IndexIVF + refine shape): coarse
+    IVF probe → int8-code shortlist → exact-cosine re-rank of the
+    shortlist. The production recall/cost ladder in one plan:
+
+    1. **Coarse**: corpus bucketed once (argmax-cosine, exactly one
+       bucket per vector via :func:`assign_buckets`), each query probes
+       its ``nprobe`` nearest buckets — candidates are an equi-join on
+       bucket, linear in corpus size.
+    2. **Shortlist**: candidates scored by the int8 CODE dot product
+       (exact integer math, no float accumulation), top ``shortlist``
+       kept per query. Only (query_id, neighbor_id, qdot) rows cross
+       this window — never vectors.
+    3. **Re-rank**: the ≤``shortlist`` survivors re-join their FLOAT
+       vectors (a k-bounded join, not a scan) and are re-ranked by exact
+       cosine; top ``k`` emitted with both scores.
+
+    At 100 TB stage 2's window is the only shuffle proportional to
+    candidates, and it carries 20-byte rows; stage 3 touches
+    |queries|·shortlist vectors total. Ties at every boundary break on
+    neighbor_id, so the result is deterministic and oracle-checkable."""
+    cb = assign_buckets(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "bucket"
+    )
+    codes = quantize_int8(corpus, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("q").alias("qb")
+    )
+    cand = cb.join(codes, "neighbor_id")
+    qprobe = (
+        assign_buckets(queries, centroids, id_col, vec_col, nprobe=nprobe)
+        .select(F.col(id_col).alias("query_id"), "bucket")
+        .join(
+            quantize_int8(queries, vec_col, id_col).select(
+                F.col(id_col).alias("query_id"), F.col("q").alias("qa")
+            ),
+            "query_id",
+        )
+    )
+    dot_i = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(F.broadcast(qprobe), on="bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("qdot", dot_i)
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
+    short = (
+        scored.withColumn("srnk", F.row_number().over(w1))
+        .where(F.col("srnk") <= shortlist)
+        .select("query_id", "neighbor_id", "qdot")
+    )
+    nvec = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    qvec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    rer = (
+        short.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rnk", F.row_number().over(w2))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qdot",
+            "cos",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
 def near_dup_pairs(
     corpus: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "v"
 ) -> DataFrame:

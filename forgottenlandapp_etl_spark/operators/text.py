@@ -110,6 +110,173 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize(text))
 
 
+# Gopher rule battery (Rae et al. 2021, "Scaling Language Models: ...
+# Gopher", appendix A1.1 MassiveWeb quality filters — public paper). The
+# stopword requirement uses Gopher's exact list.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+#: explicit ASCII whitespace class — NOT ``\s``, because Java regex (Spark)
+#: includes \x0B in \s while RE2 (DuckDB) does not; an explicit class makes
+#: the plan and the generated oracle agree by construction
+WS_CLASS = "[ \\t\\n\\r\\f]+"
+
+
+def ws_tokens(text: Column) -> Column:
+    """WHITESPACE tokenization (explicit ASCII class, empties dropped) —
+    unlike :func:`tokens`' single-space convention this treats
+    newlines/tabs as delimiters, which the line-aware quality rules
+    (Gopher, C4) require: a two-line document must not fuse
+    ``end\\nStart`` into one word."""
+    return F.filter(F.split(text, WS_CLASS), lambda x: x != "")
+
+
+def doc_lines(text: Column) -> Column:
+    """Newline split — the line unit for Gopher's bullet/ellipsis line
+    rules and C4's per-line filters."""
+    return F.split(text, "\n")
+
+
+def _char_occurrences(text: Column, sub: str) -> Column:
+    """Exact substring occurrence count via length differencing (identical
+    semantics in Spark and DuckDB ``replace``; no regex dialect risk)."""
+    diff = F.length(text) - F.length(F.replace(text, F.lit(sub), F.lit("")))
+    return (diff / len(sub)).cast("long")
+
+
+def gopher_flags(text: Column) -> dict[str, Column]:
+    """Per-document Gopher quality rules as named Columns (one narrow map,
+    no shuffle — the caller selects which to emit). Every ratio is a
+    division of two exactly-computed integers, so the doubles are
+    bit-stable cross-engine. Returns raw measurements AND rule booleans;
+    ``keep`` is the conjunction, matching the paper's filter battery."""
+    toks = ws_tokens(text)
+    wc = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_wl = F.try_divide(sum_len.cast("double"), wc)
+    alpha_frac = F.try_divide(
+        F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))).cast("double"), wc
+    )
+    hash_ratio = F.try_divide(_char_occurrences(text, "#").cast("double"), wc)
+    ell_ratio = F.try_divide(_char_occurrences(text, "...").cast("double"), wc)
+    lines = doc_lines(text)
+    n_lines = F.size(lines).cast("long")
+    bullet_frac = F.try_divide(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.ltrim(l).startswith("-") | F.ltrim(l).startswith("*"),
+            )
+        ).cast("double"),
+        n_lines,
+    )
+    ell_line_frac = F.try_divide(
+        F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("..."))).cast(
+            "double"
+        ),
+        n_lines,
+    )
+    stop_hits = sum(
+        (
+            F.when(F.exists(toks, lambda x: x == F.lit(w)), 1).otherwise(0)
+            for w in GOPHER_STOPWORDS
+        ),
+        F.lit(0),
+    ).cast("int")
+    r_word_count = (wc >= GOPHER_MIN_WORDS) & (wc <= GOPHER_MAX_WORDS)
+    r_mean_word_len = (mean_wl >= GOPHER_MIN_MWL) & (mean_wl <= GOPHER_MAX_MWL)
+    r_symbol = (
+        F.coalesce(hash_ratio <= GOPHER_MAX_SYMBOL_RATIO, F.lit(False))
+        & F.coalesce(ell_ratio <= GOPHER_MAX_SYMBOL_RATIO, F.lit(False))
+    )
+    r_bullet = F.coalesce(bullet_frac <= GOPHER_MAX_BULLET_FRAC, F.lit(False))
+    r_ellipsis = F.coalesce(
+        ell_line_frac <= GOPHER_MAX_ELLIPSIS_FRAC, F.lit(False)
+    )
+    r_alpha = F.coalesce(alpha_frac >= GOPHER_MIN_ALPHA_FRAC, F.lit(False))
+    r_stop = stop_hits >= GOPHER_MIN_STOPWORDS
+    return {
+        "n_words": wc,
+        "mean_word_len": mean_wl,
+        "alpha_frac": alpha_frac,
+        "stop_hits": stop_hits,
+        "r_word_count": r_word_count,
+        "r_mean_word_len": F.coalesce(r_mean_word_len, F.lit(False)),
+        "r_symbol": r_symbol,
+        "r_bullet": r_bullet,
+        "r_ellipsis": r_ellipsis,
+        "r_alpha": r_alpha,
+        "r_stop": r_stop,
+        "keep": (
+            r_word_count
+            & F.coalesce(r_mean_word_len, F.lit(False))
+            & r_symbol
+            & r_bullet
+            & r_ellipsis
+            & r_alpha
+            & r_stop
+        ),
+    }
+
+
+# C4 line/page filters (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning..." §2.2 — public paper): keep lines ending in terminal
+# punctuation with ≥3 words; drop pages containing curly braces or the
+# phrase "lorem ipsum"; drop lines containing "javascript".
+C4_TERMINAL = (".", "!", "?", '"')
+C4_MIN_LINE_WORDS = 3
+
+
+def c4_line_flags(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Explode a corpus into per-LINE C4 filter decisions: one row per
+    (doc, line) with the raw measurements, each rule's boolean, and the
+    conjunction ``keep_line``. Page-level rules (braces, lorem ipsum) are
+    computed once per document BEFORE the explode so the narrow per-line
+    map never rescans the full text. Returns columns:
+    (id, line_no, n_words, ends_terminal, ge3_words, has_js, page_brace,
+    page_lorem, keep_line). Pure Column pipeline — posexplode + string
+    predicates, no shuffle."""
+    t = F.col(text_col)
+    staged = df.select(
+        F.col(id_col),
+        (t.contains("{") | t.contains("}")).alias("page_brace"),
+        F.lower(t).contains("lorem ipsum").alias("page_lorem"),
+        F.posexplode(doc_lines(t)).alias("line_no", "line"),
+    )
+    line = F.col("line")
+    n_words = F.size(F.filter(F.split(line, " "), lambda x: x != "")).cast("int")
+    last = F.right(F.rtrim(line), F.lit(1))
+    ends_terminal = last.isin(*C4_TERMINAL)
+    has_js = F.lower(line).contains("javascript")
+    out = staged.select(
+        F.col(id_col),
+        F.col("line_no").cast("int").alias("line_no"),
+        n_words.alias("n_words"),
+        ends_terminal.alias("ends_terminal"),
+        (n_words >= C4_MIN_LINE_WORDS).alias("ge3_words"),
+        has_js.alias("has_js"),
+        "page_brace",
+        "page_lorem",
+    )
+    return out.withColumn(
+        "keep_line",
+        F.col("ends_terminal")
+        & F.col("ge3_words")
+        & ~F.col("has_js")
+        & ~F.col("page_brace")
+        & ~F.col("page_lorem"),
+    )
+
+
 def make_lang_id_udf(
     words: tuple[str, ...] = STOPWORDS_EN,
     threshold: float = 0.05,

@@ -5409,3 +5409,239 @@ def pipeline_pack_ffd(spark, sf_dir):
         "doc_id", text.n_tokens(F.col("text")).alias("n_toks")
     )
     return packing.ffd_pack(d, capacity=_FFD_CAPACITY, n_shards=_FFD_SHARDS)
+
+
+# ---------------------------------------------------------------------------
+# round-9 additions: published quality-rule batteries (Gopher, C4), DoReMi-
+# style domain mixing weights, and two-stage ANN serving with exact re-rank
+# ---------------------------------------------------------------------------
+
+# Shared whitespace class for the line-aware rules: an EXPLICIT character
+# class so Java regex (Spark) and RE2 (DuckDB) can never disagree about what
+# \s covers (Java includes \x0B, RE2 does not).
+_WS_CLASS = "[ \\t\\n\\r\\f]+"
+
+_GOPHER_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), x -> x <> '') AS w,
+             string_split(text, chr(10)) AS l,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+             CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_ell
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_words,
+        CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+          / NULLIF(len(w), 0) AS mean_word_len,
+        CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+          / NULLIF(len(w), 0) AS alpha_frac,
+        CAST(n_hash AS DOUBLE) / NULLIF(len(w), 0) AS hash_ratio,
+        CAST(n_ell AS DOUBLE) / NULLIF(len(w), 0) AS ell_ratio,
+        CAST(len(list_filter(l, x -> ltrim(x) LIKE '-%' OR ltrim(x) LIKE '*%')) AS DOUBLE)
+          / NULLIF(len(l), 0) AS bullet_frac,
+        CAST(len(list_filter(l, x -> rtrim(x) LIKE '%...')) AS DOUBLE)
+          / NULLIF(len(l), 0) AS ell_line_frac,
+        CAST((CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END) AS INT) AS stop_hits
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+      (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+      COALESCE(mean_word_len >= 3.0 AND mean_word_len <= 10.0, FALSE) AS r_mean_word_len,
+      (COALESCE(hash_ratio <= 0.1, FALSE) AND COALESCE(ell_ratio <= 0.1, FALSE)) AS r_symbol,
+      COALESCE(bullet_frac <= 0.9, FALSE) AS r_bullet,
+      COALESCE(ell_line_frac <= 0.3, FALSE) AS r_ellipsis,
+      COALESCE(alpha_frac >= 0.8, FALSE) AS r_alpha,
+      (stop_hits >= 2) AS r_stop,
+      ((n_words >= 50 AND n_words <= 100000)
+        AND COALESCE(mean_word_len >= 3.0 AND mean_word_len <= 10.0, FALSE)
+        AND (COALESCE(hash_ratio <= 0.1, FALSE) AND COALESCE(ell_ratio <= 0.1, FALSE))
+        AND COALESCE(bullet_frac <= 0.9, FALSE)
+        AND COALESCE(ell_line_frac <= 0.3, FALSE)
+        AND COALESCE(alpha_frac >= 0.8, FALSE)
+        AND (stop_hits >= 2)) AS keep
+    FROM m
+"""
+
+
+@ext_query("quality_gopher_rules", _GOPHER_SQL)
+def quality_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule battery (Rae et al. 2021 §A1.1, the MassiveWeb
+    filters): word-count bounds, mean-word-length window, #/ellipsis
+    symbol ratios, bullet/ellipsis line fractions, alphabetic-word
+    fraction, and the ≥2-of-8 stopword requirement — emitted per document
+    as raw measurements + per-rule booleans + the conjunction, so corpus
+    curation can report WHY a document fell, not just that it fell. One
+    narrow map, no shuffle, every ratio a division of two exact integers
+    (bit-stable cross-engine). Whitespace tokenization uses an explicit
+    ASCII class shared with the oracle (Java-vs-RE2 \\s divergence)."""
+    d = _docs(spark, sf_dir)
+    flags = text.gopher_flags(F.col("text"))
+    return d.select("doc_id", *(flags[k].alias(k) for k in flags))
+
+
+_C4_SQL = """
+    WITH pages AS (
+      SELECT doc_id,
+             (text LIKE '%{%' OR text LIKE '%}%') AS page_brace,
+             (lower(text) LIKE '%lorem ipsum%') AS page_lorem,
+             string_split(text, chr(10)) AS l
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, page_brace, page_lorem,
+             CAST(g.i - 1 AS INT) AS line_no, l[g.i] AS line
+      FROM pages, UNNEST(generate_series(1, len(l))) g(i)
+    ),
+    m AS (
+      SELECT doc_id, line_no, page_brace, page_lorem,
+        CAST(len(list_filter(string_split(line, ' '), x -> x <> '')) AS INT) AS n_words,
+        (right(rtrim(line), 1) IN ('.', '!', '?', '"')) AS ends_terminal,
+        (lower(line) LIKE '%javascript%') AS has_js
+      FROM lines
+    )
+    SELECT doc_id, line_no, n_words, ends_terminal,
+      (n_words >= 3) AS ge3_words, has_js, page_brace, page_lorem,
+      (ends_terminal AND n_words >= 3 AND NOT has_js
+        AND NOT page_brace AND NOT page_lorem) AS keep_line
+    FROM m
+"""
+
+
+@ext_query("quality_c4_rules", _C4_SQL)
+def quality_c4_rules(spark, sf_dir):
+    """C4 line/page filters (Raffel et al. 2020 §2.2): per-LINE decisions —
+    terminal-punctuation rule, ≥3-word rule, javascript-line rule — plus
+    the page-level curly-brace and lorem-ipsum rules computed once per
+    document before the explode. Emitting the exploded decision table
+    (rather than the filtered corpus) keeps the entry non-degenerate on
+    single-line fixtures AND gives curation the per-rule attrition
+    breakdown; the kept corpus is one where(keep_line) + re-agg away."""
+    d = _docs(spark, sf_dir)
+    return text.c4_line_flags(d)
+
+
+@ext_query(
+    "mix_domain_weights",
+    """
+    WITH g AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
+                 CAST(COUNT(*) AS BIGINT) AS nd FROM g)
+    SELECT source, n_docs, n_tokens,
+      CAST(n_tokens AS DOUBLE) / tot AS obs_share,
+      (CAST(tot AS DOUBLE) / nd) / n_tokens AS weight
+    FROM g, t
+    """,
+)
+def mix_domain_weights(spark, sf_dir):
+    """Domain mixing weights (the DoReMi / data-mixture reweighting shape,
+    Xie et al. 2023): per-domain token counts and observed shares, plus the
+    resampling weight that moves the mixture to the uniform target —
+    weight_d = (T/D)/tokens_d, so weighted sampling draws every domain at
+    share 1/D. One groupBy over the corpus + a broadcast of the 1-row
+    global totals (a scalar reduction, not a data-wide exchange); at 100 TB
+    the per-domain table is dimension-sized. Division order is pinned
+    (total/domains first, then /tokens) so the doubles are bit-identical
+    cross-engine."""
+    d = _docs(spark, sf_dir)
+    g = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens"),
+    )
+    totals = g.agg(
+        F.sum("n_tokens").cast("long").alias("tot"),
+        F.count("*").cast("long").alias("nd"),
+    )
+    return g.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("tot")).alias("obs_share"),
+        (
+            (F.col("tot").cast("double") / F.col("nd")) / F.col("n_tokens")
+        ).alias("weight"),
+    )
+
+
+_IVF_RERANK_ORACLE = f"""
+    WITH {_SQL_EMB},
+    {_SQL_QUANT.strip()},
+    cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, cent.centroid_id,
+             {_SQL_COS.format(a="e.v", b="cent.centv")} AS cs
+      FROM e, cent
+    ),
+    cassign AS (
+      SELECT vec_id AS neighbor_id, centroid_id AS bucket FROM (
+        SELECT vec_id, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    qassign AS (
+      SELECT vec_id AS query_id, centroid_id AS bucket FROM (
+        SELECT vec_id, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) AS rn
+        FROM scored WHERE vec_id % 50 = 0
+      ) WHERE rn <= 2
+    ),
+    s AS (
+      SELECT qa.query_id, c.neighbor_id,
+             CAST(list_dot_product(zq.q, zc.q) AS BIGINT) AS qdot
+      FROM qassign qa
+      JOIN cassign c ON c.bucket = qa.bucket AND c.neighbor_id <> qa.query_id
+      JOIN qz zq ON zq.vec_id = qa.query_id
+      JOIN qz zc ON zc.vec_id = c.neighbor_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id, qdot FROM (
+        SELECT *, ROW_NUMBER() OVER
+               (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS srnk
+        FROM s
+      ) WHERE srnk <= 20
+    ),
+    rer AS (
+      SELECT query_id, neighbor_id, qdot,
+             {_SQL_COS.format(a="eq.v", b="en.v")} AS cos
+      FROM short
+      JOIN e eq ON eq.vec_id = query_id
+      JOIN e en ON en.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, qdot, cos, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM rer
+    ) WHERE rnk <= 5
+"""
+
+
+@ext_query("sim_ivf_rerank", _IVF_RERANK_ORACLE)
+def sim_ivf_rerank(spark, sf_dir):
+    """Two-stage ANN serving (FAISS IVF+refine): coarse IVF probe
+    (nprobe=2 over the deterministic take-first-8 centroids) → int8-code
+    shortlist of 20 (exact integer dot products — only 20-byte id/score
+    rows cross the shuffle) → exact-cosine re-rank of the shortlist to
+    top-5, emitted with BOTH scores. The production recall/cost ladder the
+    brute-force, IVF, and quantized entries climb separately, composed
+    end-to-end; every stage boundary tie-breaks on neighbor_id so the
+    whole pipeline is hash-exact under the oracle."""
+    e = _emb(spark, sf_dir, fan_out=True)
+    cents = e.where(F.col("vec_id") < 8)
+    q = e.where(F.col("vec_id") % 50 == 0)
+    return similarity.ivf_rerank_topk(
+        e, q, cents, k=5, shortlist=20, nprobe=2
+    )

@@ -52,6 +52,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # hardest custom-join family — as-of — windowed)
     "j1_snapshot_diff",
     "j7_asof_join",
+    # round-9 promotions (r8 registry queue): the interval-overlap join and
+    # the salted skew join get their first hard driver rows
+    "j10_interval_overlap",
+    "j11_salted_skew_join",
     # §2.5 aggregations
     # (a2_horizontal_sum rotated out r6 after five green rounds;
     # a4_count_nonempty / w2_level_rank / c6_date_functions rotated out
@@ -79,12 +83,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # seven green rounds each, agg_session_windows after six — the
     # online-time semantics stay windowed by stream_daily_counts and the
     # session family by stream_session_windows)
-    "stream_daily_counts",
-    "stream_stream_left_join",
-    "stream_session_windows",
-    # §2.2 sinks / storage semantics (round-4 promotions)
-    "k5_row_merge",
-    "scd2_intervals",
+    # (stream_daily_counts / stream_stream_left_join / stream_session_windows
+    # rotated out r9 after five green rounds each — the streaming family's
+    # driver rows pass to the promoted stream_cdc_apply / stream_distinct_hll
+    # / stream_topk_users below plus the held stream_ivm_rollup and
+    # stream_python_datasource)
+    # (k5_row_merge / scd2_intervals rotated out r9 after five green rounds —
+    # sink semantics stay pinned by tests/test_sink_atomicity.py's 10-test
+    # crash/concurrency suite and the full-registry gate)
+    # round-9 promotions: CDC apply, the streaming exact-HLL distinct, and
+    # the streaming top-k get their first hard driver rows
+    "stream_cdc_apply",
+    "stream_distinct_hll",
+    "stream_topk_users",
     # LLM-pipeline extension families
     # (dedup_exact / text_stats / text_quality / pipeline_train_val_split
     # rotated out r6 after five green rounds each — their families keep
@@ -109,37 +120,48 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # rounds — the promoted graph_kcore below keeps the iterative-graph
     # family's driver row)
     "sim_rp_lsh_topk",
-    # round-4 promotions: exact-substring dedup with trim (Lee et al.),
-    # winnowing fingerprints, frame-level multimodal dedup — never had a
-    # hard driver row before
-    "dedup_substring_trim",
-    "text_winnow_fingerprint",
-    "mm_frame_dedup",
-    # round-5 promotions (never-windowed hard entries; r4 verdict items 1
-    # and 7): stream-static enrichment, the bigram-LM quality score, the
-    # shuffle-free chunker, exact-substring dedup's profile form, the
-    # count-min sketch, and the first TPC-H driver row — q21, the hardest
-    # shape in the relational family (double exists/not-exists semi/anti
-    # stack over lineitem)
-    "stream_static_enrich",
-    "quality_bigram_lm",
-    "text_chunk_overlap",
-    "dedup_substring",
-    "sketch_count_min",
-    "tpch_q21_waiting_supplier",
-    # round-6 promotions (r5 verdict items 1, 2, 8): the hash-exact learned
-    # tiers (exact k-means and its new IVF-ANN serving form), Bloom
-    # decontamination, the mergeable CMS sketch, two more TPC-H shapes
-    # (q9's 6-table derived-partsupp join; q4's exists-semi), and the two
-    # never-windowed streaming entries
-    "emb_kmeans_exact",
-    "sim_ivf_exact_topk",
-    "decontaminate_bloom",
-    "sketch_cms_daily_merge",
-    "tpch_q9_product_type_profit",
-    "tpch_q4_order_priority",
-    "stream_stream_join",
-    "stream_dedup_keys",
+    # (dedup_substring_trim / text_winnow_fingerprint / mm_frame_dedup
+    # rotated out r9 after five green rounds each — exact-substring dedup
+    # passes its row to the promoted dedup_semantic, fingerprints stay
+    # gate-checked, the multimodal family stays pinned by the mm pytest
+    # suite + gate)
+    # (stream_static_enrich / quality_bigram_lm / text_chunk_overlap /
+    # dedup_substring / sketch_count_min / tpch_q21_waiting_supplier rotated
+    # out r9 after four green rounds each — quality passes to the promoted
+    # quality_gopher_rules, sketches to the three promoted sketch rows,
+    # TPC-H to the four promoted shapes below)
+    # round-9 promotions (r8 registry queue): SemDeDup end-to-end with the
+    # recursive-closure oracle, DSIR selection, gap-fill time buckets, the
+    # exact-integer sketch family, hash-exact integer PCA, the bounded
+    # wedge-join link prediction, the composed RAG index, and the published
+    # quality-rule battery (Gopher) + two-stage IVF re-rank added this round
+    "dedup_semantic",
+    "pipeline_dsir_select",
+    "agg_time_bucket_gapfill",
+    "sketch_hll_exact_daily_merge",
+    "sketch_quantile_histogram",
+    "sketch_kmv_intersection",
+    "emb_power_iteration",
+    "graph_link_prediction",
+    "pipeline_rag_index",
+    "quality_gopher_rules",
+    "sim_ivf_rerank",
+    # (emb_kmeans_exact / sim_ivf_exact_topk / decontaminate_bloom /
+    # sketch_cms_daily_merge / tpch_q9_product_type_profit /
+    # tpch_q4_order_priority / stream_stream_join / stream_dedup_keys
+    # rotated out r9 after three green rounds each — the same r3-verdict
+    # mechanism; the learned-kmeans tier stays windowed via the promoted
+    # dedup_semantic + emb_power_iteration, IVF serving via sim_ivf_rerank
+    # + the held sim_ivfpq_topk, sketches/TPC-H/streaming via the
+    # promotions above)
+    # round-9 promotions (continued): the production LSH geometry's RHP
+    # siblings and four never-windowed TPC-H shapes
+    "emb_near_dup_rhp_sized",
+    "emb_near_dup_rhp_multipass",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
     # round-7 promotions (r6 verdict items 1 and 6): the never-windowed
     # round-6 surface — IVF-PQ serving with three replayed trainings, both
     # Python DataSource entries (batch + streaming lifecycle), the stateful
@@ -177,20 +199,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q15_top_supplier",
     "tpch_q18_large_orders",
 )
-# Round-9 rotation candidates (same mechanism, once the r8 promotions go
-# multi-round green): dedup_semantic (SemDeDup end-to-end incl.
-# recursive-closure oracle), pipeline_dsir_select /
-# agg_time_bucket_gapfill / stream_cdc_apply, the exact-integer sketch
-# family (sketch_hll_exact_daily_merge / stream_distinct_hll /
-# sketch_quantile_histogram / sketch_kmv_intersection), emb_power_iteration
-# (hash-exact integer PCA), j10_interval_overlap, stream_topk_users,
-# pipeline_rag_index (composed chunk→feature→code→band index),
-# graph_link_prediction (bounded wedge join), emb_near_dup_rhp_sized and
-# emb_near_dup_rhp_multipass (the sized/two-pass RHP siblings of the
-# promoted sim_rp_lsh_topk_sized), the salted skew join
-# (j11_salted_skew_join, new in r8), and the remaining
-# never-windowed TPC-H shapes (q5/q7/q10/q11/q13/q14/q16/q19/q22 — keep
-# feeding ≥4 per round through the window).
+# Round-10 rotation candidates (same mechanism, once the r9 promotions go
+# multi-round green): the remaining never-windowed TPC-H shapes
+# (q11/q14/q16/q19/q22 — keep feeding >=4 per round through the window),
+# the round-9 additions not yet windowed (quality_c4_rules,
+# mix_domain_weights), the never-windowed streaming surface
+# (stream_sliding_counts, stream_quality_filter), the set-op family
+# (set_intersect_all / set_except_all), reshape_unpivot, agg_cube /
+# agg_grouping_sets / agg_rollup, sql_recursive_rollup, dq_drift_histogram,
+# dq_anomaly_mad, wx_rolling_median, wx_streak_lengths, and
+# agg_time_bucket_interp (gap-fill's interpolating sibling).
 
 _missing = [n for n in DRIVER_WINDOW if n not in _ALL_QUERIES]
 if _missing:

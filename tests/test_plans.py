@@ -52,6 +52,8 @@ CROSS_JOIN_OK = {
     "pipeline_curriculum_phases",  # 1-row quantile-thresholds broadcast (SCALE.md rule 10)
     "decontaminate_bloom",  # 1-row 8 KB bitset-map broadcast (SCALE.md rule 10)
     "sketch_cms_daily_merge",  # 1-row day-count scalar broadcast
+    "mix_domain_weights",  # 1-row (total, n_domains) scalar broadcast
+    "sim_ivf_rerank",  # 8-row centroid broadcast (same as sim_ivf_topk)
 }
 
 
