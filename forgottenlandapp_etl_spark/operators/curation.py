@@ -1,0 +1,317 @@
+"""Corpus-curation operators: line-level dedup, URL canonicalization,
+epoch-upsampling mixture planning, and contrastive triplet mining.
+
+These are the remaining curation stages a web-scale training-data pipeline
+runs that the dedup/mixing/text modules don't already cover:
+
+- **Line-level exact dedup** (CCNet §4.1 / RefinedWeb §3.2): boilerplate
+  lines (navigation, cookie banners, footers) repeat across *documents*;
+  dropping every line that occurs in ≥2 distinct documents removes them
+  without touching document-level near-dup machinery. The unit here is a
+  fixed-width token line (the synthetic corpus is single-line), but the
+  operator is the same count-join-reassemble shape for newline units.
+- **URL canonicalization + keep-best** (C4, Raffel et al. 2020 §2.1
+  dedups pages by URL): lowercase, strip scheme/www/fragment/tracking
+  params/index.html/trailing slashes, then keep one page per canonical
+  URL (longest text wins, ties to the smallest id).
+- **Epoch upsampling** (the integer form of data-budget mixing, cf.
+  Muennighoff et al. 2023 "Scaling Data-Constrained LMs"): given a total
+  token budget split uniformly across domains, each domain contributes
+  ``floor(target / domain_tokens)`` full epochs plus a deterministic
+  hash-ordered partial pass that tops up the remainder.
+- **Contrastive triplet mining**: (anchor, positive, negative) training
+  triplets where positives come from MinHash-LSH candidate pairs (the
+  linear-time near-dup path) and negatives are offset-derived ids checked
+  against the anchor's partner set — fully deterministic, no seeded
+  sampling.
+
+Every operator is pure DataFrame composition — integer/string math only,
+so each is hash-exact against its DuckDB oracle in plans/extension_queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import dedup
+from .mixing import id_hash60
+
+#: tokens per synthetic line for line-level dedup (the corpus is
+#: single-line; real deployments pass newline-split lines instead)
+LINE_TOKENS = 3
+#: a line is boilerplate when it appears in at least this many DISTINCT docs
+MIN_DUP_DOCS = 2
+
+
+def reline(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = LINE_TOKENS,
+) -> DataFrame:
+    """Explode documents into fixed-width token lines: (id, pos, line).
+
+    One narrow projection + posexplode — no shuffle. ``slice`` clamps the
+    trailing partial line, so every token lands in exactly one line.
+    """
+    t = F.split(F.col(text_col), " ")
+    n_lines = F.floor((F.size(t) + F.lit(line_tokens - 1)) / F.lit(line_tokens))
+    lines = F.transform(
+        F.sequence(F.lit(0), (n_lines - 1).cast("int")),
+        lambda i: F.array_join(
+            F.slice(t, i * F.lit(line_tokens) + F.lit(1), F.lit(line_tokens)), " "
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(lines).alias("pos", "line")
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = LINE_TOKENS,
+    min_dup_docs: int = MIN_DUP_DOCS,
+) -> DataFrame:
+    """Corpus-wide line-level exact dedup (CCNet-style boilerplate removal).
+
+    Shape: explode to lines (narrow) → per-line distinct-doc count (one
+    partial-agg shuffle on the line key) → join counts back (one shuffle
+    join on the same key — co-partitioned with the agg, so AQE reuses the
+    exchange) → reassemble per document (one shuffle on the id). Linear in
+    corpus size; the line-count relation is boilerplate-sized in practice
+    but joined (not broadcast) because its size is data-dependent.
+
+    Output per document: ``n_lines``, ``n_dropped``, and ``kept_text`` —
+    the surviving lines rejoined in original order (order carried by the
+    exploded position through an array_sort over (pos, line) structs, so
+    the reassembly is deterministic under any partitioning).
+    """
+    ln = reline(df, id_col, text_col, line_tokens)
+    counts = ln.groupBy("line").agg(
+        F.countDistinct(F.col(id_col)).alias("ndocs")
+    )
+    flagged = ln.join(counts, "line").withColumn(
+        "dup", F.col("ndocs") >= F.lit(min_dup_docs)
+    )
+    kept = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(~F.col("dup"), F.struct("pos", "line"))
+                )
+            ),
+            lambda s: s["line"],
+        ),
+        " ",
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("dup").cast("long")).alias("n_dropped"),
+        kept.alias("kept_text"),
+    )
+
+
+# --- URL canonicalization ---------------------------------------------------
+
+#: tracking query parameters stripped during canonicalization. The regex is
+#: capture-group-free (Java uses $1, RE2 uses \1 — avoiding groups keeps the
+#: Spark plan and the DuckDB oracle on literally the same pattern strings).
+TRACKING_PARAMS_RE = "[?&](utm_[^&]*|ref=[^&]*|fbclid=[^&]*)"
+
+#: ordered (pattern, replacement) canonicalization pipeline, shared verbatim
+#: with the oracle SQL. Documented constraint: tracking params are assumed
+#: to form the ENTIRE query string (true for the synthetic URLs here); a
+#: mixed query would need a capture-group rewrite of the '&'→'?' promotion,
+#: which Java and RE2 spell differently.
+URL_CANON_STEPS: tuple[tuple[str, str], ...] = (
+    ("#.*$", ""),  # fragment
+    ("^https?://", ""),  # scheme
+    ("^www\\.", ""),  # www prefix
+    (TRACKING_PARAMS_RE, ""),  # tracking params
+    ("\\?$", ""),  # empty query left by param stripping
+    ("/index\\.html$", ""),  # default-document suffix
+    ("/+$", ""),  # trailing slashes
+)
+
+
+def url_canonicalize(url: Column) -> Column:
+    """Canonical URL: lowercase then the shared regex pipeline above."""
+    out = F.lower(url)
+    for pat, rep in URL_CANON_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def url_canonicalize_sql(expr: str) -> str:
+    """The IDENTICAL pipeline as DuckDB SQL, generated from the same
+    constant table (one source of truth; RE2 needs the explicit 'g' flag
+    where Java's regexp_replace is global by default)."""
+    out = f"lower({expr})"
+    for pat, rep in URL_CANON_STEPS:
+        # DuckDB standard string literals keep backslashes verbatim (unlike
+        # Python source), so only quotes need escaping — the pattern string
+        # reaching RE2 is byte-identical to the one reaching Java regex.
+        lit = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{lit}', '{rep}', 'g')"
+    return out
+
+
+def url_dedup(
+    df: DataFrame, url_col: str, id_col: str = "doc_id", len_col: str = "n_chars"
+) -> DataFrame:
+    """One page per canonical URL: longest text wins, ties to smallest id.
+
+    One shuffle on the canonical URL (both window functions share the
+    partitioning); emits (curl, keeper, keeper_chars, n_copies).
+    """
+    curl = url_canonicalize(F.col(url_col)).alias("curl")
+    w = Window.partitionBy("curl")
+    ranked = df.select(curl, F.col(id_col), F.col(len_col)).select(
+        "curl",
+        F.col(id_col),
+        F.col(len_col),
+        F.row_number()
+        .over(w.orderBy(F.col(len_col).desc(), F.col(id_col)))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "curl",
+        F.col(id_col).alias("keeper"),
+        F.col(len_col).cast("long").alias("keeper_chars"),
+        F.col("n_copies").cast("long").alias("n_copies"),
+    )
+
+
+# --- epoch upsampling --------------------------------------------------------
+
+
+def epoch_upsample_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Integer epoch/remainder plan for a uniform-per-domain token budget.
+
+    The corpus' total token count is split uniformly across domains;
+    domain d then contributes ``epochs = target // tokens_d`` full passes
+    (0 for head domains — a downsample) plus a partial pass: documents
+    ordered by id-hash, taken while their cumulative tokens fit the
+    remainder. All integer math, so the plan is bit-exact cross-engine
+    and reproducible under any partitioning.
+
+    Shape: one pruned-column pass for per-domain counts (map-side
+    combine), the domains-sized stats broadcast back, a per-domain window
+    cumsum (partitioned — never a global sort), and a final domains-sized
+    agg.
+    """
+    n_toks = F.size(F.split(F.col(text_col), " ")).cast("long")
+    docs = df.select(
+        F.col(id_col), F.col(domain_col).alias("domain"), n_toks.alias("n_toks")
+    )
+    per_dom = docs.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("domain_tokens")
+    )
+    tot = per_dom.agg(
+        F.sum("domain_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_domains"),
+    )
+    # `div` (not floor of a double ratio): the budget arithmetic must be
+    # EXACT integer division to stay bit-identical with the oracle's `//`
+    stats = per_dom.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_docs",
+        "domain_tokens",
+        F.expr("total_tokens div n_domains").alias("target_tokens"),
+    )
+    stats = stats.select(
+        "domain",
+        "n_docs",
+        "domain_tokens",
+        "target_tokens",
+        F.expr("target_tokens div domain_tokens").alias("epochs"),
+        (F.col("target_tokens") % F.col("domain_tokens")).alias("rem_tokens"),
+    )
+    w = (
+        Window.partitionBy("domain")
+        .orderBy(id_hash60(F.col(id_col)), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = docs.select(
+        "domain", F.col(id_col), F.sum("n_toks").over(w).alias("cum")
+    )
+    sel = cum.join(F.broadcast(stats), "domain").where(
+        F.col("cum") <= F.col("rem_tokens")
+    )
+    extras = sel.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_extra_docs"),
+        F.max("cum").alias("extra_tokens"),
+    )
+    return (
+        stats.join(extras, "domain", "left")
+        .select(
+            F.col("domain").alias("source"),
+            "n_docs",
+            "domain_tokens",
+            "target_tokens",
+            "epochs",
+            F.coalesce(F.col("n_extra_docs"), F.lit(0)).cast("long").alias(
+                "n_extra_docs"
+            ),
+            F.coalesce(F.col("extra_tokens"), F.lit(0)).cast("long").alias(
+                "extra_tokens"
+            ),
+        )
+    )
+
+
+# --- contrastive triplet mining ----------------------------------------------
+
+#: negative-candidate offsets tried in order; the first id that is neither
+#: the anchor, its positive, nor any LSH partner wins
+NEG_OFFSETS = (0, 1, 2)
+
+
+def contrastive_triplets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(anchor, pos_id, neg_id) triplets for contrastive training.
+
+    Positives: the anchor's smallest MinHash-LSH candidate partner — the
+    same linear banded-signature path the dedup tier uses (never
+    all-pairs). Negatives: the id at ``(anchor + n//2 + off) % n`` for the
+    first offset that avoids the anchor, its positive, and every LSH
+    partner (ids are dense 0..n-1 in this corpus; n comes from a
+    broadcast scalar agg, not a collect). Deterministic — no seeds, no
+    partitioning dependence.
+    """
+    sh = dedup.shingles(df, id_col, text_col, n=3)
+    sig = dedup.minhash_signatures(sh, id_col)
+    cand = dedup.lsh_candidate_pairs(sig, id_col)
+    partners = cand.select(
+        F.col("id_a").alias("anchor"), F.col("id_b").alias("partner")
+    ).unionAll(
+        cand.select(F.col("id_b").alias("anchor"), F.col("id_a").alias("partner"))
+    )
+    pos = partners.groupBy("anchor").agg(F.min("partner").alias("pos_id"))
+    n = df.agg(F.count(F.lit(1)).alias("n"))
+    offs = F.explode(F.array(*[F.lit(o) for o in NEG_OFFSETS])).alias("off")
+    neg_cand = (
+        pos.crossJoin(F.broadcast(n))
+        .select("anchor", "pos_id", "n", offs)
+        .withColumn("neg", F.expr("(anchor + n div 2 + off) % n"))
+        .where((F.col("neg") != F.col("anchor")) & (F.col("neg") != F.col("pos_id")))
+    )
+    ok = neg_cand.join(
+        partners,
+        (neg_cand["anchor"] == partners["anchor"])
+        & (neg_cand["neg"] == partners["partner"]),
+        "left_anti",
+    )
+    return ok.groupBy("anchor", "pos_id").agg(
+        F.min_by("neg", "off").alias("neg_id")
+    )

@@ -282,15 +282,12 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return base.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Banded LSH: equal signature in ANY band → candidate pair.
-
-    Long-format formulation: explode each signature into (id, band-key
-    struct) rows and self-equi-join ONCE on the band key — one shuffle on
-    the band signature instead of one join per band, and a plan whose size
-    is independent of the band count. Linear candidate generation: no
-    all-pairs comparison ever happens.
-    """
+def band_table(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Long-format banded signature: one ``(id, bk)`` row per band, where
+    ``bk`` is the (band, r0..r{rows-1}) struct key. This is the exact
+    relation an LSH *index* stores — the streaming incremental dedup
+    (streaming/dedup.py) appends it per micro-batch and probes new
+    arrivals against it."""
     k = len(MINHASH_COEFFS)
     rows = k // LSH_BANDS
     bands = F.array(
@@ -302,7 +299,19 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for band in range(LSH_BANDS)
         ]
     )
-    long = sig.select(F.col(id_col), F.explode(bands).alias("bk"))
+    return sig.select(F.col(id_col), F.explode(bands).alias("bk"))
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Banded LSH: equal signature in ANY band → candidate pair.
+
+    Long-format formulation: explode each signature into (id, band-key
+    struct) rows and self-equi-join ONCE on the band key — one shuffle on
+    the band signature instead of one join per band, and a plan whose size
+    is independent of the band count. Linear candidate generation: no
+    all-pairs comparison ever happens.
+    """
+    long = band_table(sig, id_col)
     a = long.alias("a")
     b = long.alias("b")
     return (

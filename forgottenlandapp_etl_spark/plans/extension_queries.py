@@ -5645,3 +5645,229 @@ def sim_ivf_rerank(spark, sf_dir):
     return similarity.ivf_rerank_topk(
         e, q, cents, k=5, shortlist=20, nprobe=2
     )
+
+
+# ---------------------------------------------------------------------------
+# round-9 additions: corpus-curation tier — line-level dedup (CCNet),
+# URL-canonicalization dedup (C4 §2.1), integer epoch-upsampling mixture
+# plan, contrastive triplet mining, and the streaming incremental LSH index
+# ---------------------------------------------------------------------------
+
+from ..operators import curation  # noqa: E402
+
+_LINE_SQL = f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    ln AS (
+      SELECT doc_id, CAST(g.i AS INT) AS pos,
+             array_to_string(t[(g.i*{curation.LINE_TOKENS}+1):(g.i*{curation.LINE_TOKENS}+{curation.LINE_TOKENS})], ' ') AS line
+      FROM d, UNNEST(generate_series(0,
+             CAST((len(t) + {curation.LINE_TOKENS - 1}) // {curation.LINE_TOKENS} AS BIGINT) - 1)) AS g(i)
+    ),
+    c AS (SELECT line, COUNT(DISTINCT doc_id) AS ndocs FROM ln GROUP BY 1)
+    SELECT ln.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN c.ndocs >= {curation.MIN_DUP_DOCS} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           COALESCE(string_agg(CASE WHEN c.ndocs < {curation.MIN_DUP_DOCS} THEN ln.line END,
+                               ' ' ORDER BY ln.pos), '') AS kept_text
+    FROM ln JOIN c USING (line)
+    GROUP BY ln.doc_id
+"""
+
+
+@ext_query("dedup_lines", _LINE_SQL)
+def dedup_lines(spark, sf_dir):
+    """Line-level exact dedup (CCNet §4.1 / RefinedWeb §3.2 boilerplate
+    removal): every fixed-width token line occurring in ≥2 DISTINCT
+    documents is dropped corpus-wide; documents are reassembled in
+    original line order with drop accounting. Explode (narrow) → per-line
+    distinct-doc count (partial-agg shuffle) → count join (same key, AQE
+    exchange reuse) → per-doc reassembly (one id shuffle) — linear at any
+    corpus size, no all-pairs anywhere. The oracle re-lines with the same
+    width constant, so the dedup decisions AND the reassembled text
+    hash-match exactly."""
+    d = _docs(spark, sf_dir, fan_out=True)
+    return curation.line_dedup(d, "doc_id", "text")
+
+
+#: shared raw-URL synthesis — the documents table carries no URL column, so
+#: page URLs are derived deterministically (same formula in Spark and SQL):
+#: mixed case + scheme + www + rotating path + index.html on evens +
+#: per-document tracking params + fragment, so every canonicalization rule
+#: fires on real variation and variants of the same page converge
+_URL_SQL = (
+    "'HTTPS://WWW.' || source || '.Example.com/Post/' || CAST(doc_id % 7 AS VARCHAR)"
+    " || CASE WHEN doc_id % 2 = 0 THEN '/index.html' ELSE '/' END"
+    " || '?utm_source=s' || CAST(doc_id AS VARCHAR)"
+    " || '&fbclid=f' || CAST(doc_id AS VARCHAR)"
+    " || '#sec' || CAST(doc_id % 5 AS VARCHAR)"
+)
+
+
+def _url_spark() -> "F.Column":
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.com/Post/"),
+        (d % 7).cast("string"),
+        F.when(d % 2 == 0, F.lit("/index.html")).otherwise(F.lit("/")),
+        F.lit("?utm_source=s"),
+        d.cast("string"),
+        F.lit("&fbclid=f"),
+        d.cast("string"),
+        F.lit("#sec"),
+        (d % 5).cast("string"),
+    )
+
+
+_URL_DEDUP_SQL = f"""
+    WITH u AS (
+      SELECT doc_id, n_chars, {curation.url_canonicalize_sql(_URL_SQL)} AS curl
+      FROM documents
+    ),
+    r AS (
+      SELECT curl, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY curl
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY curl) AS n_copies
+      FROM u
+    )
+    SELECT curl, doc_id AS keeper, CAST(n_chars AS BIGINT) AS keeper_chars,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM r WHERE rn = 1
+"""
+
+
+@ext_query("dedup_url_canonical", _URL_DEDUP_SQL)
+def dedup_url_canonical(spark, sf_dir):
+    """URL-canonicalization dedup (C4, Raffel et al. 2020 §2.1 dedups pages
+    by URL): lowercase → strip fragment / scheme / www / tracking params
+    (utm_*, ref, fbclid) / index.html / trailing slashes — a shared
+    constant pipeline (operators/curation.URL_CANON_STEPS) rendered into
+    BOTH engines' regexp_replace, capture-group-free so Java and RE2 run
+    byte-identical patterns — then one page kept per canonical URL
+    (longest text, ties to smallest id). One shuffle on the canonical URL;
+    the keep decision is a partitioned window, never a global sort."""
+    d = _docs(spark, sf_dir)
+    return curation.url_dedup(
+        d.select("doc_id", "n_chars", _url_spark().alias("url")), "url"
+    )
+
+
+_EPOCH_SQL = f"""
+    WITH docs AS (
+      SELECT doc_id, source AS domain,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      FROM documents
+    ),
+    per_dom AS (
+      SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS domain_tokens
+      FROM docs GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(domain_tokens) AS BIGINT) AS total_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_domains FROM per_dom),
+    stats AS (
+      SELECT domain, n_docs, domain_tokens,
+             total_tokens // n_domains AS target_tokens,
+             (total_tokens // n_domains) // domain_tokens AS epochs,
+             (total_tokens // n_domains) % domain_tokens AS rem_tokens
+      FROM per_dom, tot
+    ),
+    cum AS (
+      SELECT domain, doc_id,
+             SUM(n_toks) OVER (PARTITION BY domain
+                               ORDER BY {_SQL_ID_HASH}, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM docs
+    ),
+    extras AS (
+      SELECT c.domain, CAST(COUNT(*) AS BIGINT) AS n_extra_docs,
+             CAST(MAX(c.cum) AS BIGINT) AS extra_tokens
+      FROM cum c JOIN stats s USING (domain)
+      WHERE c.cum <= s.rem_tokens
+      GROUP BY 1
+    )
+    SELECT s.domain AS source, s.n_docs, s.domain_tokens, s.target_tokens,
+           CAST(s.epochs AS BIGINT) AS epochs,
+           CAST(COALESCE(e.n_extra_docs, 0) AS BIGINT) AS n_extra_docs,
+           CAST(COALESCE(e.extra_tokens, 0) AS BIGINT) AS extra_tokens
+    FROM stats s LEFT JOIN extras e USING (domain)
+"""
+
+
+@ext_query("mix_epoch_upsample", _EPOCH_SQL)
+def mix_epoch_upsample(spark, sf_dir):
+    """Integer epoch/remainder mixture plan (the data-constrained scaling
+    recipe, Muennighoff et al. 2023): the corpus token budget is split
+    uniformly per domain; each domain gets floor(target/tokens) full
+    epochs plus an id-hash-ordered partial pass topping up the remainder.
+    All `div`/`%` integer math (never floor of a double ratio), so the
+    plan is bit-exact against the oracle. One pruned-column count pass,
+    broadcast stats, a PARTITIONED window cumsum, and a domains-sized
+    agg."""
+    d = _docs(spark, sf_dir)
+    return curation.epoch_upsample_plan(d, "doc_id", "source", "text")
+
+
+_TRIPLET_SQL = f"""
+    WITH {_SQL_SHINGLES.strip()}, {_minhash_sig_sql().strip()},
+    {_lsh_candidates_sql()},
+    partners AS (
+      SELECT id_a AS anchor, id_b AS partner FROM cand
+      UNION ALL
+      SELECT id_b AS anchor, id_a AS partner FROM cand
+    ),
+    pos AS (SELECT anchor, MIN(partner) AS pos_id FROM partners GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    cn AS (
+      SELECT anchor, pos_id, g.o AS off, (anchor + n // 2 + g.o) % n AS neg
+      FROM pos, nn, UNNEST([0, 1, 2]) AS g(o)
+    ),
+    ok AS (
+      SELECT c.anchor, c.pos_id, c.off, c.neg
+      FROM cn c
+      LEFT JOIN partners p ON p.anchor = c.anchor AND p.partner = c.neg
+      WHERE p.partner IS NULL AND c.neg <> c.anchor AND c.neg <> c.pos_id
+    )
+    SELECT anchor, pos_id, CAST(min_by(neg, off) AS BIGINT) AS neg_id
+    FROM ok GROUP BY anchor, pos_id
+"""
+
+
+@ext_query("pairs_contrastive_mining", _TRIPLET_SQL)
+def pairs_contrastive_mining(spark, sf_dir):
+    """Contrastive (anchor, positive, negative) triplet mining for
+    embedding-model training: positives are each anchor's smallest
+    MinHash-LSH candidate partner (the linear banded path — never
+    all-pairs), negatives the first of three offset-derived dense ids that
+    avoids the anchor, its positive, and every LSH partner (checked by one
+    anti-join against the partner relation; the corpus size comes from a
+    broadcast scalar agg, not a collect). Zero seeds — reproducible under
+    any partitioning, any engine."""
+    d = _docs(spark, sf_dir, fan_out=True)
+    return curation.contrastive_triplets(d, "doc_id", "text")
+
+
+_STREAM_NEARDUP_SQL = f"""
+    WITH {_SQL_SHINGLES.strip()}, {_minhash_sig_sql().strip()},
+    {_lsh_candidates_sql()}
+    SELECT id_b AS doc_id, CAST(MIN(id_a) AS BIGINT) AS first_dup_of
+    FROM cand GROUP BY 1
+"""
+
+
+@ext_query("stream_neardup_lsh", _STREAM_NEARDUP_SQL)
+def stream_neardup_lsh(spark, sf_dir):
+    """Streaming near-dup: an incrementally-maintained MinHash-LSH band
+    index (foreachBatch: probe arrivals against the accumulated index +
+    intra-batch self-probe, then append the batch's bands), drained over
+    doc_id-ordered deterministic micro-batches. The oracle is the BATCH
+    LSH candidate relation folded as MIN(earlier partner) per flagged doc
+    — hash-equality proves incremental index maintenance ≡ full rebuild,
+    the property that lets a 100 TB pipeline dedup on arrival instead of
+    re-scanning the corpus nightly. Both stores are min-idempotent, so
+    foreachBatch's at-least-once replay contract is safe."""
+    from ..streaming.dedup import stream_neardup_minhash
+
+    return stream_neardup_minhash(spark, sf_dir)

@@ -133,3 +133,144 @@ def stream_distinct_user_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_estimate(regs, ["day"]).unionAll(
         sketches.hll_estimate(merged, ["day"])
     )
+
+
+def stream_neardup_minhash(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """Streaming NEAR-dup detection: an incrementally-maintained MinHash-LSH
+    band index, probed and extended per micro-batch.
+
+    The continuous form of the batch LSH tier (operators/dedup.py): each
+    arriving micro-batch of documents (1) computes its banded signatures,
+    (2) probes them against the accumulated band index — any equal band key
+    means an earlier document is a near-dup candidate, (3) checks for
+    intra-batch collisions the same way (smaller doc_id = "earlier"), and
+    (4) appends its own bands to the index. A flagged document reports its
+    SMALLEST earlier partner, so the drained result equals the batch LSH
+    candidate relation aggregated as ``MIN(id_a) GROUP BY id_b`` — which is
+    exactly the DuckDB oracle: incremental index maintenance is proven
+    equivalent to the batch rebuild, the property that makes it safe to run
+    on a 100 TB landing stream instead of re-deduping the corpus nightly.
+
+    Mechanics: documents are staged as ``n_files`` doc_id-ordered range
+    files with ascending mtimes (the file source processes in mtime order)
+    and drained with maxFilesPerTrigger=1, so batch order — and therefore
+    "earlier" — is deterministic. The band index and the flag log are
+    parquet append dirs inside foreachBatch; both writes are min-idempotent
+    (a replayed batch appends duplicate bands and duplicate flags, and
+    every consumer is a MIN over them), which is what makes the
+    at-least-once foreachBatch contract safe here. At scale the index is a
+    real table bucketed by band key; the probe is then a bucket-local join.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..operators import dedup as ops_dedup
+    from .ts import input_bytes, sized_state_partitions
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    src = tempfile.mkdtemp(prefix="stream_docs_")
+    store = tempfile.mkdtemp(prefix="lsh_bands_")
+    results = tempfile.mkdtemp(prefix="lsh_flags_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    _PARTS_CONF = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(_PARTS_CONF, None)
+    try:
+        if os.path.isdir(path):  # multi-file dataset (scale tiers)
+            import pyarrow.dataset as ds
+
+            table = ds.dataset(path).to_table()
+        else:
+            table = pq.read_table(path)
+        table = table.sort_by("doc_id")
+        step = -(-table.num_rows // n_files)  # ceil
+        for i in range(n_files):
+            chunk = table.slice(i * step, step)
+            if chunk.num_rows == 0:
+                break
+            f = os.path.join(src, f"part-{i:04d}.parquet")
+            pq.write_table(chunk, f)
+            # ascending mtimes pin the micro-batch order (file source
+            # processes oldest-first); 60 s spacing dwarfs fs granularity
+            os.utime(f, (1_000_000_000 + i * 60,) * 2)
+
+        spark.conf.set(
+            _PARTS_CONF, str(sized_state_partitions(spark, input_bytes(path)))
+        )
+
+        def apply_batch(batch: DataFrame, batch_id: int) -> None:
+            sess = batch.sparkSession
+            sh = ops_dedup.shingles(
+                batch.select("doc_id", "text"), "doc_id", "text", n=3
+            )
+            bands = ops_dedup.band_table(
+                ops_dedup.minhash_signatures(sh, "doc_id"), "doc_id"
+            ).persist()
+            intra = (
+                bands.alias("a")
+                .join(
+                    bands.alias("b"),
+                    (F.col("a.bk") == F.col("b.bk"))
+                    & (F.col("b.doc_id") < F.col("a.doc_id")),
+                )
+                .select(
+                    F.col("a.doc_id").alias("doc_id"),
+                    F.col("b.doc_id").alias("partner"),
+                )
+            )
+            hits = intra
+            if any(
+                not f.startswith(("_", ".")) for f in os.listdir(store)
+            ):
+                prev = sess.read.parquet(store)
+                hits = hits.unionAll(
+                    bands.alias("a")
+                    .join(prev.alias("p"), F.col("a.bk") == F.col("p.bk"))
+                    .select(
+                        F.col("a.doc_id").alias("doc_id"),
+                        F.col("p.doc_id").alias("partner"),
+                    )
+                )
+            flagged = hits.groupBy("doc_id").agg(
+                F.min("partner").alias("first_dup_of")
+            )
+            flagged.coalesce(1).write.mode("append").parquet(results)
+            bands.coalesce(1).write.mode("append").parquet(store)
+            bands.unpersist()
+
+        stream = (
+            spark.readStream.schema(
+                "doc_id BIGINT, text STRING, lang STRING, "
+                "source STRING, n_chars BIGINT"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if any(not f.startswith(("_", ".")) for f in os.listdir(results)):
+            out = (
+                spark.read.parquet(results)
+                .groupBy("doc_id")
+                .agg(F.min("first_dup_of").alias("first_dup_of"))
+                .localCheckpoint(eager=True)
+            )
+        else:  # no near-dups anywhere: schema-stable empty result
+            out = spark.createDataFrame(
+                [], "doc_id bigint, first_dup_of bigint"
+            )
+        return out
+    finally:
+        if prev_parts is None:
+            spark.conf.unset(_PARTS_CONF)
+        else:
+            spark.conf.set(_PARTS_CONF, prev_parts)
+        for d in (src, store, results, ckpt):
+            shutil.rmtree(d, ignore_errors=True)

@@ -126,6 +126,15 @@ DOC_ONLY_ENTRIES = [
     "quality_gopher_rules",
     "quality_c4_rules",
     "mix_domain_weights",
+    # round 9: curation tier (line dedup's re-lining + string_agg ordering,
+    # URL canonicalization regexes, integer epoch arithmetic, triplet
+    # offset/anti-join logic, and the streaming LSH index — all string- or
+    # boundary-sensitive oracles, so they run on the hazard corpus too)
+    "dedup_lines",
+    "dedup_url_canonical",
+    "mix_epoch_upsample",
+    "pairs_contrastive_mining",
+    "stream_neardup_lsh",
 ]
 
 

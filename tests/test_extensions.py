@@ -2080,3 +2080,158 @@ def test_ivf_rerank_is_subset_and_orders_by_exact_cosine(spark, sf_dir):
         cosines = [r["cos"] for r in rs]
         assert cosines == sorted(cosines, reverse=True)
         assert all(r["neighbor_id"] != qid for r in rs)
+
+
+# --- round-9 curation tier ---------------------------------------------------
+
+
+def test_line_dedup_drops_cross_doc_lines_preserves_order(spark):
+    """A line shared by two docs is dropped from BOTH; a line repeated
+    only WITHIN one doc is kept (every occurrence); surviving lines come
+    back in original order."""
+    from forgottenlandapp_etl_spark.operators import curation
+
+    boiler = "cookie banner text"          # 3 tokens = one line
+    docs = spark.createDataFrame(
+        [
+            (0, f"alpha beta gamma {boiler} delta eps zeta"),
+            (1, f"{boiler} one two three"),
+            (2, "self self self self self self"),  # same line twice, one doc
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in curation.line_dedup(docs, "doc_id", "text").collect()
+    }
+    assert got[0]["n_dropped"] == 1
+    assert got[0]["kept_text"] == "alpha beta gamma delta eps zeta"
+    assert got[1]["n_dropped"] == 1
+    assert got[1]["kept_text"] == "one two three"
+    # intra-doc repetition is NOT cross-doc boilerplate
+    assert got[2]["n_dropped"] == 0 and got[2]["n_lines"] == 2
+    assert got[2]["kept_text"] == "self self self self self self"
+
+
+def test_line_dedup_trailing_partial_line(spark):
+    """Token counts not divisible by the line width put the tail tokens in
+    a short final line — every token lands in exactly one line."""
+    from forgottenlandapp_etl_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d")], "doc_id long, text string"
+    )
+    row = curation.line_dedup(docs, "doc_id", "text").collect()[0]
+    assert row["n_lines"] == 2  # "a b c" + "d"
+    assert row["kept_text"] == "a b c d"
+
+
+def test_url_canonicalize_golden_cases(spark):
+    """Each canonicalization rule fires; variants of one page converge."""
+    from forgottenlandapp_etl_spark.operators import curation
+
+    urls = [
+        ("HTTPS://WWW.Site.Example.com/Post/3/index.html?utm_source=a#top",
+         "site.example.com/post/3"),
+        ("http://site.example.com/post/3/?fbclid=xyz",
+         "site.example.com/post/3"),
+        ("site.example.com/post/3", "site.example.com/post/3"),
+        # non-tracking content is untouched (params preserved, no www strip
+        # mid-host, inner index.html kept)
+        ("https://host.com/index.html/sub?page=2",
+         "host.com/index.html/sub?page=2"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(urls)], "i long, url string"
+    )
+    got = [
+        r["c"]
+        for r in df.select(
+            curation.url_canonicalize(F.col("url")).alias("c")
+        ).orderBy("i").collect()
+    ]
+    assert got == [want for _, want in urls]
+
+
+def test_url_dedup_keeps_longest_then_smallest_id(spark):
+    from forgottenlandapp_etl_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [
+            (10, "https://www.x.com/a/", 5),
+            (11, "x.com/a", 9),          # longest wins
+            (12, "HTTP://X.com/a#f", 9),  # tie on length -> smaller id... but 11 < 12
+            (20, "x.com/b", 1),
+        ],
+        "doc_id long, url string, n_chars long",
+    )
+    got = {
+        r["curl"]: r.asDict()
+        for r in curation.url_dedup(df, "url").collect()
+    }
+    assert got["x.com/a"]["keeper"] == 11 and got["x.com/a"]["n_copies"] == 3
+    assert got["x.com/b"]["keeper"] == 20 and got["x.com/b"]["n_copies"] == 1
+
+
+def test_epoch_upsample_budget_arithmetic(spark, sf_dir):
+    """epochs·tokens + rem == target for every domain; the partial pass
+    never exceeds the remainder and is maximal (next doc would overflow)."""
+    from forgottenlandapp_etl_spark.plans.registry import QUERIES
+
+    rows = QUERIES["mix_epoch_upsample"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r["domain_tokens"] for r in rows)
+    target = total // len(rows)
+    for r in rows:
+        assert r["target_tokens"] == target
+        rem = target - r["epochs"] * r["domain_tokens"]
+        assert 0 <= rem < r["domain_tokens"]
+        assert r["extra_tokens"] <= rem
+        # maximality: if docs remain unselected, the next one must not fit.
+        # (cheap proxy: extra_tokens + min doc size in domain > rem would
+        # need the per-doc data; assert the weaker invariant instead)
+        assert r["n_extra_docs"] <= r["n_docs"]
+
+
+def test_contrastive_triplets_constraints(spark, sf_dir):
+    """Every triplet: pos is a genuine LSH partner of the anchor; neg is
+    not the anchor, not the pos, and not ANY partner of the anchor."""
+    from forgottenlandapp_etl_spark.operators import curation, dedup as D
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    trip = curation.contrastive_triplets(docs, "doc_id", "text").collect()
+    assert trip, "fixture corpus should yield LSH candidates"
+    sh = D.shingles(docs, "doc_id", "text", n=3)
+    cand = D.lsh_candidate_pairs(D.minhash_signatures(sh), "doc_id").collect()
+    partners: dict[int, set[int]] = {}
+    for r in cand:
+        partners.setdefault(r["id_a"], set()).add(r["id_b"])
+        partners.setdefault(r["id_b"], set()).add(r["id_a"])
+    n = docs.count()
+    for t in trip:
+        a, p, g = t["anchor"], t["pos_id"], t["neg_id"]
+        assert p in partners[a] and p == min(partners[a])
+        assert g != a and g != p and g not in partners[a]
+        assert 0 <= g < n
+
+
+def test_stream_neardup_equals_batch_lsh_fold(spark, sf_dir):
+    """Incremental index maintenance ≡ batch rebuild: the streamed flags
+    equal MIN(earlier partner) per doc over the batch candidate pairs."""
+    from forgottenlandapp_etl_spark.operators import dedup as D
+    from forgottenlandapp_etl_spark.streaming.dedup import stream_neardup_minhash
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    sh = D.shingles(docs, "doc_id", "text", n=3)
+    cand = D.lsh_candidate_pairs(D.minhash_signatures(sh), "doc_id")
+    want = {
+        r["doc_id"]: r["m"]
+        for r in cand.groupBy(F.col("id_b").alias("doc_id"))
+        .agg(F.min("id_a").alias("m"))
+        .collect()
+    }
+    got = {
+        r["doc_id"]: r["first_dup_of"]
+        for r in stream_neardup_minhash(spark, sf_dir).collect()
+    }
+    assert got == want and want  # non-degenerate on the fixture corpus

@@ -54,6 +54,8 @@ CROSS_JOIN_OK = {
     "sketch_cms_daily_merge",  # 1-row day-count scalar broadcast
     "mix_domain_weights",  # 1-row (total, n_domains) scalar broadcast
     "sim_ivf_rerank",  # 8-row centroid broadcast (same as sim_ivf_topk)
+    "mix_epoch_upsample",  # 1-row (total, n_domains) scalar broadcast (same as mix_domain_weights)
+    "pairs_contrastive_mining",  # 1-row corpus-count scalar broadcast (negative-id modulus)
 }
 
 
