@@ -199,6 +199,14 @@ HEADLINE = [
     "mix_domain_weights",
     "sim_ivf_rerank",
     "wx_time_weighted_avg",
+    # round 9 curation tier: line-level dedup, URL-canonicalization dedup,
+    # epoch-upsampling plan, contrastive triplet mining, and the streaming
+    # incremental LSH band index
+    "dedup_lines",
+    "dedup_url_canonical",
+    "mix_epoch_upsample",
+    "pairs_contrastive_mining",
+    "stream_neardup_lsh",
 ]
 
 

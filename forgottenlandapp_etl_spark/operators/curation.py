@@ -79,17 +79,25 @@ def line_dedup(
 
     Shape: explode to lines (narrow) → per-line distinct-doc count (one
     partial-agg shuffle on the line key) → join counts back (one shuffle
-    join on the same key — co-partitioned with the agg, so AQE reuses the
-    exchange) → reassemble per document (one shuffle on the id). Linear in
-    corpus size; the line-count relation is boilerplate-sized in practice
-    but joined (not broadcast) because its size is data-dependent.
+    join on the same key; AQE broadcasts the count relation when it turns
+    out small at runtime — its size is data-dependent, so it is never
+    broadcast by declaration) → reassemble per document (one shuffle on
+    the id). Linear in corpus size. The exploded relation feeds BOTH the
+    count aggregate and the join probe; measured on the fixture plan,
+    Catalyst does NOT fold the two branches (two corpus scans), so it is
+    persisted spill-safe — same discipline, same reason as the shingle
+    relation in operators/dedup.minhash_lsh_dedup: one corpus scan total.
 
     Output per document: ``n_lines``, ``n_dropped``, and ``kept_text`` —
     the surviving lines rejoined in original order (order carried by the
     exploded position through an array_sort over (pos, line) structs, so
     the reassembly is deterministic under any partitioning).
     """
-    ln = reline(df, id_col, text_col, line_tokens)
+    from pyspark import StorageLevel
+
+    ln = reline(df, id_col, text_col, line_tokens).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     counts = ln.groupBy("line").agg(
         F.countDistinct(F.col(id_col)).alias("ndocs")
     )

@@ -203,12 +203,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # multi-round green): the remaining never-windowed TPC-H shapes
 # (q11/q14/q16/q19/q22 — keep feeding >=4 per round through the window),
 # the round-9 additions not yet windowed (quality_c4_rules,
-# mix_domain_weights), the never-windowed streaming surface
-# (stream_sliding_counts, stream_quality_filter), the set-op family
-# (set_intersect_all / set_except_all), reshape_unpivot, agg_cube /
-# agg_grouping_sets / agg_rollup, sql_recursive_rollup, dq_drift_histogram,
-# dq_anomaly_mad, wx_rolling_median, wx_streak_lengths, and
-# agg_time_bucket_interp (gap-fill's interpolating sibling).
+# mix_domain_weights, and the curation tier: dedup_lines,
+# dedup_url_canonical, mix_epoch_upsample, pairs_contrastive_mining,
+# stream_neardup_lsh — the streaming LSH index and line dedup first), the
+# never-windowed streaming surface (stream_sliding_counts,
+# stream_quality_filter), the set-op family (set_intersect_all /
+# set_except_all), reshape_unpivot, agg_cube / agg_grouping_sets /
+# agg_rollup, sql_recursive_rollup, dq_drift_histogram, dq_anomaly_mad,
+# wx_rolling_median, wx_streak_lengths, and agg_time_bucket_interp
+# (gap-fill's interpolating sibling).
 
 _missing = [n for n in DRIVER_WINDOW if n not in _ALL_QUERIES]
 if _missing:
