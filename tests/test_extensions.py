@@ -2235,3 +2235,20 @@ def test_stream_neardup_equals_batch_lsh_fold(spark, sf_dir):
         for r in stream_neardup_minhash(spark, sf_dir).collect()
     }
     assert got == want and want  # non-degenerate on the fixture corpus
+
+
+def test_stream_neardup_invariant_to_batch_granularity(spark, sf_dir):
+    """The incremental index must produce the SAME flags whatever the
+    micro-batch slicing: 1 batch (intra-only path), 4 (default), and 7
+    (uneven ranges) all equal — 'earlier' is a property of doc_id order,
+    not of where the batch boundaries fall."""
+    from forgottenlandapp_etl_spark.streaming.dedup import stream_neardup_minhash
+
+    def run(n):
+        return sorted(
+            (r["doc_id"], r["first_dup_of"])
+            for r in stream_neardup_minhash(spark, sf_dir, n_files=n).collect()
+        )
+
+    base = run(4)
+    assert base == run(1) == run(7) and base
