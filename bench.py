@@ -207,6 +207,14 @@ HEADLINE = [
     "mix_epoch_upsample",
     "pairs_contrastive_mining",
     "stream_neardup_lsh",
+    # round 9b: WordPiece tokenizer (vocab build + greedy encode), Z-order
+    # layout stats, unicode normalization, blocklist filtering, calibrated
+    # per-domain quality cutoffs
+    "tok_wordpiece_encode",
+    "layout_zorder",
+    "text_normalize",
+    "filter_domain_blocklist",
+    "quality_domain_calibrated",
 ]
 
 

@@ -277,6 +277,147 @@ def epoch_upsample_plan(
     )
 
 
+# --- text normalization -------------------------------------------------------
+
+#: ordered literal (search, replace) pairs run BEFORE lowercasing — the
+#: unicode-punctuation folding every corpus pass does (curly quotes,
+#: guillemets, dashes, ellipsis, NBSP). Literal `replace`, not regex, so the
+#: Java and RE2 dialect question never arises for this table.
+NORM_REPLACES: tuple[tuple[str, str], ...] = (
+    ("«", '"'),  # «
+    ("»", '"'),  # »
+    ("“", '"'),  # "
+    ("”", '"'),  # "
+    ("’", "'"),  # '
+    ("—", "-"),  # em dash
+    ("…", "..."),  # ellipsis
+    ("\u00a0", " "),  # NBSP
+)
+
+#: whitespace collapse AFTER the NBSP fold — a plain space class, shared
+#: verbatim with the oracle (no \s, whose dialect nuances differ)
+NORM_WS_RE = " +"
+
+
+def normalize_text(col: Column) -> Column:
+    """Punctuation fold → lowercase → collapse runs of spaces → trim."""
+    out = col
+    for search, rep in NORM_REPLACES:
+        out = F.replace(out, F.lit(search), F.lit(rep))
+    return F.trim(F.regexp_replace(F.lower(out), NORM_WS_RE, " "))
+
+
+def normalize_text_sql(expr: str) -> str:
+    """The IDENTICAL normalization as DuckDB SQL, from the same tables."""
+    out = expr
+    for search, rep in NORM_REPLACES:
+        out = f"replace({out}, '{search}', '{rep.replace(chr(39), chr(39) * 2)}')"
+    return f"trim(regexp_replace(lower({out}), '{NORM_WS_RE}', ' ', 'g'))"
+
+
+# --- domain blocklist filtering ------------------------------------------------
+
+#: blocked registrable domains / exact hosts. A host is blocked when ANY of
+#: its dot-suffix chains equals an entry — so `src1.example.com` takes the
+#: bare host AND every subdomain, while `cdn.src4.example.com` takes only
+#: that exact host (the standard adblock/safety-list semantics).
+DOMAIN_BLOCKLIST: tuple[str, ...] = (
+    "src1.example.com",
+    "src7.example.com",
+    "cdn.src4.example.com",
+)
+
+
+def host_suffixes(host: Column) -> Column:
+    """All dot-suffix chains of a host, longest first."""
+    parts = F.split(host, "\\.")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, i, F.size(parts) - i + 1), "."),
+    )
+
+
+def domain_blocklist_stats(
+    df: DataFrame,
+    host_col: str,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    blocklist: tuple[str, ...] = DOMAIN_BLOCKLIST,
+) -> DataFrame:
+    """Per-group keep/drop accounting under the suffix-chain blocklist.
+
+    The blocklist is a literal membership set (broadcast-sized by nature —
+    real lists are a few MB, shipped inside the plan or a broadcast join),
+    probed with `exists` over the suffix array: zero joins, zero extra
+    shuffles beyond the final group agg. Linear at any corpus size.
+    """
+    blocked = F.exists(
+        host_suffixes(F.col(host_col)), lambda s: s.isin(*blocklist)
+    )
+    return (
+        df.select(F.col(group_col), blocked.cast("long").alias("blocked"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("blocked").alias("n_blocked"),
+            (F.count(F.lit(1)) - F.sum("blocked")).alias("n_kept"),
+        )
+    )
+
+
+# --- per-domain calibrated quality filtering ------------------------------------
+
+#: fraction of each domain dropped from the bottom of the score ordering
+CALIBRATION_Q = 0.25
+
+
+def calibrated_quality_stats(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    q: float = CALIBRATION_Q,
+) -> DataFrame:
+    """Per-domain quantile-calibrated quality cutoff (CCNet §4.3 buckets
+    its perplexity filter per language for the same reason: one global
+    threshold over-prunes clean domains and under-prunes noisy ones).
+
+    The cutoff is the score of the row at rank ``ceil(q·n)`` under the
+    total order (score ASC, id ASC) within each domain — exact integer
+    selection, not an interpolated percentile, so it is bit-identical
+    cross-engine. One partitioned window (never a global sort) + a
+    domains-sized agg; the filter itself is a broadcast-joined predicate.
+    Emits per domain: cutoff, n_total, n_kept.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(F.col(score_col), F.col(id_col))
+    ranked = df.select(
+        F.col(group_col),
+        F.col(score_col).alias("score"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy(group_col)).alias("n"),
+    )
+    cutoffs = ranked.groupBy(group_col).agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("score")
+            )
+        ).alias("cutoff")
+    )
+    return (
+        ranked.join(F.broadcast(cutoffs), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.min("cutoff").cast("long").alias("cutoff"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((F.col("score") >= F.col("cutoff")).cast("long")).alias(
+                "n_kept"
+            ),
+        )
+    )
+
+
 # --- contrastive triplet mining ----------------------------------------------
 
 #: negative-candidate offsets tried in order; the first id that is neither

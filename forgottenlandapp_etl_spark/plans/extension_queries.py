@@ -5871,3 +5871,288 @@ def stream_neardup_lsh(spark, sf_dir):
     from ..streaming.dedup import stream_neardup_minhash
 
     return stream_neardup_minhash(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# round-9 additions (batch B): WordPiece tokenizer inference, Z-order data
+# layout, unicode text normalization, domain-blocklist filtering, and
+# per-domain calibrated quality cutoffs
+# ---------------------------------------------------------------------------
+
+from ..operators import layout, wordpiece  # noqa: E402
+
+
+def _wordpiece_sql() -> str:
+    """The WordPiece oracle, generated from the SAME constants the Spark
+    operator uses (operators/wordpiece.py): identical vocab selection
+    (weight DESC, is_initial DESC, piece ASC; forced single chars) and the
+    identical greedy longest-match loop, unrolled as MAX_WORD_LEN
+    non-recursive CTE steps (each a no-op once a word is consumed)."""
+    mp, vt = wordpiece.MAX_PIECE, wordpiece.VOCAB_TOP
+    steps = []
+    for k in range(1, wordpiece.MAX_WORD_LEN + 1):
+        whens = " ".join(
+            f"WHEN substr(s.word, s.pos, {l}) IN (SELECT piece FROM vocab v"
+            f" WHERE v.is_initial = (s.pos = 1) AND len(v.piece) = {l})"
+            f" THEN {l}"
+            for l in range(mp, 1, -1)
+        )
+        steps.append(f"""
+    st{k} AS (
+      SELECT word, wcount,
+             CASE WHEN active THEN pos + chosen ELSE pos END AS pos,
+             CASE WHEN active THEN enc ||
+                    CASE WHEN pos = 1 THEN '' ELSE ' ##' END ||
+                    substr(word, pos, chosen)
+                  ELSE enc END AS enc,
+             CASE WHEN active THEN ntoks + 1 ELSE ntoks END AS ntoks
+      FROM (
+        SELECT s.*, (s.pos <= len(s.word)) AS active,
+               CASE {whens} ELSE 1 END AS chosen
+        FROM st{k - 1} s
+      )
+    )""")
+    return f"""
+    WITH w AS (
+      SELECT t[i] AS word, CAST(COUNT(*) AS BIGINT) AS wcount
+      FROM (SELECT string_split(text, ' ') AS t FROM documents),
+           UNNEST(generate_series(1, len(t))) AS g(i)
+      GROUP BY 1
+    ),
+    pieces AS (
+      SELECT (s.s = 1) AS is_initial, substr(word, s.s, l.l) AS piece,
+             SUM(wcount) AS weight
+      FROM w,
+           UNNEST(generate_series(1, len(word))) AS s(s),
+           UNNEST(generate_series(1, LEAST({mp}, len(word) - s.s + 1))) AS l(l)
+      GROUP BY 1, 2
+    ),
+    topk AS (
+      SELECT is_initial, piece FROM (
+        SELECT is_initial, piece,
+               ROW_NUMBER() OVER
+                 (ORDER BY weight DESC, is_initial DESC, piece) AS rn
+        FROM pieces) WHERE rn <= {vt}
+    ),
+    vocab AS (
+      SELECT DISTINCT is_initial, piece FROM (
+        SELECT * FROM topk
+        UNION ALL
+        SELECT is_initial, piece FROM pieces WHERE len(piece) = 1)
+    ),
+    st0 AS (SELECT word, wcount, 1 AS pos, '' AS enc, 0 AS ntoks FROM w),
+    {",".join(steps)}
+    SELECT word, wcount,
+           CAST(CASE WHEN pos <= len(word) THEN {wordpiece.OVERFLOW_NTOKS}
+                     ELSE ntoks END AS BIGINT) AS n_tokens,
+           CASE WHEN pos <= len(word) THEN '{wordpiece.OVERFLOW_TEXT}'
+                ELSE enc END AS encoded
+    FROM st{wordpiece.MAX_WORD_LEN}
+"""
+
+
+@ext_query("tok_wordpiece_encode", _wordpiece_sql())
+def tok_wordpiece_encode(spark, sf_dir):
+    """WordPiece tokenizer: frequency-weighted piece vocab (top-K +
+    forced single chars) and greedy longest-match-first encoding of every
+    distinct corpus word, continuation pieces ##-marked (Devlin et al.
+    2018; Song et al. 2021). The vocab build is a bounded TakeOrdered over
+    an alphabet-limited candidate space; the encode broadcasts the
+    model-sized vocab as literal membership sets inside one pure Column
+    expression — zero joins, zero shuffles, the way real tokenizers ship
+    their vocab file to executors. Both the learned vocab and every
+    encoded word are hash-exact against the unrolled-greedy oracle."""
+    from pyspark import StorageLevel
+
+    d = _docs(spark, sf_dir, fan_out=True)
+    words = wordpiece.word_counts(d, "text").persist(StorageLevel.MEMORY_AND_DISK)
+    vocab = wordpiece.wordpiece_vocab(words)
+    return wordpiece.encode_words(words, wordpiece.collect_vocab(vocab))
+
+
+#: Z-order geometry: 16 low bits per key, 64 buckets (top 6 z bits) — the
+#: bucket count stands in for the file count OPTIMIZE ZORDER would write
+_Z_BUCKET_BITS = 6
+
+_Z_TOP = (1 << layout.MORTON_BITS) - 1
+_ZORDER_SQL = f"""
+    WITH mm AS (
+      SELECT MIN(l_partkey) AS mna, MAX(l_partkey) AS mxa,
+             MIN(l_suppkey) AS mnb, MAX(l_suppkey) AS mxb
+      FROM lineitem
+    ),
+    z AS (
+      SELECT {layout.zvalue_sql(
+          f"(((l_partkey - mna) * {_Z_TOP}) // GREATEST(1, mxa - mna))",
+          f"(((l_suppkey - mnb) * {_Z_TOP}) // GREATEST(1, mxb - mnb))",
+      )} AS zv,
+             l_partkey AS a, l_suppkey AS b
+      FROM lineitem, mm
+    )
+    SELECT (zv >> {2 * layout.MORTON_BITS - _Z_BUCKET_BITS}) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(a) AS BIGINT) AS min_a, CAST(MAX(a) AS BIGINT) AS max_a,
+           CAST(MIN(b) AS BIGINT) AS min_b, CAST(MAX(b) AS BIGINT) AS max_b
+    FROM z GROUP BY 1
+"""
+
+
+@ext_query("layout_zorder", _ZORDER_SQL)
+def layout_zorder(spark, sf_dir):
+    """Z-order (Morton) clustering stats — the `OPTIMIZE ZORDER BY`
+    layout decision, hash-verified: lineitem keyed by BOTH l_partkey and
+    l_suppkey is assigned to 64 Z-curve buckets (the per-file boundaries a
+    range-partitioned sorted write would produce), and each bucket reports
+    the min/max of BOTH keys — exactly the parquet footer stats a reader's
+    data skipping consults. The interleave is one pure-Column bit
+    expression from the shared term table (operators/layout.morton_terms);
+    the only shuffle is the final partial-agg on the bucket id."""
+    li = catalog.table(spark, sf_dir, "lineitem")
+    return layout.zorder_bucket_stats(
+        li, "l_partkey", "l_suppkey", bucket_bits=_Z_BUCKET_BITS
+    )
+
+
+#: deterministic noisy-text synthesis shared by both engines — the clean
+#: synthetic corpus gets curly quotes, NBSPs, an em dash, ellipses, mixed
+#: case and space runs injected so every normalization rule fires
+_NOISY_SQL = (
+    "'«' || upper(substr(text, 1, 15)) || '»' || chr(160) || '—' || chr(160)"
+    " || text"
+    " || CASE WHEN doc_id % 3 = 0 THEN '  …  ' ELSE chr(160) END"
+)
+
+_NORMALIZE_SQL = f"""
+    WITH raw AS (SELECT doc_id, {_NOISY_SQL} AS raw_text FROM documents)
+    SELECT doc_id,
+           CAST(len(raw_text) AS BIGINT) AS raw_chars,
+           {curation.normalize_text_sql("raw_text")} AS norm_text,
+           CAST(len({curation.normalize_text_sql("raw_text")}) AS BIGINT)
+             AS norm_chars
+    FROM raw
+"""
+
+
+def _noisy_spark() -> "F.Column":
+    return F.concat(
+        F.lit("«"),
+        F.upper(F.col("text").substr(1, 15)),
+        F.lit("»\u00a0—\u00a0"),
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("  …  ")).otherwise(
+            F.lit("\u00a0")
+        ),
+    )
+
+
+@ext_query("text_normalize", _NORMALIZE_SQL)
+def text_normalize(spark, sf_dir):
+    """Unicode text normalization — the first pass of every corpus
+    pipeline: fold curly quotes / guillemets / em dashes / ellipses / NBSP
+    to ASCII (literal replaces from the shared constant table
+    curation.NORM_REPLACES — no regex dialect exposure), lowercase,
+    collapse space runs, trim. Zero shuffles, pure Column string math;
+    emits before/after character counts so the reduction itself is
+    hash-checked. Noise is synthesized deterministically (the fixture
+    corpus is already clean) with the same expression on both engines."""
+    d = _docs(spark, sf_dir)
+    raw = d.select("doc_id", _noisy_spark().alias("raw_text"))
+    return raw.select(
+        "doc_id",
+        F.length("raw_text").cast("long").alias("raw_chars"),
+        curation.normalize_text(F.col("raw_text")).alias("norm_text"),
+        F.length(curation.normalize_text(F.col("raw_text")))
+        .cast("long")
+        .alias("norm_chars"),
+    )
+
+
+#: deterministic host synthesis: a third each of bare / www. / cdn. hosts
+#: per source domain, so suffix-chain matching exercises real subdomains
+_HOST_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'cdn.' WHEN 1 THEN 'www.' ELSE '' END"
+    " || source || '.example.com'"
+)
+
+_BLOCKLIST_SQL = f"""
+    WITH h AS (SELECT doc_id, source, {_HOST_SQL} AS host FROM documents),
+    p AS (SELECT doc_id, source, string_split(host, '.') AS parts FROM h),
+    sfx AS (
+      SELECT doc_id,
+             array_to_string(list_slice(parts, g.i, len(parts)), '.') AS s
+      FROM p, UNNEST(generate_series(1, len(parts))) AS g(i)
+    ),
+    b AS (
+      SELECT DISTINCT doc_id FROM sfx
+      WHERE s IN ({", ".join(f"'{d}'" for d in curation.DOMAIN_BLOCKLIST)})
+    )
+    SELECT h.source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_blocked,
+           CAST(SUM(CASE WHEN b.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM h LEFT JOIN b USING (doc_id) GROUP BY 1
+"""
+
+
+def _host_spark() -> "F.Column":
+    m = F.col("doc_id") % 3
+    prefix = (
+        F.when(m == 0, F.lit("cdn."))
+        .when(m == 1, F.lit("www."))
+        .otherwise(F.lit(""))
+    )
+    return F.concat(prefix, F.col("source"), F.lit(".example.com"))
+
+
+@ext_query("filter_domain_blocklist", _BLOCKLIST_SQL)
+def filter_domain_blocklist(spark, sf_dir):
+    """URL-host blocklist filtering (the safety/unwanted-domain pass):
+    a host is dropped when ANY of its dot-suffix chains equals a blocklist
+    entry — registrable-domain entries take every subdomain, exact-host
+    entries take only themselves. The blocklist is a literal membership
+    set probed with `exists` over the suffix array (real lists are a few
+    MB: plan-shipped or broadcast) — zero joins, the only shuffle is the
+    per-source accounting agg."""
+    d = _docs(spark, sf_dir)
+    return curation.domain_blocklist_stats(
+        d.select("doc_id", "source", _host_spark().alias("host")), "host"
+    )
+
+
+_CALIBRATED_SQL = f"""
+    WITH r AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT source,
+             MIN(CASE WHEN rn = CAST(CEIL({curation.CALIBRATION_Q} * n)
+                                AS BIGINT)
+                      THEN n_chars END) AS cutoff
+      FROM r GROUP BY 1
+    )
+    SELECT r.source,
+           CAST(MIN(c.cutoff) AS BIGINT) AS cutoff,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN r.n_chars >= c.cutoff THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM r JOIN c USING (source) GROUP BY 1
+"""
+
+
+@ext_query("quality_domain_calibrated", _CALIBRATED_SQL)
+def quality_domain_calibrated(spark, sf_dir):
+    """Per-domain calibrated quality cutoff (CCNet §4.3 buckets its
+    perplexity filter per language for the same reason): each domain drops
+    its bottom quartile by score, with the cutoff selected as the EXACT
+    value at rank ceil(q·n) under a total order — integer selection, not
+    an interpolated percentile, so the cutoffs and keep counts are
+    bit-identical cross-engine. One partitioned window + a domains-sized
+    broadcast join; never a global sort."""
+    d = _docs(spark, sf_dir)
+    return curation.calibrated_quality_stats(d, "n_chars")

@@ -210,8 +210,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # stream_quality_filter), the set-op family (set_intersect_all /
 # set_except_all), reshape_unpivot, agg_cube / agg_grouping_sets /
 # agg_rollup, sql_recursive_rollup, dq_drift_histogram, dq_anomaly_mad,
-# wx_rolling_median, wx_streak_lengths, and agg_time_bucket_interp
-# (gap-fill's interpolating sibling).
+# wx_rolling_median, wx_streak_lengths, agg_time_bucket_interp
+# (gap-fill's interpolating sibling), and the round-9 batch-B additions
+# (tok_wordpiece_encode — the second tokenizer family, first —
+# layout_zorder, text_normalize, filter_domain_blocklist,
+# quality_domain_calibrated).
 
 _missing = [n for n in DRIVER_WINDOW if n not in _ALL_QUERIES]
 if _missing:

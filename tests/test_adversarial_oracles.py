@@ -135,6 +135,16 @@ DOC_ONLY_ENTRIES = [
     "mix_epoch_upsample",
     "pairs_contrastive_mining",
     "stream_neardup_lsh",
+    # round 9b: the WordPiece greedy loop (the 200-char word exercises the
+    # <OVERFLOW> bound the fixture never reaches; empty/whitespace docs
+    # exercise zero-length words; unicode exercises char-based substr),
+    # the normalization pipeline (multi-line + unicode + tab corpora), the
+    # suffix-chain blocklist, and the rank-selection calibration (the
+    # duplicate texts force n_chars ties onto the doc_id tiebreak)
+    "tok_wordpiece_encode",
+    "text_normalize",
+    "filter_domain_blocklist",
+    "quality_domain_calibrated",
 ]
 
 

@@ -2252,3 +2252,161 @@ def test_stream_neardup_invariant_to_batch_granularity(spark, sf_dir):
 
     base = run(4)
     assert base == run(1) == run(7) and base
+
+
+# --- round-9 batch B: wordpiece / zorder layout / normalize / blocklist ------
+
+
+def test_wordpiece_greedy_longest_match_golden(spark):
+    from forgottenlandapp_etl_spark.operators import wordpiece
+
+    # vocab: initial pieces {tab, t}, continuation {##le, ##l, ##e, ##s}
+    sets = {
+        (True, 3): ["tab"],
+        (True, 1): ["t", "a", "b", "l", "e", "s"],
+        (False, 2): ["le"],
+        (False, 1): ["a", "b", "l", "e", "s"],
+    }
+    words = spark.createDataFrame(
+        [("tables", 3), ("tale", 1)], "word string, wcount long"
+    )
+    got = {
+        r["word"]: (r["n_tokens"], r["encoded"])
+        for r in wordpiece.encode_words(words, sets).collect()
+    }
+    # greedy takes 'tab' (len 3) over 't', then '##le' over '##l'
+    assert got["tables"] == (3, "tab ##le ##s")
+    # 'tale': no initial 'tal'/'ta' piece -> 't' then '##a' '##le'
+    assert got["tale"] == (3, "t ##a ##le")
+
+
+def test_wordpiece_overflow_marked_deterministically(spark):
+    from forgottenlandapp_etl_spark.operators import wordpiece
+
+    sets = {(True, 1): ["x"], (False, 1): ["x"]}
+    words = spark.createDataFrame(
+        [("x" * 12, 1), ("xx", 1)], "word string, wcount long"
+    )
+    got = {
+        r["word"]: (r["n_tokens"], r["encoded"])
+        for r in wordpiece.encode_words(words, sets).collect()
+    }
+    assert got["x" * 12] == (
+        wordpiece.OVERFLOW_NTOKS,
+        wordpiece.OVERFLOW_TEXT,
+    )
+    assert got["xx"] == (2, "x ##x")
+
+
+def test_wordpiece_vocab_always_covers_single_chars(spark, sf_dir):
+    from forgottenlandapp_etl_spark.operators import wordpiece
+
+    d = catalog.table(spark, sf_dir, "documents")
+    words = wordpiece.word_counts(d, "text")
+    vocab = wordpiece.wordpiece_vocab(words)
+    sets = wordpiece.collect_vocab(vocab)
+    # initial singles exist for every word-INITIAL char (chars that never
+    # start a word correctly get no initial piece)
+    first = {r["word"][0] for r in words.select("word").collect()}
+    assert first <= set(sets.get((True, 1), []))
+    # continuation singles exist for every char seen at position >= 2
+    cont = {c for r in words.select("word").collect() for c in r["word"][1:]}
+    assert cont <= set(sets.get((False, 1), []))
+    # therefore nothing overflows and every word round-trips its length
+    enc = wordpiece.encode_words(words, sets)
+    assert enc.where(F.col("n_tokens") < 0).count() == 0
+    bad = enc.where(
+        F.length(F.regexp_replace(F.regexp_replace("encoded", "##", ""), " ", ""))
+        != F.length("word")
+    )
+    assert bad.count() == 0
+
+
+def test_zorder_zvalue_known_interleave(spark):
+    from forgottenlandapp_etl_spark.operators import layout
+
+    df = spark.createDataFrame([(0b101, 0b011)], "a long, b long")
+    got = df.select(layout.zvalue(F.col("a"), F.col("b")).alias("z")).head()["z"]
+    # interleave a=101, b=011 -> bits z[2i]=a_i, z[2i+1]=b_i:
+    # i=0: a0=1,b0=1 -> 11; i=1: a1=0,b1=1 -> 0b10 shifted; i=2: a2=1,b2=0
+    expect = (
+        (1 << 0) | (1 << 1) | (0 << 2) | (1 << 3) | (1 << 4) | (0 << 5)
+    )
+    assert got == expect
+
+
+def test_zorder_layout_files_have_tight_dual_key_ranges(spark, sf_dir, tmp_path):
+    """The write-side proof: a z-ordered parquet layout yields per-file
+    min/max ranges on BOTH keys far narrower than a random layout — the
+    stats data skipping prunes with."""
+    from forgottenlandapp_etl_spark.operators import layout
+
+    li = catalog.table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    n_files = 8
+    layout.zorder_layout(li, "l_partkey", "l_suppkey", n_files).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "z"))
+    import pyarrow.parquet as pq
+    import os
+
+    spans = []
+    globals_ = li.agg(
+        F.max("l_partkey"), F.min("l_partkey")
+    ).head()
+    gspan = globals_[0] - globals_[1]
+    d = str(tmp_path / "z")
+    for f in os.listdir(d):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(d, f), columns=["l_partkey"])
+        col = t.column("l_partkey").to_pylist()
+        if col:
+            spans.append(max(col) - min(col))
+    assert spans, "no parquet files written"
+    # every z-ordered file covers a fraction of the global key range; a
+    # random layout's per-file span would be ~the full range
+    assert sum(spans) / len(spans) <= gspan * 0.75
+
+
+def test_normalize_text_golden(spark):
+    from forgottenlandapp_etl_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [("« HeLLo —  world …»  ",)], "t string"
+    )
+    got = df.select(curation.normalize_text(F.col("t")).alias("n")).head()["n"]
+    assert got == '" hello - world ..."'
+
+
+def test_host_suffix_blocklist_semantics(spark):
+    from forgottenlandapp_etl_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [
+            (0, "g", "cdn.src1.example.com"),  # blocked via parent domain
+            (1, "g", "src1.example.com"),  # blocked exactly
+            (2, "g", "cdn.src4.example.com"),  # blocked exact host
+            (3, "g", "www.src4.example.com"),  # NOT blocked (exact-only entry)
+            (4, "g", "src2.example.com"),  # clean
+        ],
+        "doc_id long, source string, host string",
+    )
+    row = curation.domain_blocklist_stats(df, "host").head()
+    assert (row["n_total"], row["n_blocked"], row["n_kept"]) == (5, 3, 2)
+
+
+def test_calibrated_cutoff_is_exact_rank_selection(spark):
+    from forgottenlandapp_etl_spark.operators import curation
+
+    rows = [(i, "s", v) for i, v in enumerate([10, 20, 30, 40])]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    row = curation.calibrated_quality_stats(df, "n_chars").head()
+    # ceil(0.25*4)=1 -> cutoff is the smallest value; everything kept
+    assert row["cutoff"] == 10 and row["n_kept"] == 4
+    rows = [(i, "s", v) for i, v in enumerate([10, 20, 30, 40, 50])]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    row = curation.calibrated_quality_stats(df, "n_chars").head()
+    # ceil(0.25*5)=2 -> cutoff 20 drops exactly the bottom row
+    assert row["cutoff"] == 20 and row["n_kept"] == 4

@@ -56,6 +56,7 @@ CROSS_JOIN_OK = {
     "sim_ivf_rerank",  # 8-row centroid broadcast (same as sim_ivf_topk)
     "mix_epoch_upsample",  # 1-row (total, n_domains) scalar broadcast (same as mix_domain_weights)
     "pairs_contrastive_mining",  # 1-row corpus-count scalar broadcast (negative-id modulus)
+    "layout_zorder",  # 1-row key-min/max stats broadcast (the rank-space scaling bounds)
 }
 
 
