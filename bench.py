@@ -215,6 +215,8 @@ HEADLINE = [
     "text_normalize",
     "filter_domain_blocklist",
     "quality_domain_calibrated",
+    "tok_wordpiece_fertility",
+    "quality_perplexity_buckets",
 ]
 
 

@@ -470,3 +470,53 @@ def bigram_lm_scores(df: "DataFrame", id_col: str, text_col: str) -> "DataFrame"
     out = out.localCheckpoint(eager=True)  # materialize, then release bg
     bg.unpersist()
     return out
+
+
+def perplexity_buckets(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> "DataFrame":
+    """CCNet-style head/middle/tail bucketing (Wenzek et al. 2020 §4.3):
+    each group's documents are split into fluency tertiles by the
+    bigram-LM fixed-point score (head = most fluent third), the partition
+    CCNet uses to sample training data quality-stratified.
+
+    Tertile boundaries are pure integer rank math — head ends at rank
+    ``(n+2) div 3``, middle at ``(2n+2) div 3`` (exactly ceil(n/3) and
+    ceil(2n/3) without any float division) — under the total order
+    (score DESC, id ASC), so bucket assignments are bit-identical
+    cross-engine. One partitioned window over the scored relation + a
+    groups×3-sized agg; emits per (group, bucket): doc count, token sum,
+    and the score range the bucket spans.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F  # noqa: F811 - local alias
+
+    scores = bigram_lm_scores(df, id_col, text_col).select(id_col, "score_fp")
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_toks"),
+    )
+    sc = base.join(scores, id_col)
+    w = W.partitionBy(group_col).orderBy(F.col("score_fp").desc(), F.col(id_col))
+    r = sc.select(
+        group_col,
+        "n_toks",
+        "score_fp",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy(group_col)).alias("n"),
+    )
+    bucket = (
+        F.when(F.col("rn") <= F.expr("(n + 2) div 3"), F.lit("head"))
+        .when(F.col("rn") <= F.expr("(2 * n + 2) div 3"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return r.groupBy(F.col(group_col), bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("bucket_tokens"),
+        F.min("score_fp").alias("min_score"),
+        F.max("score_fp").alias("max_score"),
+    )

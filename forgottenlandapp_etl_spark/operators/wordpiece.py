@@ -222,3 +222,56 @@ def encode_words(
         .otherwise(F.col("res.enc"))
         .alias("encoded"),
     )
+
+
+def corpus_fertility(
+    df: DataFrame,
+    sets: dict[tuple[bool, int], list[str]],
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group tokenizer fertility (tokens/word — the metric tokenizer
+    papers report to compare vocab quality across domains/languages).
+
+    The production shape end-to-end: count (group, word) occurrences (one
+    partial-agg shuffle), encode only the DISTINCT words against the
+    broadcast vocab (the encode cost is vocabulary-sized, not
+    corpus-sized), then join the per-word token counts back to the
+    occurrence counts on the word key. Words that overflowed the encode
+    bound are counted separately and excluded from the fertility ratio —
+    deterministically on both engines, never silently folded in. All
+    integer math; ``fertility_fp`` is tokens-per-word ×10^6 via `div`.
+    """
+    occ = df.select(
+        F.col(group_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+    pc = occ.groupBy(group_col, "word").agg(F.count(F.lit(1)).alias("cnt"))
+    words = pc.groupBy("word").agg(F.sum("cnt").alias("wcount"))
+    enc = encode_words(words, sets).select("word", "n_tokens")
+    ov = F.col("n_tokens") < 0
+    j = pc.join(enc, "word")
+    agg = j.groupBy(group_col).agg(
+        F.sum("cnt").alias("n_words"),
+        F.sum(F.when(ov, F.col("cnt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_overflow_words"),
+        F.sum(F.when(~ov, F.col("cnt") * F.col("n_tokens")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_tokens_total"),
+        F.sum(
+            F.when(~ov, F.col("cnt") * F.length("word")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_chars_total"),
+    )
+    return agg.select(
+        group_col,
+        "n_words",
+        "n_overflow_words",
+        "n_tokens_total",
+        "n_chars_total",
+        F.expr(
+            "(n_tokens_total * 1000000)"
+            " div greatest(1, n_words - n_overflow_words)"
+        ).alias("fertility_fp"),
+    )

@@ -3938,9 +3938,11 @@ def pipeline_rag_index(spark, sf_dir):
 LM_SCALE = text.LM_SCALE
 
 
-def _bigram_lm_oracle() -> str:
-    return f"""
-    WITH toks AS (
+def _bigram_lm_ctes() -> str:
+    """The bigram-LM CTE body (through per-doc ``agg``) — shared by the
+    quality_bigram_lm oracle and the perplexity-bucket oracle built on
+    top of the same scores."""
+    return f"""toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ),
     bg AS (
@@ -3963,7 +3965,12 @@ def _bigram_lm_oracle() -> str:
     agg AS (
       SELECT doc_id, COUNT(*) AS nb, SUM(p_fp) // COUNT(*) AS sc
       FROM scored GROUP BY doc_id
-    )
+    )"""
+
+
+def _bigram_lm_oracle() -> str:
+    return f"""
+    WITH {_bigram_lm_ctes()}
     SELECT d.doc_id,
            CAST(COALESCE(agg.nb, 0) AS BIGINT) AS n_bigrams,
            CAST(COALESCE(agg.sc, 0) AS BIGINT) AS score_fp
@@ -5882,12 +5889,15 @@ def stream_neardup_lsh(spark, sf_dir):
 from ..operators import layout, wordpiece  # noqa: E402
 
 
-def _wordpiece_sql() -> str:
-    """The WordPiece oracle, generated from the SAME constants the Spark
-    operator uses (operators/wordpiece.py): identical vocab selection
-    (weight DESC, is_initial DESC, piece ASC; forced single chars) and the
-    identical greedy longest-match loop, unrolled as MAX_WORD_LEN
-    non-recursive CTE steps (each a no-op once a word is consumed)."""
+def _wordpiece_ctes() -> str:
+    """The WordPiece CTE body (word counts → vocab → greedy steps st0..N),
+    generated from the SAME constants the Spark operator uses
+    (operators/wordpiece.py): identical vocab selection (weight DESC,
+    is_initial DESC, piece ASC; forced single chars — empty words excluded
+    naturally by generate_series(1,0) being empty) and the identical
+    greedy longest-match loop, unrolled as MAX_WORD_LEN non-recursive CTE
+    steps (each a no-op once a word is consumed). Shared by the encode
+    oracle and the fertility oracle."""
     mp, vt = wordpiece.MAX_PIECE, wordpiece.VOCAB_TOP
     steps = []
     for k in range(1, wordpiece.MAX_WORD_LEN + 1):
@@ -5912,8 +5922,7 @@ def _wordpiece_sql() -> str:
         FROM st{k - 1} s
       )
     )""")
-    return f"""
-    WITH w AS (
+    return f"""w AS (
       SELECT t[i] AS word, CAST(COUNT(*) AS BIGINT) AS wcount
       FROM (SELECT string_split(text, ' ') AS t FROM documents),
            UNNEST(generate_series(1, len(t))) AS g(i)
@@ -5941,7 +5950,12 @@ def _wordpiece_sql() -> str:
         SELECT is_initial, piece FROM pieces WHERE len(piece) = 1)
     ),
     st0 AS (SELECT word, wcount, 1 AS pos, '' AS enc, 0 AS ntoks FROM w),
-    {",".join(steps)}
+    {",".join(steps)}"""
+
+
+def _wordpiece_sql() -> str:
+    return f"""
+    WITH {_wordpiece_ctes()}
     SELECT word, wcount,
            CAST(CASE WHEN pos <= len(word) THEN {wordpiece.OVERFLOW_NTOKS}
                      ELSE ntoks END AS BIGINT) AS n_tokens,
@@ -6156,3 +6170,98 @@ def quality_domain_calibrated(spark, sf_dir):
     broadcast join; never a global sort."""
     d = _docs(spark, sf_dir)
     return curation.calibrated_quality_stats(d, "n_chars")
+
+
+_FERTILITY_SQL = f"""
+    WITH {{WP_CTES}},
+    occ AS (
+      SELECT source, t[i] AS word
+      FROM (SELECT source, string_split(text, ' ') AS t FROM documents),
+           UNNEST(generate_series(1, len(t))) AS g(i)
+    ),
+    pc AS (SELECT source, word, COUNT(*) AS cnt FROM occ GROUP BY 1, 2),
+    enc AS (
+      SELECT word,
+             CASE WHEN pos <= len(word) THEN {wordpiece.OVERFLOW_NTOKS}
+                  ELSE ntoks END AS nt
+      FROM st{wordpiece.MAX_WORD_LEN}
+    ),
+    j AS (
+      SELECT pc.source, pc.cnt, e.nt, len(pc.word) AS wl
+      FROM pc JOIN enc e USING (word)
+    )
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_words,
+           CAST(SUM(CASE WHEN nt < 0 THEN cnt ELSE 0 END) AS BIGINT)
+             AS n_overflow_words,
+           CAST(SUM(CASE WHEN nt >= 0 THEN cnt * nt ELSE 0 END) AS BIGINT)
+             AS n_tokens_total,
+           CAST(SUM(CASE WHEN nt >= 0 THEN cnt * wl ELSE 0 END) AS BIGINT)
+             AS n_chars_total,
+           CAST((SUM(CASE WHEN nt >= 0 THEN cnt * nt ELSE 0 END) * 1000000)
+                // GREATEST(1, SUM(CASE WHEN nt >= 0 THEN cnt ELSE 0 END))
+                AS BIGINT) AS fertility_fp
+    FROM j GROUP BY 1
+""".replace("{WP_CTES}", _wordpiece_ctes())
+
+
+@ext_query("tok_wordpiece_fertility", _FERTILITY_SQL)
+def tok_wordpiece_fertility(spark, sf_dir):
+    """Per-source tokenizer fertility (tokens/word — the cross-domain
+    vocab-quality metric tokenizer papers report): (source, word)
+    occurrence counts, the DISTINCT words encoded once against the
+    broadcast WordPiece vocab (encode cost is vocabulary-sized, never
+    corpus-sized), token counts joined back on the word key, overflow
+    words accounted separately and excluded from the ratio. Integer
+    fixed-point throughout — hash-exact including the trained vocab and
+    the greedy encode feeding it."""
+    from pyspark import StorageLevel
+
+    d = _docs(spark, sf_dir, fan_out=True)
+    words = wordpiece.word_counts(d, "text").persist(StorageLevel.MEMORY_AND_DISK)
+    vocab = wordpiece.wordpiece_vocab(words)
+    return wordpiece.corpus_fertility(d, wordpiece.collect_vocab(vocab))
+
+
+_PPLX_BUCKETS_SQL = f"""
+    WITH {{LM_CTES}},
+    sc AS (
+      SELECT d.source, d.doc_id,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
+             CAST(COALESCE(agg.sc, 0) AS BIGINT) AS score_fp
+      FROM documents d LEFT JOIN agg USING (doc_id)
+    ),
+    r AS (
+      SELECT source, n_toks, score_fp,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY score_fp DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM sc
+    ),
+    lab AS (
+      SELECT source, n_toks, score_fp,
+             CASE WHEN rn <= (n + 2) // 3 THEN 'head'
+                  WHEN rn <= (2 * n + 2) // 3 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM r
+    )
+    SELECT source, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS bucket_tokens,
+           CAST(MIN(score_fp) AS BIGINT) AS min_score,
+           CAST(MAX(score_fp) AS BIGINT) AS max_score
+    FROM lab GROUP BY 1, 2
+""".replace("{LM_CTES}", _bigram_lm_ctes())
+
+
+@ext_query("quality_perplexity_buckets", _PPLX_BUCKETS_SQL)
+def quality_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail corpus partition (Wenzek et al. 2020 §4.3):
+    per-source fluency tertiles over the fixed-point bigram-LM score —
+    the quality-stratified sampling split CCNet feeds training. Tertile
+    boundaries are exact integer rank math ((n+2) div 3, (2n+2) div 3 —
+    ceil without float division) under a total order, so assignments are
+    bit-identical cross-engine. One partitioned window over the scored
+    relation; never a global sort."""
+    d = _docs(spark, sf_dir, fan_out=True)
+    return text.perplexity_buckets(d, "doc_id", "text", "source")

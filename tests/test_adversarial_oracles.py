@@ -145,6 +145,12 @@ DOC_ONLY_ENTRIES = [
     "text_normalize",
     "filter_domain_blocklist",
     "quality_domain_calibrated",
+    # round 9b (continued): fertility exercises the overflow-exclusion
+    # accounting via the 200-char word; the perplexity tertiles hit
+    # score ties (duplicate texts) and 1-2 doc sources (degenerate
+    # tertile boundaries)
+    "tok_wordpiece_fertility",
+    "quality_perplexity_buckets",
 ]
 
 

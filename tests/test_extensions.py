@@ -2410,3 +2410,44 @@ def test_calibrated_cutoff_is_exact_rank_selection(spark):
     row = curation.calibrated_quality_stats(df, "n_chars").head()
     # ceil(0.25*5)=2 -> cutoff 20 drops exactly the bottom row
     assert row["cutoff"] == 20 and row["n_kept"] == 4
+
+
+def test_wordpiece_fertility_excludes_overflow_from_ratio(spark):
+    from forgottenlandapp_etl_spark.operators import wordpiece
+
+    sets = {(True, 1): ["x", "a"], (False, 1): ["x", "a"], (False, 2): ["xx"]}
+    df = spark.createDataFrame(
+        # 'xxx' -> x ##xx = 2 tokens; 'a' -> 1 token; 'x'*20 overflows
+        [(0, "g", "xxx a " + "x" * 20), (1, "g", "xxx")],
+        "doc_id long, source string, text string",
+    )
+    row = wordpiece.corpus_fertility(df, sets).head()
+    assert row["n_words"] == 4 and row["n_overflow_words"] == 1
+    # tokens: xxx(2)+a(1)+xxx(2)=5 over 3 non-overflow words
+    assert row["n_tokens_total"] == 5
+    assert row["fertility_fp"] == (5 * 1_000_000) // 3
+
+
+def test_perplexity_buckets_tertile_sizes(spark, sf_dir):
+    from forgottenlandapp_etl_spark import catalog
+    from forgottenlandapp_etl_spark.operators import text as text_ops
+
+    d = catalog.table(spark, sf_dir, "documents")
+    out = text_ops.perplexity_buckets(d).toPandas()
+    per = out.pivot_table(
+        index="source", columns="bucket", values="n_docs", fill_value=0
+    )
+    # tertile sizes: head = ceil(n/3); head+middle = ceil(2n/3)
+    for src, row in per.iterrows():
+        n = int(row.sum())
+        assert int(row.get("head", 0)) == (n + 2) // 3
+        assert int(row.get("head", 0)) + int(row.get("middle", 0)) == (
+            2 * n + 2
+        ) // 3
+    # within a source, every head score >= every middle score >= tail
+    for src, g in out.groupby("source"):
+        by = {r["bucket"]: r for _, r in g.iterrows()}
+        if "middle" in by and "head" in by:
+            assert by["head"]["min_score"] >= by["middle"]["max_score"]
+        if "tail" in by and "middle" in by:
+            assert by["middle"]["min_score"] >= by["tail"]["max_score"]
