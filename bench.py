@@ -217,6 +217,7 @@ HEADLINE = [
     "quality_domain_calibrated",
     "tok_wordpiece_fertility",
     "quality_perplexity_buckets",
+    "sim_ann_recall_eval",
 ]
 
 

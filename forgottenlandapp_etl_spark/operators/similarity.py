@@ -1695,3 +1695,35 @@ def power_iteration_top2(
         (2, j + 1, int(u[j])) for j in range(dim)
     ]
     return spark.createDataFrame(data, "comp long, j long, v_fp long")
+
+
+def recall_histogram(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall@k histogram of an ANN tier against exact ground truth.
+
+    The evaluation every ANN deployment runs before trusting an index:
+    per query, how many of the exact top-k does the approximate tier
+    recover? Intersection on (query, neighbor) id pairs only — no float
+    comparison, so the histogram is hash-exact even though the underlying
+    scores are cosines. One equi-join on the id pair + two small aggs;
+    both inputs are top-k relations (queries×k rows), so the whole
+    evaluation is query-set-sized regardless of corpus size.
+
+    Emits (n_hits, n_queries): how many queries recovered exactly
+    ``n_hits`` of their exact neighbors (0 rows hit → counted via the
+    left join from the query universe, never silently dropped).
+    """
+    ex = exact.select(query_col, neighbor_col)
+    ap = approx.select(query_col, neighbor_col)
+    hits = ex.join(ap, [query_col, neighbor_col]).groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    allq = ex.select(query_col).distinct()
+    per = allq.join(hits, query_col, "left").select(
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits")
+    )
+    return per.groupBy("n_hits").agg(F.count(F.lit(1)).alias("n_queries"))

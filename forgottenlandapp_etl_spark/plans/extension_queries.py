@@ -6265,3 +6265,66 @@ def quality_perplexity_buckets(spark, sf_dir):
     relation; never a global sort."""
     d = _docs(spark, sf_dir, fan_out=True)
     return text.perplexity_buckets(d, "doc_id", "text", "source")
+
+
+_RECALL_SQL = f"""
+    WITH {_SQL_EMB},
+    {_SQL_QUANT.strip()},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+    s_ex AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_SQL_COS.format(a="q.qv", b="e.v")} AS cos
+      FROM e, q WHERE e.vec_id <> q.query_id
+    ),
+    ex AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER
+                 (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM s_ex
+      ) WHERE rnk <= 5
+    ),
+    qs AS (SELECT vec_id AS query_id, q AS qa FROM qz WHERE vec_id % 50 = 0),
+    s_ap AS (
+      SELECT qs.query_id, qz.vec_id AS neighbor_id,
+             CAST(list_dot_product(qs.qa, qz.q) AS BIGINT) AS qdot
+      FROM qz, qs WHERE qz.vec_id <> qs.query_id
+    ),
+    ap AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER
+                 (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS rnk
+        FROM s_ap
+      ) WHERE rnk <= 5
+    ),
+    h AS (
+      SELECT ex.query_id, COUNT(*) AS n_hits
+      FROM ex JOIN ap USING (query_id, neighbor_id) GROUP BY 1
+    ),
+    allq AS (SELECT DISTINCT query_id FROM ex),
+    per AS (
+      SELECT allq.query_id, COALESCE(h.n_hits, 0) AS n_hits
+      FROM allq LEFT JOIN h USING (query_id)
+    )
+    SELECT CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(COUNT(*) AS BIGINT) AS n_queries
+    FROM per GROUP BY 1
+"""
+
+
+@ext_query("sim_ann_recall_eval", _RECALL_SQL)
+def sim_ann_recall_eval(spark, sf_dir):
+    """ANN recall@5 evaluation — the acceptance gate every index deploy
+    runs: the int8-quantized serving tier's top-5 is scored against the
+    exact-cosine top-5 per query, and the per-query hit counts fold into
+    a recall histogram. The comparison is id-set intersection only (no
+    float compare), so the histogram is hash-exact; both inputs are
+    queries×k relations, making the evaluation query-set-sized no matter
+    the corpus. Composes the existing brute-force and quantized tiers
+    end-to-end."""
+    e = _emb(spark, sf_dir, fan_out=True)
+    q = e.where(F.col("vec_id") % 50 == 0)
+    exact = similarity.brute_force_topk(e, q, k=5)
+    approx = similarity.quantized_topk(e, q, k=5)
+    return similarity.recall_histogram(exact, approx)

@@ -510,6 +510,10 @@ EMB_ONLY_ENTRIES = [
     "sim_rp_lsh_topk_sized",
     # round 9: two-stage IVF + int8 shortlist + exact re-rank
     "sim_ivf_rerank",
+    # round 9b: recall@5 histogram (zero vectors force NULL cosines into
+    # the exact ranking and all-zero int8 codes into the approximate one —
+    # both engines must agree on the resulting id sets, not just scores)
+    "sim_ann_recall_eval",
 ]
 
 

@@ -2451,3 +2451,22 @@ def test_perplexity_buckets_tertile_sizes(spark, sf_dir):
             assert by["head"]["min_score"] >= by["middle"]["max_score"]
         if "tail" in by and "middle" in by:
             assert by["middle"]["min_score"] >= by["tail"]["max_score"]
+
+
+def test_recall_histogram_counts_zero_hit_queries(spark):
+    from forgottenlandapp_etl_spark.operators import similarity
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30), (3, 31)],
+        "query_id long, neighbor_id long",
+    )
+    # q1 recovers both, q2 one of two, q3 none
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 99), (3, 98), (3, 99)],
+        "query_id long, neighbor_id long",
+    )
+    got = {
+        r["n_hits"]: r["n_queries"]
+        for r in similarity.recall_histogram(exact, approx).collect()
+    }
+    assert got == {2: 1, 1: 1, 0: 1}
