@@ -218,6 +218,8 @@ HEADLINE = [
     "tok_wordpiece_fertility",
     "quality_perplexity_buckets",
     "sim_ann_recall_eval",
+    "quality_kneser_ney_lm",
+    "sim_matryoshka_recall",
 ]
 
 

@@ -520,3 +520,92 @@ def perplexity_buckets(
         F.min("score_fp").alias("min_score"),
         F.max("score_fp").alias("max_score"),
     )
+
+
+#: Kneser-Ney absolute discount as an exact rational: D = KN_D_NUM/KN_D_DEN
+KN_D_NUM, KN_D_DEN = 3, 4
+
+
+def kneser_ney_scores(df: "DataFrame", id_col: str, text_col: str) -> "DataFrame":
+    """Interpolated Kneser-Ney bigram fluency score, exact fixed point.
+
+    The smoothing KenLM actually ships (Kneser & Ney 1995; Chen & Goodman
+    1999) — continuation probability instead of raw unigram backoff:
+
+        P(w2|w1) = (c(w1,w2) − D)/c(w1·) + λ(w1)·Pcont(w2)
+        λ(w1)    = D·N1+(w1·)/c(w1·)         (mass reserved by discounting)
+        Pcont(w2)= N1+(·w2)/N1+(··)          (how many CONTEXTS w2 follows)
+
+    held entirely in integers with D = 3/4 as a rational: per observed
+    bigram p_fp = ((4·c12 − 3)·S) div (4·c1) + (3·N1p(w1)·Nc(w2)·S) div
+    (4·c1·T), S = LM_SCALE, T = distinct bigram types — every divisor is
+    ≥ 1 by construction (observed bigrams have c12, c1 ≥ 1), products are
+    widened to DECIMAL(38,0) before the scale multiply (same overflow
+    discipline as the Laplace tier), and the per-doc mean is Σ div n, so
+    the score is order-free and hash-identical cross-engine.
+
+    Same execution shape as ``bigram_lm_scores``: one persisted bigram
+    fan-out feeding four count relations (pair counts, prefix
+    count+distinct-followers, distinct-predecessors, the 1-row type
+    total), equi-joins back, one per-doc aggregate — linear end to end,
+    the count relations being the persisted 'LM'.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F  # noqa: F811 - local alias
+
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.split(F.col(text_col), " ").alias("t")
+    )
+    bg = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            "__id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("__id", "b.w1", "b.w2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    pre = bg.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c1"),
+        F.countDistinct("w2").alias("n1p"),
+    )
+    cont = bg.groupBy("w2").agg(F.countDistinct("w1").alias("nc"))
+    types = c2.agg(F.count(F.lit(1)).alias("ntypes"))
+    n, d = KN_D_NUM, KN_D_DEN
+    scored = (
+        bg.join(c2, on=["w1", "w2"])
+        .join(pre, on="w1")
+        .join(cont, on="w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "__id",
+            F.expr(
+                f"(CAST({d} * n2 - {n} AS DECIMAL(38,0)) * {LM_SCALE})"
+                f" div ({d} * c1)"
+                f" + (CAST({n} AS DECIMAL(38,0)) * n1p * nc * {LM_SCALE})"
+                f" div (CAST({d} AS DECIMAL(38,0)) * c1 * ntypes)"
+            ).alias("p_fp"),
+        )
+    )
+    agg = scored.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.expr("sum(p_fp) div count(1)").alias("sc"),
+    )
+    out = (
+        toks.select("__id")
+        .join(agg, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("nb", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("sc", F.lit(0)).cast("long").alias("score_fp"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)  # materialize, then release bg
+    bg.unpersist()
+    return out

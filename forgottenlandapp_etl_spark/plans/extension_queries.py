@@ -6328,3 +6328,122 @@ def sim_ann_recall_eval(spark, sf_dir):
     exact = similarity.brute_force_topk(e, q, k=5)
     approx = similarity.quantized_topk(e, q, k=5)
     return similarity.recall_histogram(exact, approx)
+
+
+_KN_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, t[g.i + 1] AS w1, t[g.i + 2] AS w2
+      FROM toks, UNNEST(generate_series(0, len(t) - 2)) g(i)
+      WHERE len(t) >= 2
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY 1, 2),
+    pre AS (
+      SELECT w1, COUNT(*) AS c1, COUNT(DISTINCT w2) AS n1p FROM bg GROUP BY 1
+    ),
+    cont AS (SELECT w2, COUNT(DISTINCT w1) AS nc FROM bg GROUP BY 1),
+    tt AS (SELECT COUNT(*) AS ntypes FROM c2),
+    scored AS (
+      SELECT bg.doc_id,
+             ((CAST({text.KN_D_DEN} * c2.n2 - {text.KN_D_NUM} AS HUGEINT))
+              * {text.LM_SCALE}) // ({text.KN_D_DEN} * pre.c1)
+             + (CAST({text.KN_D_NUM} AS HUGEINT) * pre.n1p * cont.nc
+                * {text.LM_SCALE})
+               // (CAST({text.KN_D_DEN} AS HUGEINT) * pre.c1 * tt.ntypes)
+               AS p_fp
+      FROM bg JOIN c2 USING (w1, w2) JOIN pre USING (w1)
+              JOIN cont USING (w2), tt
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS nb, SUM(p_fp) // COUNT(*) AS sc
+      FROM scored GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(agg.nb, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(agg.sc, 0) AS BIGINT) AS score_fp
+    FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
+@ext_query("quality_kneser_ney_lm", _KN_SQL)
+def quality_kneser_ney_lm(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram fluency score — the smoothing KenLM
+    actually ships, next to the Laplace tier (quality_bigram_lm):
+    discounted bigram mass is redistributed by CONTINUATION probability
+    (how many contexts a word follows, not how often it occurs — the fix
+    for the 'San Francisco' unigram pathology). D = 3/4 held as an exact
+    rational and every term in DECIMAL(38,0)-widened fixed point, so the
+    KN scores are hash-identical cross-engine. Same linear shape as the
+    Laplace tier: one persisted bigram fan-out, four count relations
+    (the persisted 'LM'), equi-joins, one per-doc mean."""
+    d = _docs(spark, sf_dir, fan_out=True)
+    return text.kneser_ney_scores(d, "doc_id", "text")
+
+
+#: Matryoshka truncation: keep the first PREFIX_DIMS of the embedding
+_MRL_PREFIX_DIMS = 16
+
+_MRL_SQL = f"""
+    WITH {_SQL_EMB},
+    et AS (SELECT vec_id, v[1:{_MRL_PREFIX_DIMS}] AS v FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+    qt AS (SELECT vec_id AS query_id, v AS qv FROM et WHERE vec_id % 50 = 0),
+    s_ex AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_SQL_COS.format(a="q.qv", b="e.v")} AS cos
+      FROM e, q WHERE e.vec_id <> q.query_id
+    ),
+    ex AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER
+                 (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM s_ex
+      ) WHERE rnk <= 5
+    ),
+    s_ap AS (
+      SELECT qt.query_id, et.vec_id AS neighbor_id,
+             {_SQL_COS.format(a="qt.qv", b="et.v")} AS cos
+      FROM et, qt WHERE et.vec_id <> qt.query_id
+    ),
+    ap AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER
+                 (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM s_ap
+      ) WHERE rnk <= 5
+    ),
+    h AS (
+      SELECT ex.query_id, COUNT(*) AS n_hits
+      FROM ex JOIN ap USING (query_id, neighbor_id) GROUP BY 1
+    ),
+    allq AS (SELECT DISTINCT query_id FROM ex),
+    per AS (
+      SELECT allq.query_id, COALESCE(h.n_hits, 0) AS n_hits
+      FROM allq LEFT JOIN h USING (query_id)
+    )
+    SELECT CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(COUNT(*) AS BIGINT) AS n_queries
+    FROM per GROUP BY 1
+"""
+
+
+@ext_query("sim_matryoshka_recall", _MRL_SQL)
+def sim_matryoshka_recall(spark, sf_dir):
+    """Matryoshka truncation acceptance (Kusupati et al. 2022): recall@5
+    of exact search over the FIRST {dims} embedding dimensions against
+    exact search over the full vector — the evaluation run before
+    shipping truncated embeddings to cut index memory. Same id-set
+    recall-histogram machinery as sim_ann_recall_eval (no float compare
+    in the verdict), composing the brute-force tier at two dimension
+    budgets."""
+    e = _emb(spark, sf_dir, fan_out=True)
+    et = e.select("vec_id", F.slice("v", 1, _MRL_PREFIX_DIMS).alias("v"))
+    q = e.where(F.col("vec_id") % 50 == 0)
+    qt = et.where(F.col("vec_id") % 50 == 0)
+    exact = similarity.brute_force_topk(e, q, k=5)
+    approx = similarity.brute_force_topk(et, qt, k=5)
+    return similarity.recall_histogram(exact, approx)

@@ -151,6 +151,10 @@ DOC_ONLY_ENTRIES = [
     # tertile boundaries)
     "tok_wordpiece_fertility",
     "quality_perplexity_buckets",
+    # round 9b: Kneser-Ney hits the same boundary shapes as the Laplace
+    # tier (empty/1-token docs -> (0,0); corpus-unique bigrams now take
+    # the continuation-probability path instead of the 1/1 trap)
+    "quality_kneser_ney_lm",
 ]
 
 
@@ -514,6 +518,10 @@ EMB_ONLY_ENTRIES = [
     # the exact ranking and all-zero int8 codes into the approximate one —
     # both engines must agree on the resulting id sets, not just scores)
     "sim_ann_recall_eval",
+    # round 9b: dimension truncation meets zero vectors (a full vector
+    # whose first 16 dims are all zero gets a NULL truncated cosine even
+    # though the full cosine is defined — both engines must agree)
+    "sim_matryoshka_recall",
 ]
 
 

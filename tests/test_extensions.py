@@ -2470,3 +2470,31 @@ def test_recall_histogram_counts_zero_hit_queries(spark):
         for r in similarity.recall_histogram(exact, approx).collect()
     }
     assert got == {2: 1, 1: 1, 0: 1}
+
+
+def test_kneser_ney_hand_computed_golden(spark):
+    from forgottenlandapp_etl_spark.operators import text as text_ops
+
+    # corpus 'a b a b': c(a,b)=2 c(b,a)=1; prefix a: c1=2,N1+=1; b: 1,1;
+    # cont: both followed-in-1-context; T=2 bigram types. With D=3/4,S=1e9:
+    # P(b|a) = 5S/8 + 3S/16 = 0.8125S ; P(a|b) = S/4 + 3S/8 = 0.625S
+    # doc mean over [P(b|a), P(a|b), P(b|a)] = 2,250,000,000 div 3
+    df = spark.createDataFrame([(0, "a b a b")], "doc_id long, text string")
+    row = text_ops.kneser_ney_scores(df, "doc_id", "text").head()
+    assert row["n_bigrams"] == 3
+    assert row["score_fp"] == 750_000_000
+
+
+def test_kneser_ney_discounts_unique_bigrams_below_laplace_trap(spark):
+    """The motivating pathology: under unsmoothed MLE a doc of
+    corpus-unique bigrams scores a perfect 1.0; KN discounts it."""
+    from forgottenlandapp_etl_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(0, "p q r s t"), (1, "u v w x y")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["score_fp"] for r in
+           text_ops.kneser_ney_scores(df, "doc_id", "text").collect()}
+    # every bigram unique: c12=c1=1, N1+=1, nc=1, T=8
+    # p = S/4 + 3S/32 = 0.34375 S  — far below the 1.0 S trap
+    assert out[0] == out[1] == 343_750_000

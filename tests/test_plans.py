@@ -57,6 +57,8 @@ CROSS_JOIN_OK = {
     "mix_epoch_upsample",  # 1-row (total, n_domains) scalar broadcast (same as mix_domain_weights)
     "pairs_contrastive_mining",  # 1-row corpus-count scalar broadcast (negative-id modulus)
     "layout_zorder",  # 1-row key-min/max stats broadcast (the rank-space scaling bounds)
+    "sim_ann_recall_eval",  # query-set broadcast ×2 (composes sim_bruteforce_topk + sim_quantized_topk)
+    "sim_matryoshka_recall",  # query-set broadcast ×2 (brute-force at two dimension budgets)
 }
 
 
