@@ -220,6 +220,8 @@ HEADLINE = [
     "sim_ann_recall_eval",
     "quality_kneser_ney_lm",
     "sim_matryoshka_recall",
+    "dedup_minhash_error_hist",
+    "dq_event_freshness",
 ]
 
 

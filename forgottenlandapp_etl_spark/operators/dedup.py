@@ -774,3 +774,60 @@ def connected_components(
             "rounds — graph diameter exceeds 2^rounds; raise max_iterations"
         )
     return labels
+
+
+def minhash_error_histogram(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Accuracy contract of the MinHash sketch, measured: over every LSH
+    candidate pair, the error decile of the signature's Jaccard ESTIMATE
+    (matching minhash coordinates / k) against the TRUE shingle Jaccard.
+
+    The evaluation a dedup deployment runs before trusting banded LSH —
+    the sketch-tier analogue of the ANN recall histogram. The verdict is
+    pure integer cross-multiplication (|m·u − c·k|·10 div (k·u) with
+    u = |A∪B|), so the histogram is hash-exact with no float compare.
+    True-Jaccard work is candidate-restricted (the verify join shape),
+    never all-pairs; candidates with ZERO common shingles keep c=0 via a
+    left join rather than silently dropping out.
+    """
+    from pyspark import StorageLevel
+
+    sh = shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signatures(sh, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = lsh_candidate_pairs(sig, id_col)
+    k = len(MINHASH_COEFFS)
+    sa = sig.select(
+        F.col(id_col).alias("id_a"),
+        F.col("n_shingles").alias("na"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)],
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"),
+        F.col("n_shingles").alias("nb"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)],
+    )
+    m = None
+    for i in range(k):
+        t = (F.col(f"a{i}") == F.col(f"b{i}")).cast("long")
+        m = t if m is None else m + t
+    mm = cand.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b", "na", "nb", m.alias("m")
+    )
+    sha = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    shb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        cand.join(sha, "id_a")
+        .join(shb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    j = (
+        mm.join(common, ["id_a", "id_b"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        .withColumn("u", F.col("na") + F.col("nb") - F.col("c"))
+    )
+    err = F.expr(f"(abs(m * u - c * {k}) * 10) div ({k} * u)")
+    return j.groupBy(err.cast("long").alias("err_decile")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

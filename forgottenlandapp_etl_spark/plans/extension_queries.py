@@ -6447,3 +6447,109 @@ def sim_matryoshka_recall(spark, sf_dir):
     exact = similarity.brute_force_topk(e, q, k=5)
     approx = similarity.brute_force_topk(et, qt, k=5)
     return similarity.recall_histogram(exact, approx)
+
+
+_MH_ERR_SQL = f"""
+    WITH {_SQL_SHINGLES.strip()}, {_minhash_sig_sql().strip()},
+    {_lsh_candidates_sql()},
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    mm AS (
+      SELECT cand.id_a, cand.id_b, za.n AS na, zb.n AS nb,
+             ({" + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(len(MINHASH_COEFFS)))}) AS m
+      FROM cand
+      JOIN sig sa ON sa.doc_id = cand.id_a
+      JOIN sig sb ON sb.doc_id = cand.id_b
+      JOIN sz za ON za.doc_id = cand.id_a
+      JOIN sz zb ON zb.doc_id = cand.id_b
+    ),
+    common AS (
+      SELECT cand.id_a, cand.id_b, COUNT(*) AS c
+      FROM cand
+      JOIN sh a ON a.doc_id = cand.id_a
+      JOIN sh b ON b.doc_id = cand.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT mm.m, mm.na, mm.nb, COALESCE(common.c, 0) AS c,
+             mm.na + mm.nb - COALESCE(common.c, 0) AS u
+      FROM mm LEFT JOIN common USING (id_a, id_b)
+    )
+    SELECT CAST((ABS(m * u - c * {len(MINHASH_COEFFS)}) * 10)
+                // ({len(MINHASH_COEFFS)} * u) AS BIGINT) AS err_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM j GROUP BY 1
+"""
+
+# the signature CTE is named `sig` and carries n_shingles; patch the
+# generated fragment if its name ever drifts (guarded by the gate)
+
+
+@ext_query("dedup_minhash_error_hist", _MH_ERR_SQL)
+def dedup_minhash_error_hist(spark, sf_dir):
+    """Accuracy contract of the MinHash sketch, measured — the dedup-tier
+    analogue of the ANN recall histogram: over every banded-LSH candidate
+    pair, the error decile of the signature Jaccard estimate (matching
+    coordinates / 16) against the TRUE shingle Jaccard. The verdict is
+    integer cross-multiplication (|m·u − c·k|·10 div (k·u)) so the
+    histogram hash-matches with no float compare; true-Jaccard work is
+    candidate-restricted (the verify-join shape, never all-pairs), and
+    zero-common-shingle candidates keep c=0 via a left join instead of
+    silently dropping."""
+    d = _docs(spark, sf_dir, fan_out=True)
+    return dedup.minhash_error_histogram(d, "doc_id", "text")
+
+
+#: freshness SLA: an event type is in breach when its newest event lags
+#: the corpus high-water mark by more than this many microseconds (1 day)
+FRESHNESS_SLA_US = 86_400 * 1_000_000
+
+_FRESHNESS_SQL = f"""
+    WITH e AS (
+      SELECT event_type, ts FROM events WHERE ts IS NOT NULL
+    ),
+    g AS (SELECT MAX(ts) AS gmax FROM e),
+    t AS (
+      SELECT event_type, MAX(ts) AS tmax, COUNT(*) AS n_events
+      FROM e GROUP BY 1
+    )
+    SELECT t.event_type,
+           CAST(epoch_us(g.gmax) - epoch_us(t.tmax) AS BIGINT) AS staleness_us,
+           CAST(t.n_events AS BIGINT) AS n_events,
+           CAST(epoch_us(g.gmax) - epoch_us(t.tmax) > {FRESHNESS_SLA_US}
+                AS INT) AS sla_breach
+    FROM t, g
+"""
+
+
+@ext_query("dq_event_freshness", _FRESHNESS_SQL)
+def dq_event_freshness(spark, sf_dir):
+    """Per-stream freshness SLA audit (the staleness check every ingest
+    pipeline pages on): each event type's newest event vs the corpus
+    high-water mark, in exact integer MICROseconds (unix_micros /
+    epoch_us on both engines — no float epoch), with a 1-day SLA-breach
+    flag. NULL event times are dropped explicitly on BOTH sides (the
+    standing hazard class). One pruned 2-column scan feeding a types-sized
+    agg + a 1-row high-water broadcast."""
+    e = (
+        catalog.table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        # the parquet surfaces TIMESTAMP_NTZ here; the NTZ->TZ cast uses
+        # the session zone, which cancels exactly in the staleness
+        # DIFFERENCE (both sides shift by the same offset)
+        .select(
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+    )
+    g = e.agg(F.max("us").alias("gmax"))
+    t = e.groupBy("event_type").agg(
+        F.max("us").alias("tmax"), F.count(F.lit(1)).alias("n_events")
+    )
+    return t.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        (F.col("gmax") - F.col("tmax")).alias("staleness_us"),
+        "n_events",
+        ((F.col("gmax") - F.col("tmax")) > F.lit(FRESHNESS_SLA_US))
+        .cast("int")
+        .alias("sla_breach"),
+    )

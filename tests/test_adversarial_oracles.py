@@ -155,6 +155,10 @@ DOC_ONLY_ENTRIES = [
     # tier (empty/1-token docs -> (0,0); corpus-unique bigrams now take
     # the continuation-probability path instead of the 1/1 trap)
     "quality_kneser_ney_lm",
+    # round 9b: the sketch-accuracy histogram on hazard corpora — exact
+    # duplicates give error decile 0 (est 1.0, true 1.0), near-dups and
+    # hash collisions fill the tail; zero-common candidates keep c=0
+    "dedup_minhash_error_hist",
 ]
 
 
@@ -377,6 +381,9 @@ EVENTS_ONLY_ENTRIES = [
     # has the same exclusion)
     "agg_ols_slope",
     "agg_attribution_last_touch",
+    # round 9b: freshness SLA on a corpus with NULL event times (explicit
+    # drop rule on both sides) and a single-event rare type
+    "dq_event_freshness",
 ]
 
 

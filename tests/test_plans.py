@@ -59,6 +59,7 @@ CROSS_JOIN_OK = {
     "layout_zorder",  # 1-row key-min/max stats broadcast (the rank-space scaling bounds)
     "sim_ann_recall_eval",  # query-set broadcast ×2 (composes sim_bruteforce_topk + sim_quantized_topk)
     "sim_matryoshka_recall",  # query-set broadcast ×2 (brute-force at two dimension budgets)
+    "dq_event_freshness",  # 1-row high-water-mark scalar broadcast
 }
 
 
