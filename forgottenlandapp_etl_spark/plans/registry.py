@@ -211,10 +211,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # set_except_all), reshape_unpivot, agg_cube / agg_grouping_sets /
 # agg_rollup, sql_recursive_rollup, dq_drift_histogram, dq_anomaly_mad,
 # wx_rolling_median, wx_streak_lengths, agg_time_bucket_interp
-# (gap-fill's interpolating sibling), and the round-9 batch-B additions
-# (tok_wordpiece_encode — the second tokenizer family, first —
+# (gap-fill's interpolating sibling), and the round-9 batch-B/C/D/E
+# additions (tok_wordpiece_encode — the second tokenizer family, first —
 # layout_zorder, text_normalize, filter_domain_blocklist,
-# quality_domain_calibrated).
+# quality_domain_calibrated, tok_wordpiece_fertility,
+# quality_perplexity_buckets, sim_ann_recall_eval, quality_kneser_ney_lm,
+# sim_matryoshka_recall, dedup_minhash_error_hist, dq_event_freshness —
+# the three evaluation-harness rows (recall, matryoshka, minhash error)
+# and the KN LM first).
 
 _missing = [n for n in DRIVER_WINDOW if n not in _ALL_QUERIES]
 if _missing:
