@@ -6434,7 +6434,7 @@ _MRL_SQL = f"""
 @ext_query("sim_matryoshka_recall", _MRL_SQL)
 def sim_matryoshka_recall(spark, sf_dir):
     """Matryoshka truncation acceptance (Kusupati et al. 2022): recall@5
-    of exact search over the FIRST {dims} embedding dimensions against
+    of exact search over the FIRST 16 embedding dimensions against
     exact search over the full vector — the evaluation run before
     shipping truncated embeddings to cut index memory. Same id-set
     recall-histogram machinery as sim_ann_recall_eval (no float compare
