@@ -49,12 +49,28 @@ def reline(
     id_col: str = "doc_id",
     text_col: str = "text",
     line_tokens: int = LINE_TOKENS,
+    unit: str = "token",
 ) -> DataFrame:
-    """Explode documents into fixed-width token lines: (id, pos, line).
+    """Explode documents into lines: (id, pos, line).
 
-    One narrow projection + posexplode — no shuffle. ``slice`` clamps the
-    trailing partial line, so every token lands in exactly one line.
+    One narrow projection + posexplode — no shuffle. ``unit="token"``
+    (default) cuts fixed-width token lines — the synthetic corpus is
+    single-line — with ``slice`` clamping the trailing partial line so
+    every token lands in exactly one line. ``unit="newline"`` is the real
+    deployment form: split on the newline character, KEEPING empty lines
+    (blank separators repeat across documents and must count as
+    boilerplate) and the trailing empty line a trailing newline produces
+    (Spark's split defaults to limit=-1, which — unlike Java's
+    String.split — preserves trailing empties, matching DuckDB's
+    string_split; pinned by the adversarial multi-line corpus).
     """
+    if unit == "newline":
+        return df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+    if unit != "token":
+        raise ValueError(f"unit must be 'token' or 'newline': {unit!r}")
     t = F.split(F.col(text_col), " ")
     n_lines = F.floor((F.size(t) + F.lit(line_tokens - 1)) / F.lit(line_tokens))
     lines = F.transform(
@@ -74,6 +90,7 @@ def line_dedup(
     text_col: str = "text",
     line_tokens: int = LINE_TOKENS,
     min_dup_docs: int = MIN_DUP_DOCS,
+    unit: str = "token",
 ) -> DataFrame:
     """Corpus-wide line-level exact dedup (CCNet-style boilerplate removal).
 
@@ -95,7 +112,7 @@ def line_dedup(
     """
     from pyspark import StorageLevel
 
-    ln = reline(df, id_col, text_col, line_tokens).persist(
+    ln = reline(df, id_col, text_col, line_tokens, unit=unit).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     counts = ln.groupBy("line").agg(
@@ -113,7 +130,7 @@ def line_dedup(
             ),
             lambda s: s["line"],
         ),
-        " ",
+        "\n" if unit == "newline" else " ",
     )
     return flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_lines"),
@@ -340,7 +357,6 @@ def host_suffixes(host: Column) -> Column:
 def domain_blocklist_stats(
     df: DataFrame,
     host_col: str,
-    id_col: str = "doc_id",
     group_col: str = "source",
     blocklist: tuple[str, ...] = DOMAIN_BLOCKLIST,
 ) -> DataFrame:
@@ -367,8 +383,13 @@ def domain_blocklist_stats(
 
 # --- per-domain calibrated quality filtering ------------------------------------
 
-#: fraction of each domain dropped from the bottom of the score ordering
-CALIBRATION_Q = 0.25
+#: fraction of each domain dropped from the bottom of the score ordering,
+#: as an EXACT rational (numerator, denominator): the cutoff rank is
+#: ``ceil(q·n)`` computed as ``(num·n + den − 1) div den`` — pure integer
+#: math, never ``ceil`` of a double product, so a non-dyadic q (e.g. 1/3)
+#: cannot drift between engines' float rounding
+CALIBRATION_Q_NUM = 1
+CALIBRATION_Q_DEN = 4
 
 
 def calibrated_quality_stats(
@@ -376,21 +397,26 @@ def calibrated_quality_stats(
     score_col: str,
     id_col: str = "doc_id",
     group_col: str = "source",
-    q: float = CALIBRATION_Q,
+    q_num: int = CALIBRATION_Q_NUM,
+    q_den: int = CALIBRATION_Q_DEN,
 ) -> DataFrame:
     """Per-domain quantile-calibrated quality cutoff (CCNet §4.3 buckets
     its perplexity filter per language for the same reason: one global
     threshold over-prunes clean domains and under-prunes noisy ones).
 
     The cutoff is the score of the row at rank ``ceil(q·n)`` under the
-    total order (score ASC, id ASC) within each domain — exact integer
-    selection, not an interpolated percentile, so it is bit-identical
-    cross-engine. One partitioned window (never a global sort) + a
-    domains-sized agg; the filter itself is a broadcast-joined predicate.
-    Emits per domain: cutoff, n_total, n_kept.
+    total order (score ASC, id ASC) within each domain, with the rank
+    computed as ``(q_num·n + q_den − 1) div q_den`` — exact integer
+    selection under an exact rational q, not an interpolated percentile
+    and never float ``ceil``, so it is bit-identical cross-engine for ANY
+    q. One partitioned window (never a global sort) + a domains-sized
+    agg; the filter itself is a broadcast-joined predicate. Emits per
+    domain: cutoff (in the score column's own type), n_total, n_kept.
     """
     from pyspark.sql import Window as W
 
+    if not (0 < q_num <= q_den):
+        raise ValueError(f"q must be a rational in (0, 1]: {q_num}/{q_den}")
     w = W.partitionBy(group_col).orderBy(F.col(score_col), F.col(id_col))
     ranked = df.select(
         F.col(group_col),
@@ -398,18 +424,17 @@ def calibrated_quality_stats(
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(W.partitionBy(group_col)).alias("n"),
     )
+    cut_rank = F.expr(f"({q_num} * n + {q_den - 1}) div {q_den}")
     cutoffs = ranked.groupBy(group_col).agg(
         F.min(
-            F.when(
-                F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("score")
-            )
+            F.when(F.col("rn") == cut_rank, F.col("score"))
         ).alias("cutoff")
     )
     return (
         ranked.join(F.broadcast(cutoffs), group_col)
         .groupBy(group_col)
         .agg(
-            F.min("cutoff").cast("long").alias("cutoff"),
+            F.min("cutoff").alias("cutoff"),
             F.count(F.lit(1)).alias("n_total"),
             F.sum((F.col("score") >= F.col("cutoff")).cast("long")).alias(
                 "n_kept"

@@ -828,6 +828,13 @@ def minhash_error_histogram(
         .withColumn("u", F.col("na") + F.col("nb") - F.col("c"))
     )
     err = F.expr(f"(abs(m * u - c * {k}) * 10) div ({k} * u)")
-    return j.groupBy(err.cast("long").alias("err_decile")).agg(
+    out = j.groupBy(err.cast("long").alias("err_decile")).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+    # deciles-sized result: materialize, then release the shingle/signature
+    # caches (same discipline as the LM scorers in operators/text.py) so
+    # repeated gate/bench invocations don't accumulate cached blocks
+    out = out.localCheckpoint(eager=True)
+    sig.unpersist()
+    sh.unpersist()
+    return out

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import catalog
+from ..functions import dates
 from ..functions.num import davg, dsum
 from ..operators import joins
 from ..session import tune
@@ -684,14 +685,15 @@ def wx_range_frame(spark, sf_dir):
     time: a value-based frame (all rows within 3600s), not a row-count
     frame. Decimal sums keep it order-independent within the frame.
 
-    Ordering key is FRACTIONAL epoch seconds — ``unix_micros / 1e6`` —
+    Ordering key is FRACTIONAL epoch seconds — zone-free epoch_us / 1e6 —
     matching DuckDB's epoch(); unix_timestamp() would truncate to whole
     seconds and make sub-second events in the same second frame peers — a
-    data-dependent oracle divergence. (A direct ts→double cast is
-    DATATYPE_MISMATCH on TIMESTAMP_NTZ in Spark 4; the NTZ→TIMESTAMP cast
-    is wall-clock-exact under the session's pinned UTC timezone.)"""
+    data-dependent oracle divergence. The epoch comes from dates.epoch_us
+    (field-based timestampdiff for NTZ), so the frame boundaries hold
+    under ANY session zone — a DST zone would warp the old NTZ→TZ cast's
+    offsets across a transition and shift frame membership."""
     ev = _t(spark, sf_dir, "events")
-    epoch_s = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000.0)
+    epoch_s = dates.epoch_us(ev, "ts") / F.lit(1000000.0)
     w = (
         Window.partitionBy("user_id")
         .orderBy(epoch_s)
@@ -3114,7 +3116,7 @@ def wx_time_weighted_avg(spark, sf_dir):
     their time to the denominator but nothing to the numerator (SUM
     skips NULL identically in both engines)."""
     ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
-    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    t_us = dates.epoch_us(ev, "ts")  # zone-free: DST-safe interval widths
     w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
     seq = ev.select(
         "user_id", "value", "event_id", t_us.alias("t_us")

@@ -279,3 +279,180 @@ def stream_neardup_minhash(
             spark.conf.set(_PARTS_CONF, prev_parts)
         for d in (src, store, results, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+#: bucket count of the streaming LSH index table; every micro-batch probe
+#: and append clusters on this layout, so the accumulated index is NEVER
+#: reshuffled (it is corpus-sized at steady state — the side that grows)
+LSH_INDEX_BUCKETS = 32
+
+
+def stream_neardup_minhash_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 4,
+    n_buckets: int = LSH_INDEX_BUCKETS,
+) -> DataFrame:
+    """PRODUCTION serve path of the streaming near-dup LSH index — the
+    bucketed form the flat-index entry's docstring promises ("at scale the
+    index is a real table bucketed by band key; the probe is then a
+    bucket-local join").
+
+    Same contract as :func:`stream_neardup_minhash` (drained result ≡ the
+    batch LSH candidate relation folded as MIN(earlier partner) per
+    flagged doc — one oracle for both forms proves bucketed incremental
+    maintenance ≡ flat incremental maintenance ≡ full rebuild), different
+    physical layout:
+
+    - the index is a BUCKETED catalog table hash-clustered on the band
+      key (``sources/bucketing.py`` discipline, append-mode): every
+      micro-batch's bands are repartitioned to the index's bucket layout
+      ONCE and appended in place;
+    - the probe join reads the bucket metadata, so the ACCUMULATED index
+      side plans with no Exchange — each batch shuffles only ITSELF onto
+      the index layout. The index is the side that grows (corpus-sized at
+      steady state); never reshuffling it is what keeps per-batch cost
+      proportional to the batch, not the corpus — the flat-index form
+      re-reads and re-shuffles the whole store every batch, which is
+      exactly the constant the r9 bench flagged.
+
+    The band-key struct is carried as an injective '|'-joined string
+    (bucketBy cannot cluster on a struct); equality — and therefore the
+    candidate set — is unchanged. Both stores stay min-idempotent, so
+    foreachBatch's at-least-once replay contract is safe, as before.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..operators import dedup as ops_dedup
+    from .ts import input_bytes, sized_state_partitions
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    src = tempfile.mkdtemp(prefix="stream_docs_")
+    store = tempfile.mkdtemp(prefix="lsh_bucketed_")
+    results = tempfile.mkdtemp(prefix="lsh_flags_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    index_table = f"lsh_band_index_{uuid.uuid4().hex[:8]}"
+    index_path = os.path.join(store, "index")
+    _PARTS_CONF = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(_PARTS_CONF, None)
+    rows = len(ops_dedup.MINHASH_COEFFS) // ops_dedup.LSH_BANDS
+
+    def _bands_flat(batch: DataFrame) -> DataFrame:
+        sh = ops_dedup.shingles(
+            batch.select("doc_id", "text"), "doc_id", "text", n=3
+        )
+        b = ops_dedup.band_table(
+            ops_dedup.minhash_signatures(sh, "doc_id"), "doc_id"
+        )
+        key = F.concat_ws(
+            "|", F.col("bk.band"), *[F.col(f"bk.r{j}") for j in range(rows)]
+        )
+        return b.select("doc_id", key.alias("bk"))
+
+    try:
+        if os.path.isdir(path):  # multi-file dataset (scale tiers)
+            import pyarrow.dataset as ds
+
+            table = ds.dataset(path).to_table()
+        else:
+            table = pq.read_table(path)
+        table = table.sort_by("doc_id")
+        step = -(-table.num_rows // n_files)  # ceil
+        for i in range(n_files):
+            chunk = table.slice(i * step, step)
+            if chunk.num_rows == 0:
+                break
+            f = os.path.join(src, f"part-{i:04d}.parquet")
+            pq.write_table(chunk, f)
+            os.utime(f, (1_000_000_000 + i * 60,) * 2)
+
+        spark.conf.set(
+            _PARTS_CONF, str(sized_state_partitions(spark, input_bytes(path)))
+        )
+
+        def apply_batch(batch: DataFrame, batch_id: int) -> None:
+            sess = batch.sparkSession
+            # cluster the batch onto the index's bucket layout ONCE; the
+            # probe join and the append both reuse this exchange
+            bands = (
+                _bands_flat(batch)
+                .repartition(n_buckets, F.col("bk"))
+                .persist()
+            )
+            intra = (
+                bands.alias("a")
+                .join(
+                    bands.alias("b"),
+                    (F.col("a.bk") == F.col("b.bk"))
+                    & (F.col("b.doc_id") < F.col("a.doc_id")),
+                )
+                .select(
+                    F.col("a.doc_id").alias("doc_id"),
+                    F.col("b.doc_id").alias("partner"),
+                )
+            )
+            hits = intra
+            if sess.catalog.tableExists(index_table):
+                prev = sess.table(index_table)  # bucketed: no Exchange side
+                hits = hits.unionAll(
+                    bands.alias("a")
+                    .join(prev.alias("p"), F.col("a.bk") == F.col("p.bk"))
+                    .select(
+                        F.col("a.doc_id").alias("doc_id"),
+                        F.col("p.doc_id").alias("partner"),
+                    )
+                )
+            flagged = hits.groupBy("doc_id").agg(
+                F.min("partner").alias("first_dup_of")
+            )
+            flagged.write.mode("append").parquet(results)
+            (
+                bands.write.mode("append")
+                .format("parquet")
+                .bucketBy(n_buckets, "bk")
+                .sortBy("bk")
+                .option("path", index_path)
+                .saveAsTable(index_table)
+            )
+            bands.unpersist()
+
+        stream = (
+            spark.readStream.schema(
+                "doc_id BIGINT, text STRING, lang STRING, "
+                "source STRING, n_chars BIGINT"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if any(not f.startswith(("_", ".")) for f in os.listdir(results)):
+            out = (
+                spark.read.parquet(results)
+                .groupBy("doc_id")
+                .agg(F.min("first_dup_of").alias("first_dup_of"))
+                .localCheckpoint(eager=True)
+            )
+        else:  # no near-dups anywhere: schema-stable empty result
+            out = spark.createDataFrame(
+                [], "doc_id bigint, first_dup_of bigint"
+            )
+        return out
+    finally:
+        if prev_parts is None:
+            spark.conf.unset(_PARTS_CONF)
+        else:
+            spark.conf.set(_PARTS_CONF, prev_parts)
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+        except Exception:
+            pass
+        for d in (src, store, results, ckpt):
+            shutil.rmtree(d, ignore_errors=True)

@@ -60,6 +60,12 @@ TEXTS = [
         ["the", "be", "to", "of", "and", "that", "have", "with"] * 8
     ),                                        # 64 words, all 8 Gopher stopwords
     "tab\tand\nnewline mix \f formfeed \r carriage",  # every WS_CLASS delimiter
+    # newline-unit line-dedup hazards (r10): empty line, TRAILING newline
+    # (the trailing empty line must survive the split), and a line shared
+    # across two docs so the cross-doc drop rule fires on newline units
+    "alpha line here\n\nbeta line there\n",
+    "alpha line here\nwholly unique gamma line",
+    "\n\n",                                  # empty lines only
 ]
 
 #: every registry entry whose Spark plan AND oracle read only `documents`
@@ -131,10 +137,12 @@ DOC_ONLY_ENTRIES = [
     # offset/anti-join logic, and the streaming LSH index — all string- or
     # boundary-sensitive oracles, so they run on the hazard corpus too)
     "dedup_lines",
+    "dedup_lines_newline",
     "dedup_url_canonical",
     "mix_epoch_upsample",
     "pairs_contrastive_mining",
     "stream_neardup_lsh",
+    "stream_neardup_lsh_bucketed",
     # round 9b: the WordPiece greedy loop (the 200-char word exercises the
     # <OVERFLOW> bound the fixture never reaches; empty/whitespace docs
     # exercise zero-length words; unicode exercises char-based substr),
@@ -274,6 +282,19 @@ def _adv_events():
     add(b14, 14, "click", 0.0, None)
     add(b14, 15, "click", 0.0, None)
     add(b14, 15, "purchase", 6.0, None)
+    # (m) DST-transition straddles (r9 VERDICT): wall times on opposite
+    # sides of Europe/Berlin's 2024-03-31 02:00 spring-forward (01:30 /
+    # 03:30 — the gapped hour between them) and inside the 2024-10-27
+    # fall-back overlap (02:30 occurs TWICE in local Berlin time). Under a
+    # DST session zone, any epoch derived via an NTZ→TZ cast shifts these
+    # rows by different offsets; the zone-free dates.epoch_us path and the
+    # zone-less DuckDB oracle agree for them under ANY session zone.
+    add(dt.datetime(2024, 3, 31, 1, 30, 0), 16, "view", 1.0, None)
+    add(dt.datetime(2024, 3, 31, 3, 30, 0), 16, "view", 2.0, None)
+    add(dt.datetime(2024, 3, 31, 2, 30, 0), 16, "view", 9.0, None)  # in the gap
+    add(dt.datetime(2024, 10, 27, 2, 30, 0), 17, "view", 3.0, None)  # ambiguous
+    add(dt.datetime(2024, 10, 27, 1, 30, 0), 17, "view", 4.0, None)
+    add(dt.datetime(2024, 10, 27, 3, 30, 0), 17, "view", 5.0, None)
     return rows
 
 
@@ -394,6 +415,28 @@ def test_events_entry_matches_oracle_on_adversarial_corpus(
     got = QUERIES[name](spark, adv_events_dir)
     want = adv_events_con.execute(ORACLE[name]).fetchdf()
     compare(got, want, name=f"{name}@adversarial-events")
+
+
+@pytest.mark.parametrize(
+    "name", ["dq_event_freshness", "wx_range_frame", "wx_time_weighted_avg"]
+)
+def test_epoch_entries_zone_independent(
+    spark, adv_events_dir, adv_events_con, name
+):
+    """The r9 DST hazard, pinned: every entry deriving epochs/gaps from the
+    (possibly NTZ) event time must match the zone-less oracle even when
+    the session zone is a DST zone. The corpus's (m) rows straddle both
+    Berlin 2024 transitions — an NTZ→TZ-cast epoch shifts them by
+    different offsets (measured 3600 s error across spring-forward) while
+    the field-based dates.epoch_us path never consults the zone."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Europe/Berlin")
+        got = QUERIES[name](spark, adv_events_dir)
+        want = adv_events_con.execute(ORACLE[name]).fetchdf()
+        compare(got, want, name=f"{name}@adversarial-events-berlin")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
 
 
 def test_gapfill_and_interp_branches_fire_on_gaps(spark, adv_events_dir):
