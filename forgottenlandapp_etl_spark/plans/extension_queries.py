@@ -6301,6 +6301,294 @@ def tok_wordpiece_fertility(spark, sf_dir):
     return wordpiece.corpus_fertility(d, wordpiece.collect_vocab(vocab))
 
 
+# ---------------------------------------------------------------------------
+# round-10 additions: Unigram-LM tokenizer (SentencePiece-style) — the third
+# tokenizer family (r9 VERDICT gap 1): exact-integer Viterbi lattice encode,
+# hard-EM usage refit, and the cross-family fertility comparison
+# ---------------------------------------------------------------------------
+
+from ..operators import unigram  # noqa: E402
+
+
+def _unigram_ctes() -> str:
+    """The Unigram-LM CTE body (word counts → ranked seed vocab →
+    per-position rank pivot → recursive Viterbi dp → encoded words),
+    generated from the SAME constants the Spark operator uses
+    (operators/unigram.py): identical seed selection (weight DESC, piece
+    ASC top-K + forced single chars, ranked by the same total order) and
+    the identical integer Viterbi objective (n_pieces·RANK_SCALE + Σ
+    ranks, ties to the lexicographically smallest piece sequence),
+    carried as the same fixed-width ``key|pieces`` dp strings so LEAST
+    compares identically. uvocab/uprp are MATERIALIZED — the recursive
+    member re-scans them every iteration (the round-6 CTE-inlining
+    lesson). Shared by the encode, train, and fertility-compare oracles;
+    the top-level WITH must say RECURSIVE."""
+    mp, vt = unigram.MAX_PIECE, unigram.VOCAB_TOP
+    ks, kw = unigram.RANK_SCALE, unigram.KEY_WIDTH
+    sent = unigram.SENTINEL
+    cands = []
+    for l in range(1, mp + 1):
+        prev = f"s.d{l - 1}"
+        cands.append(f"""
+             CASE WHEN s.pos + 1 >= {l} AND substr({prev}, 1, 1) <> '9'
+                       AND p.r{l} IS NOT NULL
+                  THEN lpad(CAST(CAST(substr({prev}, 1, {kw}) AS BIGINT)
+                                 + {ks} + p.r{l} AS VARCHAR), {kw}, '0')
+                       || '|' ||
+                       CASE WHEN substr({prev}, {kw + 2}) = '' THEN ''
+                            ELSE substr({prev}, {kw + 2}) || ' ' END
+                       || substr(s.word, s.pos + 2 - {l}, {l})
+                  ELSE '{sent}' END""")
+    least = "LEAST(" + ",".join(cands) + ")"
+    shifts = ", ".join(f"s.d{i - 1} AS d{i}" for i in range(1, mp))
+    rpivot = ", ".join(
+        f"MAX(CASE WHEN c.l = {l} THEN v.rnk END) AS r{l}"
+        for l in range(1, mp + 1)
+    )
+    return f"""uw AS (
+      SELECT t[i] AS word, CAST(COUNT(*) AS BIGINT) AS wcount
+      FROM (SELECT string_split(text, ' ') AS t FROM documents),
+           UNNEST(generate_series(1, len(t))) AS g(i)
+      WHERE len(t[i]) > 0
+      GROUP BY 1
+    ),
+    up AS (
+      SELECT substr(word, s.s, l.l) AS piece, SUM(wcount) AS weight
+      FROM uw,
+           UNNEST(generate_series(1, len(word))) AS s(s),
+           UNNEST(generate_series(1, LEAST({mp}, len(word) - s.s + 1))) AS l(l)
+      GROUP BY 1
+    ),
+    utop AS (
+      SELECT piece FROM (
+        SELECT piece, ROW_NUMBER() OVER (ORDER BY weight DESC, piece) AS rn
+        FROM up) WHERE rn <= {vt}
+    ),
+    uvset AS (
+      SELECT DISTINCT piece FROM (
+        SELECT piece FROM utop
+        UNION ALL
+        SELECT piece FROM up WHERE len(piece) = 1)
+    ),
+    uvocab AS MATERIALIZED (
+      SELECT v.piece,
+             ROW_NUMBER() OVER (ORDER BY p.weight DESC, v.piece) AS rnk
+      FROM uvset v JOIN up p USING (piece)
+    ),
+    ucand AS (
+      SELECT word, g.np AS np, l.l AS l,
+             substr(word, g.np - l.l + 1, l.l) AS piece
+      FROM uw,
+           UNNEST(generate_series(1, len(word))) AS g(np),
+           UNNEST(generate_series(1, LEAST({mp}, g.np))) AS l(l)
+    ),
+    uprp AS MATERIALIZED (
+      SELECT c.word, c.np, {rpivot}
+      FROM ucand c LEFT JOIN uvocab v ON v.piece = c.piece
+      GROUP BY 1, 2
+    ),
+    udp AS (
+      SELECT word, wcount, len(word) AS wl, 0 AS pos,
+             '{"0" * kw}|' AS d0,
+             {", ".join(f"'{sent}' AS d{i}" for i in range(1, mp))}
+      FROM uw
+      UNION ALL
+      SELECT s.word, s.wcount, s.wl, s.pos + 1,
+             {least} AS d0, {shifts}
+      FROM udp s JOIN uprp p ON p.word = s.word AND p.np = s.pos + 1
+      WHERE s.pos < s.wl
+    ),
+    uenc AS (
+      SELECT word, wcount,
+             CAST(substr(d0, 1, {kw}) AS BIGINT) // {ks} AS n_tokens,
+             CAST(substr(d0, 1, {kw}) AS BIGINT) % {ks} AS rank_sum,
+             substr(d0, {kw + 2}) AS encoded
+      FROM udp WHERE pos = wl
+    )"""
+
+
+_UNIGRAM_ENCODE_SQL = f"""
+    WITH RECURSIVE {_unigram_ctes()}
+    SELECT word, wcount, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(rank_sum AS BIGINT) AS rank_sum, encoded
+    FROM uenc
+"""
+
+
+@ext_query("tok_unigram_encode", _UNIGRAM_ENCODE_SQL)
+def tok_unigram_encode(spark, sf_dir):
+    """Unigram-LM tokenizer (SentencePiece-style, Kudo 2018) — the third
+    tokenizer family next to BPE and WordPiece: every distinct corpus
+    word segmented by Viterbi over the full piece lattice (global
+    optimum, NOT greedy longest-match) under an exact-integer unigram
+    score — fewest pieces, then smallest seed-frequency rank sum, then
+    lexicographic; ranks quantize −log p so the argmax is
+    hash-reproducible cross-engine (the exact-integer KN-LM discipline).
+    The ranked vocab is model-sized by construction and ships as ONE
+    literal map in a pure Column expression; the DP is a runtime
+    aggregate fold carrying the last MAX_PIECE states — constant plan
+    size at any word length, no unroll bound, no overflow tier. The
+    oracle replays the same lattice as a recursive CTE on the same
+    fixed-width dp strings."""
+    from pyspark import StorageLevel
+
+    d = _docs(spark, sf_dir, fan_out=True)
+    words = wordpiece.word_counts(d, "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ranks = unigram.seed_vocab_ranks(words)
+    out = unigram.encode_words(words, ranks)
+    out = out.localCheckpoint(eager=True)
+    words.unpersist()
+    return out
+
+
+_UNIGRAM_TRAIN_SQL = f"""
+    WITH RECURSIVE {_unigram_ctes()},
+    uused AS (
+      SELECT u.piece, SUM(e.wcount) AS usage
+      FROM uenc e, UNNEST(string_split(e.encoded, ' ')) AS u(piece)
+      GROUP BY 1
+    )
+    SELECT v.piece, CAST(v.rnk AS BIGINT) AS rnk,
+           CAST(u.usage AS BIGINT) AS usage
+    FROM uused u JOIN uvocab v USING (piece)
+"""
+
+
+@ext_query("tok_unigram_train", _UNIGRAM_TRAIN_SQL)
+def tok_unigram_train(spark, sf_dir):
+    """Unigram-LM hard-EM training step (SentencePiece's E-step):
+    Viterbi-encode the distinct corpus words under the ranked seed vocab,
+    then sum corpus-frequency-weighted usage per chosen piece — the
+    expected counts the M-step renormalizes; seed pieces with zero usage
+    (absent from every optimal lattice path) are exactly what the
+    pruning round drops, and they drop out of this result. Encode cost
+    is vocabulary-shaped (distinct words); the usage count is one
+    partial-agg shuffle on the piece key. All integer — the trained
+    usage table is hash-exact against the recursive-CTE oracle."""
+    from pyspark import StorageLevel
+
+    d = _docs(spark, sf_dir, fan_out=True)
+    words = wordpiece.word_counts(d, "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ranks = unigram.seed_vocab_ranks(words)
+    out = unigram.piece_usage(words, ranks)
+    out = out.localCheckpoint(eager=True)
+    words.unpersist()
+    return out
+
+
+_FERTILITY_CMP_SQL = f"""
+    WITH RECURSIVE {{WP_CTES}}, {_unigram_ctes()},
+    occ2 AS (
+      SELECT source, t[i] AS word
+      FROM (SELECT source, string_split(text, ' ') AS t FROM documents),
+           UNNEST(generate_series(1, len(t))) AS g(i)
+      WHERE len(t[i]) > 0
+    ),
+    pc2 AS (SELECT source, word, COUNT(*) AS cnt FROM occ2 GROUP BY 1, 2),
+    wpe AS (
+      SELECT word,
+             CASE WHEN pos <= len(word) THEN {wordpiece.OVERFLOW_NTOKS}
+                  ELSE ntoks END AS nt
+      FROM st{wordpiece.MAX_WORD_LEN}
+    ),
+    fam AS (
+      SELECT source, 'wordpiece' AS family,
+             CAST(SUM(CASE WHEN nt >= 0 THEN cnt ELSE 0 END) AS BIGINT)
+               AS n_words,
+             CAST(SUM(CASE WHEN nt >= 0 THEN cnt * nt ELSE 0 END) AS BIGINT)
+               AS n_tokens_total
+      FROM pc2 JOIN wpe USING (word) GROUP BY 1
+      UNION ALL
+      SELECT source, 'unigram' AS family,
+             CAST(SUM(cnt) AS BIGINT) AS n_words,
+             CAST(SUM(cnt * e.n_tokens) AS BIGINT) AS n_tokens_total
+      FROM pc2 JOIN uenc e USING (word) GROUP BY 1
+    )
+    SELECT source, family, n_words, n_tokens_total,
+           CAST((n_tokens_total * 1000000) // GREATEST(1, n_words) AS BIGINT)
+             AS fertility_fp
+    FROM fam
+""".replace("{WP_CTES}", _wordpiece_ctes())
+
+
+@ext_query("tok_fertility_compare", _FERTILITY_CMP_SQL)
+def tok_fertility_compare(spark, sf_dir):
+    """Cross-FAMILY tokenizer fertility comparison — the corpus-report
+    column tokenizer papers print (tokens/word per domain for each vocab
+    family): WordPiece greedy longest-match vs Unigram-LM Viterbi,
+    trained on the SAME corpus with the same vocab budget, each encoding
+    only the DISTINCT words against its broadcast model and joined back
+    to (source, word) occurrence counts. WordPiece's unroll-bound
+    overflow words are excluded from ITS ratio (deterministically, both
+    engines); the unigram fold has no bound, so its side counts every
+    word. One occurrence relation feeds both families; both model
+    replays share the generated CTE bodies with their standalone entries
+    (one source of truth — the composed-oracle discipline)."""
+    from pyspark import StorageLevel
+
+    d = _docs(spark, sf_dir, fan_out=True)
+    occ = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).where(F.length("word") > 0)
+    pc = occ.groupBy("source", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    pc = pc.persist(StorageLevel.MEMORY_AND_DISK)
+    words = pc.groupBy("word").agg(F.sum("cnt").alias("wcount"))
+    words = words.persist(StorageLevel.MEMORY_AND_DISK)
+
+    wp_sets = wordpiece.collect_vocab(wordpiece.wordpiece_vocab(words))
+    wp_nt = wordpiece.encode_words(words, wp_sets).select("word", "n_tokens")
+    ov = F.col("n_tokens") < 0
+    wp = (
+        pc.join(wp_nt, "word")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(~ov, F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_words"),
+            F.sum(
+                F.when(~ov, F.col("cnt") * F.col("n_tokens")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_tokens_total"),
+        )
+        .select("source", F.lit("wordpiece").alias("family"), "n_words",
+                "n_tokens_total")
+    )
+    ranks = unigram.seed_vocab_ranks(words)
+    ug_nt = unigram.encode_words(words, ranks).select("word", "n_tokens")
+    ug = (
+        pc.join(ug_nt, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_tokens"))
+            .cast("long")
+            .alias("n_tokens_total"),
+        )
+        .select("source", F.lit("unigram").alias("family"), "n_words",
+                "n_tokens_total")
+    )
+    out = wp.unionAll(ug).select(
+        "source",
+        "family",
+        "n_words",
+        "n_tokens_total",
+        F.expr("(n_tokens_total * 1000000) div greatest(1, n_words)").alias(
+            "fertility_fp"
+        ),
+    )
+    out = out.localCheckpoint(eager=True)
+    pc.unpersist()
+    words.unpersist()
+    return out
+
+
 _PPLX_BUCKETS_SQL = f"""
     WITH {{LM_CTES}},
     sc AS (

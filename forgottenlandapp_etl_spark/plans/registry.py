@@ -111,15 +111,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # sim_bruteforce_topk rotated out r8, DIRECTLY superseded in the
     # window by its newly hash-exact int64-GEMM sibling below)
     "dedup_minhash_lsh",
-    "pipeline_clean_corpus",
-    # int8 quantization tier (promoted r3; emb_quantize_int8 rotated out
-    # r7 after four green rounds — sim_quantized_topk CONSUMES the int8
-    # quantizer end-to-end so the formula stays driver-checked)
-    "sim_quantized_topk",
-    # round-3 flagships (graph_pagerank rotated out r7 after four green
-    # rounds — the promoted graph_kcore below keeps the iterative-graph
-    # family's driver row)
-    "sim_rp_lsh_topk",
+    # (pipeline_clean_corpus / sim_quantized_topk / sim_rp_lsh_topk
+    # rotated out r10 after seven green rounds each — see the r10
+    # rotation note below)
     # (dedup_substring_trim / text_winnow_fingerprint / mm_frame_dedup
     # rotated out r9 after five green rounds each — exact-substring dedup
     # passes its row to the promoted dedup_semantic, fingerprints stay
@@ -162,63 +156,74 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q7_volume_shipping",
     "tpch_q10_returned_items",
     "tpch_q13_customer_distribution",
-    # round-7 promotions (r6 verdict items 1 and 6): the never-windowed
-    # round-6 surface — IVF-PQ serving with three replayed trainings, both
-    # Python DataSource entries (batch + streaming lifecycle), the stateful
-    # integer EWMA fold, deflated power-iteration PCA, iterative k-core
-    # peel, the decorrelated LATERAL top-K, delta-merge incremental view
-    # maintenance — plus four more TPC-H shapes: q2 (10-scan min-cost
-    # correlated subquery), q8 (7-broadcast market share), q17/q20
-    # (correlated avg / excess-stock rewrites)
-    "sim_ivfpq_topk",
-    "src_python_datasource",
-    "stream_python_datasource",
-    "wx_ewma",
-    "emb_power_top2",
-    "graph_kcore",
-    "sql_lateral_topk",
-    "stream_ivm_rollup",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q8_market_share",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q20_excess_stock",
-    # round-8 promotions (r7 verdict items 2 and 3): the round-7 additions
-    # — injected-orphan-proven FK audit, ignore-nulls window attribution,
-    # md5-rank stratified capping, the int64-GEMM vectorized serving tier —
-    # plus the PRODUCTION LSH geometry (64 sign bits in 16-bit bands, the
-    # SCALING.md-measured α≈0.0 config) and four never-windowed TPC-H
-    # shapes (q3 join+topk, q12 two-way shipmode case-agg, q15 view-style
-    # max-revenue tie join, q18 having-in-subquery large orders)
-    "dq_referential_integrity",
-    "agg_attribution_last_touch",
-    "sample_stratified_cap",
-    "sim_bruteforce_topk_vectorized",
-    "sim_rp_lsh_topk_sized",
-    "tpch_q3_shipping_priority",
-    "tpch_q12_priority_class",
-    "tpch_q15_top_supplier",
-    "tpch_q18_large_orders",
+    # (round-7 promotions — sim_ivfpq_topk / src_python_datasource /
+    # stream_python_datasource / wx_ewma / emb_power_top2 / graph_kcore /
+    # sql_lateral_topk / stream_ivm_rollup / tpch_q2 / q8 / q17 / q20 —
+    # rotated out r10 after three green rounds each; round-8 promotions —
+    # dq_referential_integrity / agg_attribution_last_touch /
+    # sample_stratified_cap / sim_bruteforce_topk_vectorized /
+    # sim_rp_lsh_topk_sized / tpch_q3 / q12 / q15 / q18 — rotated out r10
+    # after two green rounds (the c7b two-round precedent); long-held
+    # sim_rp_lsh_topk (7 rounds; its geometry family stays windowed via
+    # the rhp_sized/multipass pair) / sim_quantized_topk (7 rounds; int8
+    # tier stays consumed inside sim_ivf_rerank) / pipeline_clean_corpus
+    # (7 rounds; pipeline family keeps rag_index + dsir_select) rotated
+    # out r10. All stay oracle-gated by tools/drive_gate.py.)
+    # round-10 promotions (r9 registry queue): the five remaining
+    # never-windowed TPC-H shapes (q11 group-HAVING-over-scalar-subquery,
+    # q14 conditional-ratio promo, q16 anti-join distinct-count, q19
+    # disjunctive multi-range predicate, q22 anti-join + scalar-avg
+    # subquery)
+    "tpch_q11_important_stock",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_parts_supplier_relationship",
+    "tpch_q19_disjunctive_pred",
+    "tpch_q22_sales_opportunity",
+    # round-10 promotions: the r9 curation tier gets its first hard driver
+    # rows (line dedup, URL keep-best dedup, integer epoch upsampling,
+    # contrastive triplet mining, the streaming incremental LSH index) —
+    # plus the r10 bucketed production serve path of the same index
+    "dedup_lines",
+    "dedup_url_canonical",
+    "mix_epoch_upsample",
+    "pairs_contrastive_mining",
+    "stream_neardup_lsh",
+    "stream_neardup_lsh_bucketed",
+    # round-10 promotions: r9 batch B-E — the published C4 rule battery,
+    # domain-weight mixing, WordPiece encode + fertility, the
+    # exact-integer Kneser-Ney LM, and the three evaluation-harness rows
+    # (ANN recall, Matryoshka recall, MinHash error histogram) + the
+    # DST-hardened freshness SLA
+    "quality_c4_rules",
+    "mix_domain_weights",
+    "tok_wordpiece_encode",
+    "tok_wordpiece_fertility",
+    "quality_kneser_ney_lm",
+    "sim_ann_recall_eval",
+    "sim_matryoshka_recall",
+    "dedup_minhash_error_hist",
+    "dq_event_freshness",
+    # round-10 promotions: the never-windowed streaming surface
+    "stream_sliding_counts",
+    "stream_quality_filter",
+    # round-10 flagships: the third tokenizer family (SentencePiece-style
+    # exact-integer Viterbi lattice — encode + hard-EM usage refit)
+    "tok_unigram_encode",
+    "tok_unigram_train",
 )
-# Round-10 rotation candidates (same mechanism, once the r9 promotions go
-# multi-round green): the remaining never-windowed TPC-H shapes
-# (q11/q14/q16/q19/q22 — keep feeding >=4 per round through the window),
-# the round-9 additions not yet windowed (quality_c4_rules,
-# mix_domain_weights, and the curation tier: dedup_lines,
-# dedup_url_canonical, mix_epoch_upsample, pairs_contrastive_mining,
-# stream_neardup_lsh — the streaming LSH index and line dedup first), the
-# never-windowed streaming surface (stream_sliding_counts,
-# stream_quality_filter), the set-op family (set_intersect_all /
-# set_except_all), reshape_unpivot, agg_cube / agg_grouping_sets /
-# agg_rollup, sql_recursive_rollup, dq_drift_histogram, dq_anomaly_mad,
-# wx_rolling_median, wx_streak_lengths, agg_time_bucket_interp
-# (gap-fill's interpolating sibling), and the round-9 batch-B/C/D/E
-# additions (tok_wordpiece_encode — the second tokenizer family, first —
-# layout_zorder, text_normalize, filter_domain_blocklist,
-# quality_domain_calibrated, tok_wordpiece_fertility,
-# quality_perplexity_buckets, sim_ann_recall_eval, quality_kneser_ney_lm,
-# sim_matryoshka_recall, dedup_minhash_error_hist, dq_event_freshness —
-# the three evaluation-harness rows (recall, matryoshka, minhash error)
-# and the KN LM first).
+# Round-11 rotation candidates (same mechanism, once the r9/r10
+# promotions go multi-round green): the round-10 additions not yet
+# windowed (tok_fertility_compare — the cross-family tokenizer report —
+# and dedup_lines_newline, both first), the remaining never-windowed r9
+# batch-B rows (layout_zorder, text_normalize, filter_domain_blocklist,
+# quality_domain_calibrated, quality_perplexity_buckets), the set-op
+# family (set_intersect_all / set_except_all), reshape_unpivot, agg_cube
+# / agg_grouping_sets / agg_rollup, sql_recursive_rollup,
+# dq_drift_histogram, dq_anomaly_mad, wx_rolling_median,
+# wx_streak_lengths, agg_time_bucket_interp (gap-fill's interpolating
+# sibling), and — once two rounds green — re-window rotation returns for
+# the j9/k-family reference rows on the usual cadence. TPC-H is fully
+# exhausted: all 22 shapes have now held at least one hard driver row.
 
 _missing = [n for n in DRIVER_WINDOW if n not in _ALL_QUERIES]
 if _missing:

@@ -159,6 +159,15 @@ DOC_ONLY_ENTRIES = [
     # tertile boundaries)
     "tok_wordpiece_fertility",
     "quality_perplexity_buckets",
+    # round 10: the Unigram-LM family — the Viterbi lattice must agree
+    # with the recursive-CTE oracle on empty tokens, unicode pieces, the
+    # 200-char word (200 fold steps vs 200 recursion rounds), same-symbol
+    # runs (heavy lattice ties -> the lexicographic tie-break), and the
+    # cross-family fertility accounting (overflow-excluded wordpiece vs
+    # unbounded unigram on the same occurrence relation)
+    "tok_unigram_encode",
+    "tok_unigram_train",
+    "tok_fertility_compare",
     # round 9b: Kneser-Ney hits the same boundary shapes as the Laplace
     # tier (empty/1-token docs -> (0,0); corpus-unique bigrams now take
     # the continuation-probability path instead of the 1/1 trap)

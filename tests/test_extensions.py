@@ -2557,3 +2557,105 @@ def test_kneser_ney_discounts_unique_bigrams_below_laplace_trap(spark):
     # every bigram unique: c12=c1=1, N1+=1, nc=1, T=8
     # p = S/4 + 3S/32 = 0.34375 S  — far below the 1.0 S trap
     assert out[0] == out[1] == 343_750_000
+
+
+# --- round 10: Unigram-LM tokenizer (SentencePiece-style Viterbi) ------------
+
+
+def test_unigram_viterbi_beats_greedy_longest_match(spark):
+    """The family-defining behavior: the lattice optimum can differ from
+    WordPiece's greedy longest-match. Greedy on 'abcd' takes 'abc'+'d';
+    Viterbi under these ranks prefers 'ab'+'cd' (same piece count, lower
+    rank sum) — a global decision greedy cannot make."""
+    from forgottenlandapp_etl_spark.operators import unigram
+
+    ranks = {"ab": 1, "cd": 2, "abc": 5, "d": 6, "a": 7, "b": 8, "c": 9}
+    words = spark.createDataFrame([("abcd", 4)], "word string, wcount long")
+    row = unigram.encode_words(words, ranks).head()
+    assert row["encoded"] == "ab cd"
+    assert row["n_tokens"] == 2 and row["rank_sum"] == 3
+
+
+def test_unigram_viterbi_fewest_pieces_dominates(spark):
+    """Piece count dominates rank sum: even when every short piece
+    outranks a long one, a 1-piece path wins over any 2-piece path."""
+    from forgottenlandapp_etl_spark.operators import unigram
+
+    ranks = {"x": 1, "y": 2, "xy": 99}
+    words = spark.createDataFrame([("xy", 1)], "word string, wcount long")
+    row = unigram.encode_words(words, ranks).head()
+    assert row["encoded"] == "xy" and row["n_tokens"] == 1
+
+
+def test_unigram_lexicographic_tie_break(spark):
+    """Equal piece count AND equal rank sum → the lexicographically
+    smallest piece sequence wins, identically on both engines."""
+    from forgottenlandapp_etl_spark.operators import unigram
+
+    # 'aa' as 'a'+'a' (ranks 1+1=2) vs... craft a real tie: 'ab' via
+    # {'a':1,'b':2} = sum 3 vs {'ab'... use 4-char: 'abab' as 'ab ab'
+    # (5+5) vs 'a bab' (2+8) vs 'aba b'(7+3): sums 10,10,10 at 2 pieces
+    ranks = {"ab": 5, "a": 2, "bab": 8, "aba": 7, "b": 3}
+    words = spark.createDataFrame([("abab", 1)], "word string, wcount long")
+    row = unigram.encode_words(words, ranks).head()
+    assert row["n_tokens"] == 2 and row["rank_sum"] == 10
+    assert row["encoded"] == "a bab"  # smallest of {'a bab','ab ab','aba b'}
+
+
+def test_unigram_seed_ranks_follow_weight_then_piece_order(spark):
+    from forgottenlandapp_etl_spark.operators import unigram
+
+    words = spark.createDataFrame(
+        [("tables", 10), ("table", 5), ("les", 3), ("a", 1), ("", 2)],
+        "word string, wcount long",
+    )
+    ranks = unigram.seed_vocab_ranks(words)
+    assert "" not in ranks  # empty words excluded before candidates
+    # singles always present (the lattice always has a path)
+    for ch in "tables":
+        assert ch in ranks
+    # rank 1 = heaviest: 'e' occurs in tables(10)+table(5)+les(3) -> 18,
+    # outweighing every other candidate on this corpus
+    inv = {r: p for p, r in ranks.items()}
+    assert inv[1] == "e"
+
+
+def test_unigram_usage_refit_counts_and_prunes(spark):
+    """Hard-EM E-step: usage = Σ wcount × times-used in the Viterbi
+    segmentation; seed pieces on no optimal path are absent."""
+    from forgottenlandapp_etl_spark.operators import unigram
+
+    words = spark.createDataFrame(
+        [("tables", 10), ("table", 5)], "word string, wcount long"
+    )
+    ranks = unigram.seed_vocab_ranks(words)
+    enc = {
+        r["word"]: r["encoded"]
+        for r in unigram.encode_words(words, ranks).collect()
+    }
+    usage = {
+        r["piece"]: r["usage"]
+        for r in unigram.piece_usage(words, ranks).collect()
+    }
+    want: dict[str, int] = {}
+    for w, cnt in (("tables", 10), ("table", 5)):
+        for p in enc[w].split(" "):
+            want[p] = want.get(p, 0) + cnt
+    assert usage == want
+    assert set(usage) < set(ranks)  # strictly pruned on this corpus
+
+
+def test_unigram_encode_deterministic_and_long_words(spark):
+    """The fold has no unroll bound: a 200-char word encodes (50×'wwww'
+    under a vocab holding 'wwww'), and re-running yields identical rows."""
+    from forgottenlandapp_etl_spark.operators import unigram
+
+    words = spark.createDataFrame(
+        [("w" * 200, 2), ("ww", 1)], "word string, wcount long"
+    )
+    ranks = unigram.seed_vocab_ranks(words)
+    out1 = sorted(map(tuple, unigram.encode_words(words, ranks).collect()))
+    out2 = sorted(map(tuple, unigram.encode_words(words, ranks).collect()))
+    assert out1 == out2
+    long = [r for r in out1 if r[0] == "w" * 200][0]
+    assert long[2] == 50 and long[4] == " ".join(["wwww"] * 50)
