@@ -222,6 +222,16 @@ HEADLINE = [
     "sim_matryoshka_recall",
     "dedup_minhash_error_hist",
     "dq_event_freshness",
+    # round 10: the Unigram-LM tokenizer family (Viterbi encode + hard-EM
+    # refit + the cross-family fertility report), the bucketed production
+    # serve path of the streaming LSH index (compare directly against
+    # stream_neardup_lsh — same oracle, different physical layout), and
+    # the newline-unit line dedup
+    "tok_unigram_encode",
+    "tok_unigram_train",
+    "tok_fertility_compare",
+    "stream_neardup_lsh_bucketed",
+    "dedup_lines_newline",
 ]
 
 

@@ -2659,3 +2659,22 @@ def test_unigram_encode_deterministic_and_long_words(spark):
     assert out1 == out2
     long = [r for r in out1 if r[0] == "w" * 200][0]
     assert long[2] == 50 and long[4] == " ".join(["wwww"] * 50)
+
+
+def test_unigram_encode_round_trips_every_fixture_word(spark, sf_dir):
+    """Lossless-segmentation property over the real corpus: removing the
+    piece separators reconstructs every word exactly, and n_tokens /
+    rank_sum agree with the piece list (the dp key never drifts from the
+    pieces it claims to describe)."""
+    from forgottenlandapp_etl_spark.operators import unigram, wordpiece
+
+    d = catalog.table(spark, sf_dir, "documents")
+    words = wordpiece.word_counts(d, "text")
+    ranks = unigram.seed_vocab_ranks(words)
+    rows = unigram.encode_words(words, ranks).collect()
+    assert rows
+    for r in rows:
+        pieces = r["encoded"].split(" ")
+        assert "".join(pieces) == r["word"]
+        assert r["n_tokens"] == len(pieces)
+        assert r["rank_sum"] == sum(ranks[p] for p in pieces)
