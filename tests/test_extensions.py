@@ -2661,6 +2661,43 @@ def test_unigram_encode_deterministic_and_long_words(spark):
     assert long[2] == 50 and long[4] == " ".join(["wwww"] * 50)
 
 
+def test_unigram_viterbi_matches_bruteforce_enumeration(spark):
+    """Optimality proof on an exhaustive lattice: for every word w in
+    {a,b}^1..6, enumerate ALL segmentations into vocab pieces in Python,
+    rank them by the exact objective (n_pieces·RANK_SCALE + Σ ranks, ties
+    lexicographic on the piece sequence), and require the Spark fold to
+    return the global optimum — not merely a valid segmentation."""
+    from itertools import product
+
+    from forgottenlandapp_etl_spark.operators import unigram
+
+    ranks = {"a": 1, "b": 2, "ab": 3, "ba": 4, "bb": 5, "aab": 6,
+             "abab": 7, "bab": 8, "aa": 9}
+
+    def all_segs(w):
+        if not w:
+            return [[]]
+        out = []
+        for l in range(1, min(unigram.MAX_PIECE, len(w)) + 1):
+            if w[:l] in ranks:
+                out.extend([[w[:l]] + rest for rest in all_segs(w[l:])])
+        return out
+
+    words = ["".join(p) for n in range(1, 7) for p in product("ab", repeat=n)]
+    df = spark.createDataFrame([(w, 1) for w in words],
+                               "word string, wcount long")
+    got = {r["word"]: (r["n_tokens"], r["rank_sum"], r["encoded"])
+           for r in unigram.encode_words(df, ranks).collect()}
+    for w in words:
+        best = min(
+            all_segs(w),
+            key=lambda s: (len(s), sum(ranks[p] for p in s), " ".join(s)),
+        )
+        assert got[w] == (
+            len(best), sum(ranks[p] for p in best), " ".join(best)
+        ), w
+
+
 def test_unigram_encode_round_trips_every_fixture_word(spark, sf_dir):
     """Lossless-segmentation property over the real corpus: removing the
     piece separators reconstructs every word exactly, and n_tokens /
