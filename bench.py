@@ -229,6 +229,7 @@ HEADLINE = [
     # the newline-unit line dedup
     "tok_unigram_encode",
     "tok_unigram_train",
+    "tok_unigram_refit_encode",
     "tok_fertility_compare",
     "stream_neardup_lsh_bucketed",
     "dedup_lines_newline",

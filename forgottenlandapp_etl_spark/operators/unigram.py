@@ -231,6 +231,29 @@ def piece_usage(
     )
 
 
+def refit_ranks(
+    words: DataFrame, ranks: dict[str, int], max_piece: int = MAX_PIECE
+) -> dict[str, int]:
+    """Hard-EM M-step: re-rank the vocab by E-step usage.
+
+    The refit vocab is the USED pieces (nonzero expected count under the
+    seed Viterbi) unioned with every single character — singles are never
+    pruned, or some word would lose its lattice path (SentencePiece keeps
+    them for the same reason). Ranks reassign under (usage DESC, piece
+    ASC), unused singles ranking by usage 0. Both collects are
+    vocab-sized — model-sized by construction, never corpus-sized.
+    """
+    usage = {
+        r["piece"]: r["usage"]
+        for r in piece_usage(words, ranks, max_piece).collect()
+    }
+    singles = {p for p in ranks if len(p) == 1}
+    pieces = sorted(
+        set(usage) | singles, key=lambda p: (-usage.get(p, 0), p)
+    )
+    return {p: i + 1 for i, p in enumerate(pieces)}
+
+
 def corpus_fertility(
     df: DataFrame,
     ranks: dict[str, int],

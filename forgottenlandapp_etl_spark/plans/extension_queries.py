@@ -6310,20 +6310,14 @@ def tok_wordpiece_fertility(spark, sf_dir):
 from ..operators import unigram  # noqa: E402
 
 
-def _unigram_ctes() -> str:
-    """The Unigram-LM CTE body (word counts → ranked seed vocab →
-    per-position rank pivot → recursive Viterbi dp → encoded words),
-    generated from the SAME constants the Spark operator uses
-    (operators/unigram.py): identical seed selection (weight DESC, piece
-    ASC top-K + forced single chars, ranked by the same total order) and
-    the identical integer Viterbi objective (n_pieces·RANK_SCALE + Σ
-    ranks, ties to the lexicographically smallest piece sequence),
-    carried as the same fixed-width ``key|pieces`` dp strings so LEAST
-    compares identically. uvocab/uprp are MATERIALIZED — the recursive
-    member re-scans them every iteration (the round-6 CTE-inlining
-    lesson). Shared by the encode, train, and fertility-compare oracles;
-    the top-level WITH must say RECURSIVE."""
-    mp, vt = unigram.MAX_PIECE, unigram.VOCAB_TOP
+def _unigram_dp_ctes(sfx: str, vocab: str) -> str:
+    """One Viterbi dp chain (per-position rank pivot ``uprp{sfx}`` →
+    recursive dp ``udp{sfx}`` → encoded words ``uenc{sfx}``) against the
+    (piece, rnk) CTE named ``vocab`` — parameterized so the hard-EM refit
+    oracle can replay the IDENTICAL lattice machinery against the
+    usage-ranked vocab (suffix '2') that the seed encode runs against
+    uvocab (suffix '')."""
+    mp = unigram.MAX_PIECE
     ks, kw = unigram.RANK_SCALE, unigram.KEY_WIDTH
     sent = unigram.SENTINEL
     cands = []
@@ -6345,6 +6339,46 @@ def _unigram_ctes() -> str:
         f"MAX(CASE WHEN c.l = {l} THEN v.rnk END) AS r{l}"
         for l in range(1, mp + 1)
     )
+    return f"""uprp{sfx} AS MATERIALIZED (
+      SELECT c.word, c.np, {rpivot}
+      FROM ucand c LEFT JOIN {vocab} v ON v.piece = c.piece
+      GROUP BY 1, 2
+    ),
+    udp{sfx} AS (
+      SELECT word, wcount, len(word) AS wl, 0 AS pos,
+             '{"0" * kw}|' AS d0,
+             {", ".join(f"'{sent}' AS d{i}" for i in range(1, mp))}
+      FROM uw
+      UNION ALL
+      SELECT s.word, s.wcount, s.wl, s.pos + 1,
+             {least} AS d0, {shifts}
+      FROM udp{sfx} s JOIN uprp{sfx} p
+        ON p.word = s.word AND p.np = s.pos + 1
+      WHERE s.pos < s.wl
+    ),
+    uenc{sfx} AS (
+      SELECT word, wcount,
+             CAST(substr(d0, 1, {kw}) AS BIGINT) // {ks} AS n_tokens,
+             CAST(substr(d0, 1, {kw}) AS BIGINT) % {ks} AS rank_sum,
+             substr(d0, {kw + 2}) AS encoded
+      FROM udp{sfx} WHERE pos = wl
+    )"""
+
+
+def _unigram_ctes() -> str:
+    """The Unigram-LM CTE body (word counts → ranked seed vocab →
+    per-position rank pivot → recursive Viterbi dp → encoded words),
+    generated from the SAME constants the Spark operator uses
+    (operators/unigram.py): identical seed selection (weight DESC, piece
+    ASC top-K + forced single chars, ranked by the same total order) and
+    the identical integer Viterbi objective (n_pieces·RANK_SCALE + Σ
+    ranks, ties to the lexicographically smallest piece sequence),
+    carried as the same fixed-width ``key|pieces`` dp strings so LEAST
+    compares identically. uvocab/uprp are MATERIALIZED — the recursive
+    member re-scans them every iteration (the round-6 CTE-inlining
+    lesson). Shared by the encode, train, refit and fertility-compare
+    oracles; the top-level WITH must say RECURSIVE."""
+    mp, vt = unigram.MAX_PIECE, unigram.VOCAB_TOP
     return f"""uw AS (
       SELECT t[i] AS word, CAST(COUNT(*) AS BIGINT) AS wcount
       FROM (SELECT string_split(text, ' ') AS t FROM documents),
@@ -6382,29 +6416,32 @@ def _unigram_ctes() -> str:
            UNNEST(generate_series(1, len(word))) AS g(np),
            UNNEST(generate_series(1, LEAST({mp}, g.np))) AS l(l)
     ),
-    uprp AS MATERIALIZED (
-      SELECT c.word, c.np, {rpivot}
-      FROM ucand c LEFT JOIN uvocab v ON v.piece = c.piece
-      GROUP BY 1, 2
+    {_unigram_dp_ctes("", "uvocab")}"""
+
+
+#: the hard-EM refit chain appended after _unigram_ctes(): E-step usage
+#: over the seed encode, M-step re-rank (usage DESC, piece ASC) over used
+#: pieces ∪ all single chars (singles are never pruned — the lattice must
+#: always have a path; unused singles rank by usage 0), then the SAME
+#: Viterbi machinery replayed against the refit vocab
+_UNIGRAM_REFIT_CTES = f"""uused AS (
+      SELECT u.piece, SUM(e.wcount) AS usage
+      FROM uenc e, UNNEST(string_split(e.encoded, ' ')) AS u(piece)
+      GROUP BY 1
     ),
-    udp AS (
-      SELECT word, wcount, len(word) AS wl, 0 AS pos,
-             '{"0" * kw}|' AS d0,
-             {", ".join(f"'{sent}' AS d{i}" for i in range(1, mp))}
-      FROM uw
-      UNION ALL
-      SELECT s.word, s.wcount, s.wl, s.pos + 1,
-             {least} AS d0, {shifts}
-      FROM udp s JOIN uprp p ON p.word = s.word AND p.np = s.pos + 1
-      WHERE s.pos < s.wl
+    uv2set AS (
+      SELECT DISTINCT piece FROM (
+        SELECT piece FROM uused
+        UNION ALL
+        SELECT piece FROM up WHERE len(piece) = 1)
     ),
-    uenc AS (
-      SELECT word, wcount,
-             CAST(substr(d0, 1, {kw}) AS BIGINT) // {ks} AS n_tokens,
-             CAST(substr(d0, 1, {kw}) AS BIGINT) % {ks} AS rank_sum,
-             substr(d0, {kw + 2}) AS encoded
-      FROM udp WHERE pos = wl
-    )"""
+    uvocab2 AS MATERIALIZED (
+      SELECT s.piece,
+             ROW_NUMBER() OVER
+               (ORDER BY COALESCE(u.usage, 0) DESC, s.piece) AS rnk
+      FROM uv2set s LEFT JOIN uused u USING (piece)
+    ),
+    {_unigram_dp_ctes("2", "uvocab2")}"""
 
 
 _UNIGRAM_ENCODE_SQL = f"""
@@ -6475,6 +6512,41 @@ def tok_unigram_train(spark, sf_dir):
     )
     ranks = unigram.seed_vocab_ranks(words)
     out = unigram.piece_usage(words, ranks)
+    out = out.localCheckpoint(eager=True)
+    words.unpersist()
+    return out
+
+
+_UNIGRAM_REFIT_SQL = f"""
+    WITH RECURSIVE {_unigram_ctes()},
+    {_UNIGRAM_REFIT_CTES}
+    SELECT word, wcount, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(rank_sum AS BIGINT) AS rank_sum, encoded
+    FROM uenc2
+"""
+
+
+@ext_query("tok_unigram_refit_encode", _UNIGRAM_REFIT_SQL)
+def tok_unigram_refit_encode(spark, sf_dir):
+    """One full hard-EM round of the Unigram-LM tokenizer, closed end to
+    end: E-step (Viterbi usage counts under the seed vocab) → M-step
+    (re-rank by usage DESC, piece ASC over used pieces ∪ all single
+    chars — singles never pruned, the lattice must keep a path) →
+    re-encode every distinct word under the refit vocab. This is the
+    iteration SentencePiece loops to convergence; hash-equality of the
+    refit ENCODING (not just the vocab) proves the whole E→M→E chain is
+    engine-reproducible. The oracle replays both lattices with the same
+    parameterized dp CTE generator the seed encode uses — one source of
+    truth for the machinery."""
+    from pyspark import StorageLevel
+
+    d = _docs(spark, sf_dir, fan_out=True)
+    words = wordpiece.word_counts(d, "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    seed = unigram.seed_vocab_ranks(words)
+    ranks2 = unigram.refit_ranks(words, seed)
+    out = unigram.encode_words(words, ranks2)
     out = out.localCheckpoint(eager=True)
     words.unpersist()
     return out

@@ -167,6 +167,7 @@ DOC_ONLY_ENTRIES = [
     # unbounded unigram on the same occurrence relation)
     "tok_unigram_encode",
     "tok_unigram_train",
+    "tok_unigram_refit_encode",
     "tok_fertility_compare",
     # round 9b: Kneser-Ney hits the same boundary shapes as the Laplace
     # tier (empty/1-token docs -> (0,0); corpus-unique bigrams now take

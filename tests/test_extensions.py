@@ -2698,6 +2698,27 @@ def test_unigram_viterbi_matches_bruteforce_enumeration(spark):
         ), w
 
 
+def test_unigram_refit_preserves_piece_counts_and_round_trip(spark, sf_dir):
+    """Hard-EM invariant: the M-step vocab is (used pieces ∪ singles) —
+    a subset of the seed vocab plus nothing new — and every seed-optimal
+    path used only 'used' pieces, so the minimum piece count per word is
+    UNCHANGED after the refit (only tie-breaks among equal-count paths
+    may move). Round-trip must also survive the refit."""
+    from forgottenlandapp_etl_spark.operators import unigram, wordpiece
+
+    d = catalog.table(spark, sf_dir, "documents")
+    words = wordpiece.word_counts(d, "text")
+    seed = unigram.seed_vocab_ranks(words)
+    ranks2 = unigram.refit_ranks(words, seed)
+    assert set(ranks2) <= set(seed)  # nothing new is ever minted
+    nt1 = {r["word"]: r["n_tokens"]
+           for r in unigram.encode_words(words, seed).collect()}
+    rows2 = unigram.encode_words(words, ranks2).collect()
+    assert {r["word"]: r["n_tokens"] for r in rows2} == nt1
+    for r in rows2:
+        assert "".join(r["encoded"].split(" ")) == r["word"]
+
+
 def test_unigram_encode_round_trips_every_fixture_word(spark, sf_dir):
     """Lossless-segmentation property over the real corpus: removing the
     piece separators reconstructs every word exactly, and n_tokens /
