@@ -233,6 +233,7 @@ HEADLINE = [
     "tok_fertility_compare",
     "stream_neardup_lsh_bucketed",
     "dedup_lines_newline",
+    "dq_corpus_datasheet",
 ]
 
 

@@ -502,3 +502,87 @@ def contrastive_triplets(
     return ok.groupBy("anchor", "pos_id").agg(
         F.min_by("neg", "off").alias("neg_id")
     )
+
+
+# --- corpus datasheet ---------------------------------------------------------
+
+
+def corpus_datasheet(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source corpus datasheet — the summary card corpus releases
+    publish (Datasheets for Datasets, Gebru et al. 2021; the per-source
+    tables in the Dolma / RefinedWeb corpus reports): volume (docs,
+    tokens, chars), corpus-wide exact-duplication attribution, and the
+    language mix, one row per source.
+
+    All integer math (rates are ×10^6 fixed-point via ``div``):
+
+    - ``n_tokens`` counts NON-EMPTY whitespace tokens (delimiter runs
+      mint empty split elements — the standing empty-token hazard);
+    - ``n_dup_docs`` counts docs whose exact text occurs ≥2 times in the
+      WHOLE corpus, so a page syndicated across sources is charged to
+      every source carrying it (cross-source attribution — per-source
+      grouping of a corpus-wide count join, the dedup_exact shape);
+    - ``top_lang`` is the majority language with ties to the
+      lexicographically smallest, selected by a partitioned row_number
+      under a total order (never a bare max).
+
+    Shapes: one narrow scan feeds a text-keyed count agg and a join back
+    on the same key (AQE exchange reuse), then a sources-sized agg; the
+    language mix is a second partial agg + a sources-sized broadcast
+    join. Linear at any corpus size; no all-pairs anywhere.
+    """
+    toks = F.size(
+        F.filter(
+            F.split(F.col(text_col), " "), lambda x: F.length(x) > 0
+        )
+    )
+    base = df.select(
+        F.col(group_col),
+        F.col(lang_col),
+        F.col(text_col).alias("t"),
+        toks.alias("ntok"),
+    )
+    tc = base.groupBy("t").agg(F.count(F.lit(1)).alias("tcount"))
+    per = (
+        base.join(tc, "t")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+            F.sum(F.length("t")).cast("long").alias("n_chars"),
+            F.sum((F.col("tcount") >= 2).cast("long")).alias("n_dup_docs"),
+            F.countDistinct(F.col(lang_col)).cast("long").alias("n_langs"),
+        )
+    )
+    lc = df.groupBy(group_col, lang_col).agg(F.count(F.lit(1)).alias("lcnt"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("lcnt").desc(), F.col(lang_col)
+    )
+    top = (
+        lc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col(group_col),
+            F.col(lang_col).alias("top_lang"),
+            F.col("lcnt").alias("top_lang_docs"),
+        )
+    )
+    return per.join(F.broadcast(top), group_col).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.col("n_dup_docs").cast("long").alias("n_dup_docs"),
+        F.expr("(n_dup_docs * 1000000) div n_docs").alias("dup_rate_fp"),
+        "n_langs",
+        "top_lang",
+        F.expr("(top_lang_docs * 1000000) div n_docs").alias(
+            "top_lang_share_fp"
+        ),
+    )

@@ -6517,6 +6517,60 @@ def tok_unigram_train(spark, sf_dir):
     return out
 
 
+_DATASHEET_SQL = """
+    WITH base AS (
+      SELECT source, lang, text AS t,
+             len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+               AS ntok
+      FROM documents
+    ),
+    tc AS (SELECT t, COUNT(*) AS tcount FROM base GROUP BY 1),
+    per AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             SUM(ntok) AS n_tokens,
+             SUM(len(t)) AS n_chars,
+             SUM(CASE WHEN tcount >= 2 THEN 1 ELSE 0 END) AS n_dup_docs,
+             COUNT(DISTINCT lang) AS n_langs
+      FROM base JOIN tc USING (t) GROUP BY 1
+    ),
+    top AS (
+      SELECT source, lang AS top_lang, lcnt FROM (
+        SELECT source, lang, COUNT(*) AS lcnt,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY COUNT(*) DESC, lang) AS rn
+        FROM documents GROUP BY source, lang
+      ) WHERE rn = 1
+    )
+    SELECT p.source,
+           CAST(p.n_docs AS BIGINT) AS n_docs,
+           CAST(p.n_tokens AS BIGINT) AS n_tokens,
+           CAST(p.n_chars AS BIGINT) AS n_chars,
+           CAST(p.n_dup_docs AS BIGINT) AS n_dup_docs,
+           CAST(p.n_dup_docs * 1000000 // p.n_docs AS BIGINT) AS dup_rate_fp,
+           CAST(p.n_langs AS BIGINT) AS n_langs,
+           t.top_lang,
+           CAST(t.lcnt * 1000000 // p.n_docs AS BIGINT) AS top_lang_share_fp
+    FROM per p JOIN top t USING (source)
+"""
+
+
+@ext_query("dq_corpus_datasheet", _DATASHEET_SQL)
+def dq_corpus_datasheet(spark, sf_dir):
+    """Per-source corpus datasheet — the release card corpus papers
+    publish (Datasheets for Datasets; the per-source tables in Dolma /
+    RefinedWeb reports): volume (docs / non-empty tokens / chars),
+    corpus-WIDE exact-duplication attribution (a syndicated page is
+    charged to every source carrying it — per-source grouping of a
+    corpus-wide text-count join, the dedup_exact shape), and the
+    language mix with a total-order majority pick (count DESC, lang ASC
+    — never a bare max). All integer fixed-point; one narrow scan feeds
+    the text-count agg and its join back on the same key, then two
+    sources-sized aggs and a broadcast join. Linear, no all-pairs."""
+    d = _docs(spark, sf_dir)
+    return curation.corpus_datasheet(d)
+
+
 _UNIGRAM_REFIT_SQL = f"""
     WITH RECURSIVE {_unigram_ctes()},
     {_UNIGRAM_REFIT_CTES}

@@ -169,6 +169,10 @@ DOC_ONLY_ENTRIES = [
     "tok_unigram_train",
     "tok_unigram_refit_encode",
     "tok_fertility_compare",
+    # round 10: the datasheet's dup attribution must count the exact
+    # duplicates in this corpus and its token counts must skip the
+    # empty-token hazard rows
+    "dq_corpus_datasheet",
     # round 9b: Kneser-Ney hits the same boundary shapes as the Laplace
     # tier (empty/1-token docs -> (0,0); corpus-unique bigrams now take
     # the continuation-probability path instead of the 1/1 trap)
