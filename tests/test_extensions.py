@@ -2719,6 +2719,36 @@ def test_unigram_refit_preserves_piece_counts_and_round_trip(spark, sf_dir):
         assert "".join(r["encoded"].split(" ")) == r["word"]
 
 
+def test_corpus_datasheet_golden(spark):
+    """Hand-computed card: cross-source dup attribution (the syndicated
+    page charges BOTH sources), empty-token-free token counts, and the
+    majority-language tie broken to the lexicographically smallest."""
+    from forgottenlandapp_etl_spark.operators import curation
+
+    rows = [
+        (0, "shared page text", "en", "a"),
+        (1, "shared page text", "de", "b"),   # same text, other source
+        (2, "a  b", "en", "a"),               # double space -> empty token
+        (3, "unique one", "de", "a"),
+        (4, "solo", "de", "b"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["source"]: r for r in curation.corpus_datasheet(df).collect()}
+    a, b = out["a"], out["b"]
+    assert a["n_docs"] == 3 and b["n_docs"] == 2
+    assert a["n_tokens"] == 3 + 2 + 2  # empty token NOT counted
+    assert a["n_dup_docs"] == 1 and b["n_dup_docs"] == 1  # both charged
+    assert b["dup_rate_fp"] == 500_000
+    # source a: en=2, de=1 -> en; source b: de=1, en=0... b has de,de? no:
+    # b carries docs 1 (de) and 4 (de) -> de with share 1.0
+    assert a["top_lang"] == "en" and a["top_lang_share_fp"] == 666_666
+    assert b["top_lang"] == "de" and b["top_lang_share_fp"] == 1_000_000
+    assert a["n_langs"] == 2 and b["n_langs"] == 1
+
+
 def test_unigram_encode_round_trips_every_fixture_word(spark, sf_dir):
     """Lossless-segmentation property over the real corpus: removing the
     piece separators reconstructs every word exactly, and n_tokens /
