@@ -524,10 +524,15 @@ def corpus_datasheet(
 
     - ``n_tokens`` counts NON-EMPTY whitespace tokens (delimiter runs
       mint empty split elements — the standing empty-token hazard);
-    - ``n_dup_docs`` counts docs whose exact text occurs ≥2 times in the
-      WHOLE corpus, so a page syndicated across sources is charged to
-      every source carrying it (cross-source attribution — per-source
-      grouping of a corpus-wide count join, the dedup_exact shape);
+    - ``n_dup_docs`` counts docs whose exact (byte-identical) text occurs
+      ≥2 times in the WHOLE corpus, so a page syndicated across sources
+      is charged to every source carrying it (cross-source attribution —
+      per-source grouping of a corpus-wide count join, the dedup_exact
+      shape). The count key is ``md5(text)``, not the text itself: at
+      100 TB the dup-count shuffle moves 32-char digests instead of full
+      documents, and both engines compute the same md5 so the oracle
+      stays byte-exact (collisions, were one ever to occur, would be the
+      SAME collision on both sides);
     - ``top_lang`` is the majority language with ties to the
       lexicographically smallest, selected by a partitioned row_number
       under a total order (never a bare max).
@@ -545,17 +550,18 @@ def corpus_datasheet(
     base = df.select(
         F.col(group_col),
         F.col(lang_col),
-        F.col(text_col).alias("t"),
+        F.md5(F.col(text_col)).alias("fp"),
+        F.length(F.col(text_col)).alias("nchar"),
         toks.alias("ntok"),
     )
-    tc = base.groupBy("t").agg(F.count(F.lit(1)).alias("tcount"))
+    tc = base.groupBy("fp").agg(F.count(F.lit(1)).alias("tcount"))
     per = (
-        base.join(tc, "t")
+        base.join(tc, "fp")
         .groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("ntok").cast("long").alias("n_tokens"),
-            F.sum(F.length("t")).cast("long").alias("n_chars"),
+            F.sum("nchar").cast("long").alias("n_chars"),
             F.sum((F.col("tcount") >= 2).cast("long")).alias("n_dup_docs"),
             F.countDistinct(F.col(lang_col)).cast("long").alias("n_langs"),
         )

@@ -6519,20 +6519,20 @@ def tok_unigram_train(spark, sf_dir):
 
 _DATASHEET_SQL = """
     WITH base AS (
-      SELECT source, lang, text AS t,
+      SELECT source, lang, md5(text) AS fp, len(text) AS nchar,
              len(list_filter(string_split(text, ' '), x -> len(x) > 0))
                AS ntok
       FROM documents
     ),
-    tc AS (SELECT t, COUNT(*) AS tcount FROM base GROUP BY 1),
+    tc AS (SELECT fp, COUNT(*) AS tcount FROM base GROUP BY 1),
     per AS (
       SELECT source,
              COUNT(*) AS n_docs,
              SUM(ntok) AS n_tokens,
-             SUM(len(t)) AS n_chars,
+             SUM(nchar) AS n_chars,
              SUM(CASE WHEN tcount >= 2 THEN 1 ELSE 0 END) AS n_dup_docs,
              COUNT(DISTINCT lang) AS n_langs
-      FROM base JOIN tc USING (t) GROUP BY 1
+      FROM base JOIN tc USING (fp) GROUP BY 1
     ),
     top AS (
       SELECT source, lang AS top_lang, lcnt FROM (
