@@ -234,6 +234,7 @@ HEADLINE = [
     "stream_neardup_lsh_bucketed",
     "dedup_lines_newline",
     "dq_corpus_datasheet",
+    "stream_corpus_datasheet",
 ]
 
 

@@ -6571,6 +6571,25 @@ def dq_corpus_datasheet(spark, sf_dir):
     return curation.corpus_datasheet(d)
 
 
+@ext_query("stream_corpus_datasheet", _DATASHEET_SQL)
+def stream_corpus_datasheet(spark, sf_dir):
+    """STREAMING maintenance of the corpus datasheet — continuous corpus
+    monitoring: two mergeable state relations ((fp,source) partial sums
+    and the (source,lang) mix) accumulate as batchId-keyed parquet delta
+    appends per micro-batch, the third exactly-once discipline in the
+    streaming tier (next to dynamic-partition upsert and min-idempotent
+    appends): replayed batches append byte-identical rows and the read
+    side collapses them by (batch_id, keys) MAX before summing across
+    batches. Duplication attribution is derived at READ time from the
+    corpus-wide fp totals, so a late-arriving twin retroactively flips
+    its earlier copy to duplicate. Same oracle as dq_corpus_datasheet —
+    hash-equality proves incremental maintenance ≡ full recomputation at
+    any micro-batch granularity."""
+    from ..streaming.datasheet import stream_corpus_datasheet as run
+
+    return run(spark, sf_dir)
+
+
 _UNIGRAM_REFIT_SQL = f"""
     WITH RECURSIVE {_unigram_ctes()},
     {_UNIGRAM_REFIT_CTES}

@@ -214,8 +214,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # Round-11 rotation candidates (same mechanism, once the r9/r10
 # promotions go multi-round green): the round-10 additions not yet
 # windowed (tok_fertility_compare — the cross-family tokenizer report —
-# tok_unigram_refit_encode — the closed E→M→E hard-EM round — and
-# dedup_lines_newline, all three first), the remaining never-windowed r9
+# tok_unigram_refit_encode — the closed E→M→E hard-EM round —
+# dedup_lines_newline, dq_corpus_datasheet and its streaming sibling
+# stream_corpus_datasheet — the batchId-keyed exactly-once pattern — all
+# first), the remaining never-windowed r9
 # batch-B rows (layout_zorder, text_normalize, filter_domain_blocklist,
 # quality_domain_calibrated, quality_perplexity_buckets), the set-op
 # family (set_intersect_all / set_except_all), reshape_unpivot, agg_cube

@@ -171,8 +171,11 @@ DOC_ONLY_ENTRIES = [
     "tok_fertility_compare",
     # round 10: the datasheet's dup attribution must count the exact
     # duplicates in this corpus and its token counts must skip the
-    # empty-token hazard rows
+    # empty-token hazard rows; the streaming form must agree with the
+    # same batch oracle even when the adversarial twins land in
+    # different micro-batches
     "dq_corpus_datasheet",
+    "stream_corpus_datasheet",
     # round 9b: Kneser-Ney hits the same boundary shapes as the Laplace
     # tier (empty/1-token docs -> (0,0); corpus-unique bigrams now take
     # the continuation-probability path instead of the 1/1 trap)

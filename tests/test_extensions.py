@@ -2749,6 +2749,57 @@ def test_corpus_datasheet_golden(spark):
     assert a["n_langs"] == 2 and b["n_langs"] == 1
 
 
+def test_stream_datasheet_equals_batch_and_granularity(spark, sf_dir):
+    """Incremental card maintenance ≡ batch recomputation, at every
+    micro-batch slicing (1 batch = the degenerate all-at-once case; 4 and
+    7 exercise cross-batch dup attribution — twins split across batches
+    must still both count)."""
+    from forgottenlandapp_etl_spark.operators import curation
+    from forgottenlandapp_etl_spark.streaming.datasheet import (
+        stream_corpus_datasheet,
+    )
+
+    want = sorted(
+        map(tuple, curation.corpus_datasheet(
+            catalog.table(spark, sf_dir, "documents")
+        ).collect())
+    )
+    for n in (1, 4, 7):
+        got = sorted(
+            map(tuple, stream_corpus_datasheet(spark, sf_dir, n_files=n).collect())
+        )
+        assert got == want, f"n_files={n}"
+    assert want  # non-degenerate
+
+
+def test_stream_datasheet_replayed_batch_is_idempotent(spark, sf_dir, tmp_path):
+    """The batchId-keyed exactly-once contract, proven directly: writing
+    the SAME batch delta twice (foreachBatch's at-least-once replay)
+    leaves the assembled card unchanged, while a genuinely new batch id
+    changes it."""
+    from forgottenlandapp_etl_spark.streaming.datasheet import (
+        datasheet_from_deltas,
+        write_deltas,
+    )
+
+    docs = catalog.table(spark, sf_dir, "documents").limit(50)
+    fp_dir, lang_dir = str(tmp_path / "fp"), str(tmp_path / "lang")
+    write_deltas(docs, 0, fp_dir, lang_dir)
+    once = sorted(
+        map(tuple, datasheet_from_deltas(spark, fp_dir, lang_dir).collect())
+    )
+    write_deltas(docs, 0, fp_dir, lang_dir)  # replay: identical batch_id
+    replayed = sorted(
+        map(tuple, datasheet_from_deltas(spark, fp_dir, lang_dir).collect())
+    )
+    assert replayed == once
+    write_deltas(docs, 1, fp_dir, lang_dir)  # real new batch: must change
+    fresh = sorted(
+        map(tuple, datasheet_from_deltas(spark, fp_dir, lang_dir).collect())
+    )
+    assert fresh != once
+
+
 def test_unigram_encode_round_trips_every_fixture_word(spark, sf_dir):
     """Lossless-segmentation property over the real corpus: removing the
     piece separators reconstructs every word exactly, and n_tokens /
