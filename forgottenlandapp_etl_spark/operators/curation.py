@@ -566,7 +566,18 @@ def corpus_datasheet(
             F.countDistinct(F.col(lang_col)).cast("long").alias("n_langs"),
         )
     )
-    lc = df.groupBy(group_col, lang_col).agg(F.count(F.lit(1)).alias("lcnt"))
+    # NULL lang is NOT a language: it is excluded from the mix entirely,
+    # matching countDistinct's NULL-skip in n_langs above. Ranking a NULL
+    # group would also be a cross-engine hazard — Spark sorts NULLS FIRST
+    # on ASC, DuckDB NULLS LAST, so a NULL-lang group tying on count
+    # would pick different top_langs. The join back is LEFT so a source
+    # whose docs are ALL unidentified keeps its volume row
+    # (top_lang NULL, share 0).
+    lc = (
+        df.where(F.col(lang_col).isNotNull())
+        .groupBy(group_col, lang_col)
+        .agg(F.count(F.lit(1)).alias("lcnt"))
+    )
     w = Window.partitionBy(group_col).orderBy(
         F.col("lcnt").desc(), F.col(lang_col)
     )
@@ -579,7 +590,7 @@ def corpus_datasheet(
             F.col("lcnt").alias("top_lang_docs"),
         )
     )
-    return per.join(F.broadcast(top), group_col).select(
+    return per.join(F.broadcast(top), group_col, "left").select(
         group_col,
         "n_docs",
         "n_tokens",
@@ -588,7 +599,7 @@ def corpus_datasheet(
         F.expr("(n_dup_docs * 1000000) div n_docs").alias("dup_rate_fp"),
         "n_langs",
         "top_lang",
-        F.expr("(top_lang_docs * 1000000) div n_docs").alias(
-            "top_lang_share_fp"
-        ),
+        F.expr(
+            "(coalesce(top_lang_docs, 0) * 1000000) div n_docs"
+        ).alias("top_lang_share_fp"),
     )

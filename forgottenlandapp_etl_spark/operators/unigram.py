@@ -62,7 +62,10 @@ MAX_PIECE = 4
 #: seed vocab entries kept by weight before the forced single-char union
 VOCAB_TOP = 48
 #: key = n_pieces * RANK_SCALE + Σ ranks; must exceed any possible rank sum
-#: (≤ max word length × vocab size ≈ 200 × 300 — far below 10^6)
+#: (≤ max word length × vocab size). ENFORCED per word in encode_words via
+#: assert_true(len(word) * |vocab| < RANK_SCALE) — a large-alphabet corpus
+#: (CJK singles) or very long words fail loudly instead of silently
+#: bleeding rank sum into the n_pieces term of the dp key.
 RANK_SCALE = 1_000_000
 #: zero-padded key width; keys stay < 10^12 for any realistic word length
 KEY_WIDTH = 12
@@ -195,13 +198,157 @@ def encode_words(
         )
 
     res = F.aggregate(F.sequence(F.lit(1), F.length(w)), init, fold)["d0"]
+    # RANK_SCALE invariant, ENFORCED (not just documented): rank_sum is
+    # bounded by len(word) × |vocab| (every piece costs ≤ max rank =
+    # len(ranks)); if that bound can reach RANK_SCALE the rank sum would
+    # silently bleed into the n_pieces term of the dp key and reorder the
+    # Viterbi argmax — both engines corrupt identically, so the oracle
+    # stays green while the objective is no longer the documented one.
+    # assert_true fails the JOB loudly instead; it returns NULL on pass,
+    # so the coalesce(+0) keeps it un-prunable inside the wcount output.
+    bound = F.length(w).cast("long") * F.lit(len(ranks))
+    guard = F.assert_true(
+        bound < F.lit(RANK_SCALE),
+        F.concat_ws(
+            " ",
+            F.lit("unigram RANK_SCALE overflow: len(word)*|vocab| ="),
+            bound.cast("string"),
+            F.lit(f">= {RANK_SCALE}; raise RANK_SCALE/KEY_WIDTH"),
+        ),
+    )
+    wcount_guarded = F.col("wcount").cast("long") + F.coalesce(
+        guard.cast("long"), F.lit(0)
+    )
     st = words.where(F.length(w) > 0).select(
-        "word", F.col("wcount").cast("long").alias("wcount"), res.alias("d")
+        "word", wcount_guarded.alias("wcount"), res.alias("d")
     )
     key = F.substring("d", 1, KEY_WIDTH).cast("long")
     return st.select(
         "word",
         "wcount",
+        (key / F.lit(RANK_SCALE)).cast("long").alias("n_tokens"),
+        (key % F.lit(RANK_SCALE)).cast("long").alias("rank_sum"),
+        F.substring("d", KEY_WIDTH + 2, 1 << 30).alias("encoded"),
+    )
+
+
+#: default segmentation count for the n-best Viterbi enumeration
+N_BEST = 3
+
+
+def encode_words_nbest(
+    words: DataFrame,
+    ranks: dict[str, int],
+    n_best: int = N_BEST,
+    max_piece: int = MAX_PIECE,
+) -> DataFrame:
+    """Deterministic n-best Viterbi: the top ``n_best`` segmentations of
+    every distinct word under the SAME exact-integer total order the
+    1-best encode minimizes (fewest pieces, then rank sum, then
+    lexicographic piece sequence).
+
+    This is subword regularization's enumeration (Kudo 2018 samples from
+    the n-best lattice at train time) WITHOUT the sampling — the top-n
+    paths under a total order are hash-exact cross-engine, so the entry
+    stays oracle-paired where a sampled segmentation could not be.
+
+    Exactness: the k-th best path to position p extends one of the top-k
+    states at p−l — appending the same (piece, rank) to two segmentations
+    of the same prefix preserves their strict order (equal key deltas;
+    and no segmentation of a prefix is a string-prefix of another, since
+    stripping separators must reproduce the identical prefix text) — so
+    per-position top-n lists suffice for the global top-n.
+
+    Mechanics: the dp state per position is an ARRAY of ``n_best``
+    ``key|pieces`` strings (SENTINEL-padded); each fold step extends all
+    ``max_piece × n_best`` predecessors, ``array_sort``s (binary UTF-8 —
+    the same LEAST order as 1-best) and keeps the first ``n_best``.
+    Emits one row per real (non-sentinel) path:
+    (word, wcount, best_rank 1..n, n_tokens, rank_sum, encoded).
+    """
+    w = F.col("word")
+    rmap = _rank_map(ranks)
+    init = F.struct(
+        F.concat(
+            F.array(F.lit("0" * KEY_WIDTH + "|")),
+            F.array_repeat(F.lit(SENTINEL), n_best - 1),
+        ).alias("d0"),
+        *[
+            F.array_repeat(F.lit(SENTINEL), n_best).alias(f"d{i}")
+            for i in range(1, max_piece)
+        ],
+    )
+
+    def make_ext(l, piece, r, np):
+        # closure factory: pyspark counts a lambda's parameters to bind
+        # the higher-order function, so captures must NOT be defaults
+        def ext(prev):
+            prev_key = F.substring(prev, 1, KEY_WIDTH).cast("long")
+            prev_enc = F.substring(prev, KEY_WIDTH + 2, 1 << 30)
+            key = prev_key + F.lit(RANK_SCALE) + r
+            enc = F.concat(
+                prev_enc,
+                F.when(prev_enc == F.lit(""), F.lit("")).otherwise(
+                    F.lit(" ")
+                ),
+                piece,
+            )
+            ok = (
+                (np >= F.lit(l))
+                & (F.substring(prev, 1, 1) != F.lit("9"))
+                & r.isNotNull()
+            )
+            return F.when(
+                ok,
+                F.concat(
+                    F.lpad(key.cast("string"), KEY_WIDTH, "0"),
+                    F.lit("|"),
+                    enc,
+                ),
+            ).otherwise(F.lit(SENTINEL))
+
+        return ext
+
+    def fold(acc, np):
+        per_len = []
+        for l in range(1, max_piece + 1):
+            piece = w.substr(np - F.lit(l) + 1, F.lit(l))
+            r = F.try_element_at(rmap, piece)
+            per_len.append(
+                F.transform(acc[f"d{l - 1}"], make_ext(l, piece, r, np))
+            )
+        allc = F.array_sort(F.concat(*per_len))
+        return F.struct(
+            F.slice(allc, 1, n_best).alias("d0"),
+            *[acc[f"d{i - 1}"].alias(f"d{i}") for i in range(1, max_piece)],
+        )
+
+    res = F.aggregate(F.sequence(F.lit(1), F.length(w)), init, fold)["d0"]
+    # same enforced RANK_SCALE invariant as the 1-best encode
+    bound = F.length(w).cast("long") * F.lit(len(ranks))
+    guard = F.assert_true(
+        bound < F.lit(RANK_SCALE),
+        F.concat_ws(
+            " ",
+            F.lit("unigram RANK_SCALE overflow: len(word)*|vocab| ="),
+            bound.cast("string"),
+            F.lit(f">= {RANK_SCALE}; raise RANK_SCALE/KEY_WIDTH"),
+        ),
+    )
+    wcount_guarded = F.col("wcount").cast("long") + F.coalesce(
+        guard.cast("long"), F.lit(0)
+    )
+    st = words.where(F.length(w) > 0).select(
+        "word", wcount_guarded.alias("wcount"), res.alias("ds")
+    )
+    ex = st.select(
+        "word", "wcount", F.posexplode("ds").alias("pos", "d")
+    ).where(F.substring("d", 1, 1) != F.lit("9"))
+    key = F.substring("d", 1, KEY_WIDTH).cast("long")
+    return ex.select(
+        "word",
+        "wcount",
+        (F.col("pos") + 1).cast("long").alias("best_rank"),
         (key / F.lit(RANK_SCALE)).cast("long").alias("n_tokens"),
         (key % F.lit(RANK_SCALE)).cast("long").alias("rank_sum"),
         F.substring("d", KEY_WIDTH + 2, 1 << 30).alias("encoded"),

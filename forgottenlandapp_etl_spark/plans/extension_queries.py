@@ -6535,11 +6535,15 @@ _DATASHEET_SQL = """
       FROM base JOIN tc USING (fp) GROUP BY 1
     ),
     top AS (
+      -- NULL lang is excluded from the mix (countDistinct semantics; a
+      -- NULL group in the rank would also hit the Spark-NULLS-FIRST vs
+      -- DuckDB-NULLS-LAST ASC divergence); LEFT join keeps all-NULL
+      -- sources' volume rows (top_lang NULL, share 0)
       SELECT source, lang AS top_lang, lcnt FROM (
         SELECT source, lang, COUNT(*) AS lcnt,
                ROW_NUMBER() OVER (PARTITION BY source
                                   ORDER BY COUNT(*) DESC, lang) AS rn
-        FROM documents GROUP BY source, lang
+        FROM documents WHERE lang IS NOT NULL GROUP BY source, lang
       ) WHERE rn = 1
     )
     SELECT p.source,
@@ -6550,8 +6554,9 @@ _DATASHEET_SQL = """
            CAST(p.n_dup_docs * 1000000 // p.n_docs AS BIGINT) AS dup_rate_fp,
            CAST(p.n_langs AS BIGINT) AS n_langs,
            t.top_lang,
-           CAST(t.lcnt * 1000000 // p.n_docs AS BIGINT) AS top_lang_share_fp
-    FROM per p JOIN top t USING (source)
+           CAST(COALESCE(t.lcnt, 0) * 1000000 // p.n_docs AS BIGINT)
+             AS top_lang_share_fp
+    FROM per p LEFT JOIN top t USING (source)
 """
 
 
@@ -7059,3 +7064,255 @@ def dq_event_freshness(spark, sf_dir):
         .cast("int")
         .alias("sla_breach"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-11 additions: deterministic n-best Viterbi (subword regularization's
+# enumeration without sampling) and the byte-level / byte-fallback tokenizer
+# (r10 VERDICT gap 3 — the two remaining standard tokenizer capabilities)
+# ---------------------------------------------------------------------------
+
+
+def _unigram_nbest_cte(n_best: int) -> str:
+    """The n-best Viterbi dp as one recursive CTE (``udpn``), appended
+    after :func:`_unigram_ctes` (it reuses ``uw`` and the MATERIALIZED
+    per-position rank pivot ``uprp``). Each dp cell is a LIST of
+    ``n_best`` fixed-width ``key|pieces`` strings: the recursive member
+    extends all ``MAX_PIECE × n_best`` predecessor states with
+    ``list_transform``, sorts the concatenation (binary UTF-8 — the same
+    order the 1-best LEAST uses) and keeps the first ``n_best`` — scalar
+    list functions only, so the recursive member stays legal where an
+    aggregate would not be."""
+    mp = unigram.MAX_PIECE
+    ks, kw = unigram.RANK_SCALE, unigram.KEY_WIDTH
+    sent = unigram.SENTINEL
+    cands = []
+    for l in range(1, mp + 1):
+        cands.append(f"""list_transform(s.d{l - 1}, x ->
+          CASE WHEN s.pos + 1 >= {l} AND substr(x, 1, 1) <> '9'
+                    AND p.r{l} IS NOT NULL
+               THEN lpad(CAST(CAST(substr(x, 1, {kw}) AS BIGINT)
+                              + {ks} + p.r{l} AS VARCHAR), {kw}, '0')
+                    || '|' ||
+                    CASE WHEN substr(x, {kw + 2}) = '' THEN ''
+                         ELSE substr(x, {kw + 2}) || ' ' END
+                    || substr(s.word, s.pos + 2 - {l}, {l})
+               ELSE '{sent}' END)""")
+    allc = " || ".join(cands)
+    shifts = ", ".join(f"s.d{i - 1} AS d{i}" for i in range(1, mp))
+    init_d0 = "['" + "0" * kw + "|'" + (", '" + sent + "'") * (n_best - 1) + "]"
+    sent_list = "[" + ", ".join(f"'{sent}'" for _ in range(n_best)) + "]"
+    return f"""udpn AS (
+      SELECT word, wcount, len(word) AS wl, 0 AS pos,
+             {init_d0} AS d0,
+             {", ".join(f"{sent_list} AS d{i}" for i in range(1, mp))}
+      FROM uw
+      UNION ALL
+      SELECT s.word, s.wcount, s.wl, s.pos + 1,
+             list_slice(list_sort({allc}), 1, {n_best}) AS d0, {shifts}
+      FROM udpn s JOIN uprp p ON p.word = s.word AND p.np = s.pos + 1
+      WHERE s.pos < s.wl
+    )"""
+
+
+_UNIGRAM_NBEST_SQL = f"""
+    WITH RECURSIVE {_unigram_ctes()},
+    {_unigram_nbest_cte(unigram.N_BEST)}
+    SELECT word, CAST(wcount AS BIGINT) AS wcount,
+           CAST(g.i AS BIGINT) AS best_rank,
+           CAST(substr(d0[g.i], 1, {unigram.KEY_WIDTH}) AS BIGINT)
+             // {unigram.RANK_SCALE} AS n_tokens,
+           CAST(substr(d0[g.i], 1, {unigram.KEY_WIDTH}) AS BIGINT)
+             % {unigram.RANK_SCALE} AS rank_sum,
+           substr(d0[g.i], {unigram.KEY_WIDTH + 2}) AS encoded
+    FROM udpn, UNNEST(generate_series(1, len(d0))) AS g(i)
+    WHERE pos = wl AND substr(d0[g.i], 1, 1) <> '9'
+"""
+
+
+@ext_query("tok_unigram_nbest", _UNIGRAM_NBEST_SQL)
+def tok_unigram_nbest(spark, sf_dir):
+    """Deterministic n-best Viterbi over the Unigram-LM lattice — subword
+    regularization's enumeration (Kudo 2018 trains by sampling from the
+    n-best segmentations) WITHOUT the sampling: the top-n paths under
+    the exact-integer total order (fewest pieces, then seed-frequency
+    rank sum, then lexicographic piece sequence) are hash-exact
+    cross-engine, so the entry stays oracle-paired where a sampled
+    segmentation could not be. The dp state per position is an ARRAY of
+    n ``key|pieces`` strings; every fold step extends all MAX_PIECE × n
+    predecessors, array_sorts and keeps the first n — exact because
+    appending the same piece to two same-prefix segmentations preserves
+    their strict order (per-position top-n lists suffice globally; see
+    the operator's optimality proof and the exhaustive-enumeration
+    test). The oracle replays the identical list-dp as a recursive CTE
+    with scalar list functions."""
+    from pyspark import StorageLevel
+
+    d = _docs(spark, sf_dir, fan_out=True)
+    words = wordpiece.word_counts(d, "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ranks = unigram.seed_vocab_ranks(words)
+    out = unigram.encode_words_nbest(words, ranks)
+    out = out.localCheckpoint(eager=True)
+    words.unpersist()
+    return out
+
+
+from ..operators import bytelevel  # noqa: E402
+
+
+def _bytelevel_ctes() -> str:
+    """Byte-level tokenizer CTE body, generated from the SAME constants
+    the Spark operator uses (operators/bytelevel.py): training words from
+    the even-doc_id half of the corpus, byte-n-gram seeding over their
+    UPPERCASE HEX strings (DuckDB ``hex(encode(w))`` ≡ Spark
+    ``hex(encode(w, 'UTF-8'))``), the forced all-256-byte union (the
+    byte-fallback alphabet — weight 0 for never-seen bytes), and the
+    recursive Viterbi dp over BYTE positions with stride-2 hex substrings
+    carrying the same fixed-width ``key|pieces`` states."""
+    mp = bytelevel.MAX_PIECE_BYTES
+    vt = bytelevel.BYTE_VOCAB_TOP
+    from ..operators import unigram as _u
+
+    ks, kw = _u.RANK_SCALE, _u.KEY_WIDTH
+    sent = _u.SENTINEL
+    cands = []
+    for l in range(1, mp + 1):
+        prev = f"s.d{l - 1}"
+        cands.append(f"""
+             CASE WHEN s.pos + 1 >= {l} AND substr({prev}, 1, 1) <> '9'
+                       AND p.r{l} IS NOT NULL
+                  THEN lpad(CAST(CAST(substr({prev}, 1, {kw}) AS BIGINT)
+                                 + {ks} + p.r{l} AS VARCHAR), {kw}, '0')
+                       || '|' ||
+                       CASE WHEN substr({prev}, {kw + 2}) = '' THEN ''
+                            ELSE substr({prev}, {kw + 2}) || ' ' END
+                       || substr(s.hx, (s.pos + 1) * 2 - ({l} * 2 - 1), {l * 2})
+                  ELSE '{sent}' END""")
+    least = "LEAST(" + ",".join(cands) + ")"
+    shifts = ", ".join(f"s.d{i - 1} AS d{i}" for i in range(1, mp))
+    rpivot = ", ".join(
+        f"MAX(CASE WHEN c.l = {l} THEN v.rnk END) AS r{l}"
+        for l in range(1, mp + 1)
+    )
+    return f"""btw AS (
+      SELECT t[i] AS word, CAST(COUNT(*) AS BIGINT) AS wcount
+      FROM (SELECT string_split(text, ' ') AS t FROM documents
+            WHERE doc_id % 2 = 0),
+           UNNEST(generate_series(1, len(t))) AS g(i)
+      WHERE len(t[i]) > 0
+      GROUP BY 1
+    ),
+    bhx AS (
+      SELECT word, wcount, hex(encode(word)) AS hx,
+             len(hex(encode(word))) // 2 AS nb
+      FROM btw
+    ),
+    bp AS (
+      SELECT substr(hx, s.s * 2 - 1, l.l * 2) AS piece,
+             SUM(wcount) AS weight
+      FROM bhx,
+           UNNEST(generate_series(1, nb)) AS s(s),
+           UNNEST(generate_series(1, LEAST({mp}, nb - s.s + 1))) AS l(l)
+      GROUP BY 1
+    ),
+    btop AS (
+      SELECT piece FROM (
+        SELECT piece, ROW_NUMBER() OVER (ORDER BY weight DESC, piece) AS rn
+        FROM bp) WHERE rn <= {vt}
+    ),
+    bvset AS (
+      SELECT DISTINCT piece FROM (
+        SELECT piece FROM btop
+        UNION ALL
+        SELECT printf('%02X', i) AS piece
+        FROM generate_series(0, 255) AS t(i))
+    ),
+    bvocab AS MATERIALIZED (
+      SELECT v.piece,
+             ROW_NUMBER() OVER
+               (ORDER BY COALESCE(p.weight, 0) DESC, v.piece) AS rnk
+      FROM bvset v LEFT JOIN bp p USING (piece)
+    ),
+    buw AS (
+      SELECT t[i] AS word, CAST(COUNT(*) AS BIGINT) AS wcount
+      FROM (SELECT string_split(text, ' ') AS t FROM documents),
+           UNNEST(generate_series(1, len(t))) AS g(i)
+      WHERE len(t[i]) > 0
+      GROUP BY 1
+    ),
+    buwh AS (
+      SELECT word, wcount, hex(encode(word)) AS hx,
+             len(hex(encode(word))) // 2 AS nb
+      FROM buw
+    ),
+    bcand AS (
+      SELECT word, g.np AS np, l.l AS l,
+             substr(hx, g.np * 2 - (l.l * 2 - 1), l.l * 2) AS piece
+      FROM buwh,
+           UNNEST(generate_series(1, nb)) AS g(np),
+           UNNEST(generate_series(1, LEAST({mp}, g.np))) AS l(l)
+    ),
+    bprp AS MATERIALIZED (
+      SELECT c.word, c.np, {rpivot}
+      FROM bcand c LEFT JOIN bvocab v ON v.piece = c.piece
+      GROUP BY 1, 2
+    ),
+    bdp AS (
+      SELECT word, wcount, hx, nb AS wl, 0 AS pos,
+             '{"0" * kw}|' AS d0,
+             {", ".join(f"'{sent}' AS d{i}" for i in range(1, mp))}
+      FROM buwh
+      UNION ALL
+      SELECT s.word, s.wcount, s.hx, s.wl, s.pos + 1,
+             {least} AS d0, {shifts}
+      FROM bdp s JOIN bprp p ON p.word = s.word AND p.np = s.pos + 1
+      WHERE s.pos < s.wl
+    ),
+    benc AS (
+      SELECT word, wcount,
+             CAST(substr(d0, 1, {kw}) AS BIGINT) // {ks} AS n_tokens,
+             CAST(substr(d0, 1, {kw}) AS BIGINT) % {ks} AS rank_sum,
+             substr(d0, {kw + 2}) AS encoded
+      FROM bdp WHERE pos = wl
+    )"""
+
+
+_BYTE_ENCODE_SQL = f"""
+    WITH RECURSIVE {_bytelevel_ctes()}
+    SELECT word, CAST(wcount AS BIGINT) AS wcount,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(rank_sum AS BIGINT) AS rank_sum, encoded
+    FROM benc
+"""
+
+
+@ext_query("tok_byte_encode", _BYTE_ENCODE_SQL)
+def tok_byte_encode(spark, sf_dir):
+    """Byte-level tokenizer with byte-fallback (GPT-2 / SentencePiece
+    --byte_fallback): the vocab is byte n-grams seeded from HALF the
+    corpus (even doc_ids) plus ALL 256 single-byte values — weight 0 for
+    bytes the training half never produced — so the odd-half words
+    encode with NO unknown token even where their characters were never
+    seen in training: the no-OOV-by-construction guarantee, demonstrated
+    inside the entry by the train/encode split. Words ride as UPPERCASE
+    HEX of their UTF-8 bytes (identical string both engines); the encode
+    is the exact-integer Viterbi fold over BYTE positions (constant plan
+    size, enforced RANK_SCALE guard); un-hexing the output pieces
+    reconstructs the exact bytes (property-tested). The oracle replays
+    seeding + lattice as a recursive CTE over the same hex strings."""
+    from pyspark import StorageLevel
+
+    d = _docs(spark, sf_dir, fan_out=True)
+    train = wordpiece.word_counts(
+        d.where(F.col("doc_id") % 2 == 0), "text"
+    )
+    ranks = bytelevel.seed_byte_vocab_ranks(train)
+    words = wordpiece.word_counts(d, "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    out = bytelevel.encode_words_bytes(words, ranks)
+    out = out.localCheckpoint(eager=True)
+    words.unpersist()
+    return out

@@ -121,12 +121,22 @@ def datasheet_from_deltas(
         .groupBy("source", "lang")
         .agg(F.sum("n").alias("lcnt"))
     )
+    # NULL lang is NOT a language (countDistinct semantics, matching the
+    # batch card and the DuckDB oracle's COUNT(DISTINCT lang)): the
+    # NULL-lang delta group counts toward nothing in the mix — n_langs
+    # counts only non-NULL groups and the top_lang rank excludes NULLs
+    # (ranking a NULL group would also hit the Spark-NULLS-FIRST vs
+    # DuckDB-NULLS-LAST ASC divergence). LEFT join keeps an all-NULL
+    # source's volume row (top_lang NULL, share 0).
     langs = d2.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_langs")
+        F.count(F.when(F.col("lang").isNotNull(), F.lit(1)))
+        .cast("long")
+        .alias("n_langs")
     )
     w = Window.partitionBy("source").orderBy(F.col("lcnt").desc(), F.col("lang"))
     top = (
-        d2.withColumn("rn", F.row_number().over(w))
+        d2.where(F.col("lang").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select(
             "source",
@@ -136,7 +146,7 @@ def datasheet_from_deltas(
     )
     return (
         per.join(F.broadcast(langs), "source")
-        .join(F.broadcast(top), "source")
+        .join(F.broadcast(top), "source", "left")
         .select(
             "source",
             "n_docs",
@@ -146,9 +156,9 @@ def datasheet_from_deltas(
             F.expr("(n_dup_docs * 1000000) div n_docs").alias("dup_rate_fp"),
             "n_langs",
             "top_lang",
-            F.expr("(top_lang_docs * 1000000) div n_docs").alias(
-                "top_lang_share_fp"
-            ),
+            F.expr(
+                "(coalesce(top_lang_docs, 0) * 1000000) div n_docs"
+            ).alias("top_lang_share_fp"),
         )
     )
 
@@ -167,9 +177,7 @@ def stream_corpus_datasheet(
     the deltas is a sum of per-doc contributions plus a read-time dup
     derivation.
     """
-    import pyarrow.parquet as pq
-
-    from .ts import input_bytes, sized_state_partitions
+    from .ts import input_bytes, sized_state_partitions, stage_ordered_ranges
 
     path = os.path.join(sf_dir, "documents.parquet")
     src = tempfile.mkdtemp(prefix="stream_docs_")
@@ -179,21 +187,8 @@ def stream_corpus_datasheet(
     _PARTS_CONF = "spark.sql.shuffle.partitions"
     prev_parts = spark.conf.get(_PARTS_CONF, None)
     try:
-        if os.path.isdir(path):  # multi-file dataset (scale tiers)
-            import pyarrow.dataset as ds
-
-            table = ds.dataset(path).to_table()
-        else:
-            table = pq.read_table(path)
-        table = table.sort_by("doc_id")
-        step = -(-table.num_rows // n_files)  # ceil
-        for i in range(n_files):
-            chunk = table.slice(i * step, step)
-            if chunk.num_rows == 0:
-                break
-            f = os.path.join(src, f"part-{i:04d}.parquet")
-            pq.write_table(chunk, f)
-            os.utime(f, (1_000_000_000 + i * 60,) * 2)
+        # distributed range-split staging (no driver materialization)
+        stage_ordered_ranges(spark, path, src, n_files)
 
         spark.conf.set(
             _PARTS_CONF, str(sized_state_partitions(spark, input_bytes(path)))

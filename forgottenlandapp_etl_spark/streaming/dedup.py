@@ -165,10 +165,8 @@ def stream_neardup_minhash(
     """
     import os
 
-    import pyarrow.parquet as pq
-
     from ..operators import dedup as ops_dedup
-    from .ts import input_bytes, sized_state_partitions
+    from .ts import input_bytes, sized_state_partitions, stage_ordered_ranges
 
     path = os.path.join(sf_dir, "documents.parquet")
     src = tempfile.mkdtemp(prefix="stream_docs_")
@@ -178,23 +176,9 @@ def stream_neardup_minhash(
     _PARTS_CONF = "spark.sql.shuffle.partitions"
     prev_parts = spark.conf.get(_PARTS_CONF, None)
     try:
-        if os.path.isdir(path):  # multi-file dataset (scale tiers)
-            import pyarrow.dataset as ds
-
-            table = ds.dataset(path).to_table()
-        else:
-            table = pq.read_table(path)
-        table = table.sort_by("doc_id")
-        step = -(-table.num_rows // n_files)  # ceil
-        for i in range(n_files):
-            chunk = table.slice(i * step, step)
-            if chunk.num_rows == 0:
-                break
-            f = os.path.join(src, f"part-{i:04d}.parquet")
-            pq.write_table(chunk, f)
-            # ascending mtimes pin the micro-batch order (file source
-            # processes oldest-first); 60 s spacing dwarfs fs granularity
-            os.utime(f, (1_000_000_000 + i * 60,) * 2)
+        # distributed range-split staging (no driver materialization);
+        # ascending mtimes pin the micro-batch order to ascending doc_id
+        stage_ordered_ranges(spark, path, src, n_files)
 
         spark.conf.set(
             _PARTS_CONF, str(sized_state_partitions(spark, input_bytes(path)))
@@ -225,9 +209,21 @@ def stream_neardup_minhash(
                 not f.startswith(("_", ".")) for f in os.listdir(store)
             ):
                 prev = sess.read.parquet(store)
+                # p.doc_id < a.doc_id: a no-op on the normal path (earlier
+                # batches always carry smaller doc_ids under the
+                # doc_id-ordered staging) but REQUIRED for replay
+                # idempotency — a replayed batch finds its OWN bands
+                # already in the index (appended before the checkpoint
+                # committed) and would otherwise flag docs against
+                # themselves or same-batch later ids, diverging from the
+                # batch oracle's MIN(earlier partner).
                 hits = hits.unionAll(
                     bands.alias("a")
-                    .join(prev.alias("p"), F.col("a.bk") == F.col("p.bk"))
+                    .join(
+                        prev.alias("p"),
+                        (F.col("a.bk") == F.col("p.bk"))
+                        & (F.col("p.doc_id") < F.col("a.doc_id")),
+                    )
                     .select(
                         F.col("a.doc_id").alias("doc_id"),
                         F.col("p.doc_id").alias("partner"),
@@ -323,10 +319,8 @@ def stream_neardup_minhash_bucketed(
     """
     import os
 
-    import pyarrow.parquet as pq
-
     from ..operators import dedup as ops_dedup
-    from .ts import input_bytes, sized_state_partitions
+    from .ts import input_bytes, sized_state_partitions, stage_ordered_ranges
 
     path = os.path.join(sf_dir, "documents.parquet")
     src = tempfile.mkdtemp(prefix="stream_docs_")
@@ -352,21 +346,7 @@ def stream_neardup_minhash_bucketed(
         return b.select("doc_id", key.alias("bk"))
 
     try:
-        if os.path.isdir(path):  # multi-file dataset (scale tiers)
-            import pyarrow.dataset as ds
-
-            table = ds.dataset(path).to_table()
-        else:
-            table = pq.read_table(path)
-        table = table.sort_by("doc_id")
-        step = -(-table.num_rows // n_files)  # ceil
-        for i in range(n_files):
-            chunk = table.slice(i * step, step)
-            if chunk.num_rows == 0:
-                break
-            f = os.path.join(src, f"part-{i:04d}.parquet")
-            pq.write_table(chunk, f)
-            os.utime(f, (1_000_000_000 + i * 60,) * 2)
+        stage_ordered_ranges(spark, path, src, n_files)
 
         spark.conf.set(
             _PARTS_CONF, str(sized_state_partitions(spark, input_bytes(path)))
@@ -396,9 +376,16 @@ def stream_neardup_minhash_bucketed(
             hits = intra
             if sess.catalog.tableExists(index_table):
                 prev = sess.table(index_table)  # bucketed: no Exchange side
+                # same replay guard as the flat form: on a foreachBatch
+                # replay the index already holds this batch's own bands,
+                # so only strictly-earlier partners may match
                 hits = hits.unionAll(
                     bands.alias("a")
-                    .join(prev.alias("p"), F.col("a.bk") == F.col("p.bk"))
+                    .join(
+                        prev.alias("p"),
+                        (F.col("a.bk") == F.col("p.bk"))
+                        & (F.col("p.doc_id") < F.col("a.doc_id")),
+                    )
                     .select(
                         F.col("a.doc_id").alias("doc_id"),
                         F.col("p.doc_id").alias("partner"),

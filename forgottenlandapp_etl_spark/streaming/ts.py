@@ -143,6 +143,53 @@ def sized_state_partitions(spark: SparkSession, input_bytes: int) -> int:
     return max(4, min(configured, by_bytes)) if configured >= 4 else configured
 
 
+def stage_ordered_ranges(
+    spark: SparkSession,
+    path: str,
+    src: str,
+    n_files: int,
+    order_col: str = "doc_id",
+) -> int:
+    """Stage a parquet table as ``n_files`` order_col-ordered range files
+    with ascending mtimes under ``src`` — the deterministic micro-batch
+    fixture every document-stream entry drains — WITHOUT materializing the
+    corpus on the driver.
+
+    The split is a distributed ``repartitionByRange`` write: range
+    partition i holds strictly smaller ``order_col`` values than partition
+    i+1, and Spark's part-file names sort by partition id, so renaming the
+    sorted listing and stamping ascending mtimes (the file source
+    processes oldest-first) preserves the "earlier file ⇒ smaller ids"
+    contract the streaming dedup entries rely on. A 100 TB landing dir
+    therefore stages at cluster parallelism; the previous fixture's
+    ``pyarrow.dataset(...).to_table()`` pulled the WHOLE dataset into one
+    driver Arrow allocation before slicing (multi-GB at sf10, impossible
+    at corpus scale). Returns the staged file count (range partitioning
+    may yield fewer than ``n_files`` on tiny inputs — empty ranges write
+    no file)."""
+    out = tempfile.mkdtemp(prefix="stage_ranges_")
+    try:
+        (
+            spark.read.parquet(path)
+            .repartitionByRange(n_files, F.col(order_col))
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        parts = sorted(
+            f
+            for f in os.listdir(out)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        for i, f in enumerate(parts):
+            dst = os.path.join(src, f"part-{i:04d}.parquet")
+            shutil.move(os.path.join(out, f), dst)
+            # 60 s mtime spacing dwarfs filesystem timestamp granularity
+            os.utime(dst, (1_000_000_000 + i * 60,) * 2)
+        return len(parts)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 @contextlib.contextmanager
 def staged_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None

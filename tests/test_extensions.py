@@ -2719,6 +2719,147 @@ def test_unigram_refit_preserves_piece_counts_and_round_trip(spark, sf_dir):
         assert "".join(r["encoded"].split(" ")) == r["word"]
 
 
+def test_unigram_nbest_matches_bruteforce_topn(spark):
+    """n-best optimality on an exhaustive lattice: for every word in
+    {a,b}^1..6, enumerate ALL segmentations in Python, sort by the exact
+    objective, and require the fold's n-best list to equal the true top-n
+    slice — ranks, scores and sequences, in order. Also pins that rank 1
+    equals the 1-best encode (the two folds share the total order)."""
+    from itertools import product
+
+    from forgottenlandapp_etl_spark.operators import unigram
+
+    ranks = {"a": 1, "b": 2, "ab": 3, "ba": 4, "bb": 5, "aab": 6,
+             "abab": 7, "bab": 8, "aa": 9}
+
+    def all_segs(w):
+        if not w:
+            return [[]]
+        out = []
+        for l in range(1, min(unigram.MAX_PIECE, len(w)) + 1):
+            if w[:l] in ranks:
+                out.extend([[w[:l]] + rest for rest in all_segs(w[l:])])
+        return out
+
+    words = ["".join(p) for n in range(1, 7) for p in product("ab", repeat=n)]
+    df = spark.createDataFrame([(w, 1) for w in words],
+                               "word string, wcount long")
+    n = unigram.N_BEST
+    got: dict[str, list] = {}
+    for r in unigram.encode_words_nbest(df, ranks, n_best=n).collect():
+        got.setdefault(r["word"], []).append(
+            (r["best_rank"], r["n_tokens"], r["rank_sum"], r["encoded"])
+        )
+    one = {r["word"]: (r["n_tokens"], r["rank_sum"], r["encoded"])
+           for r in unigram.encode_words(df, ranks).collect()}
+    for w in words:
+        ordered = sorted(
+            all_segs(w),
+            key=lambda s: (len(s), sum(ranks[p] for p in s), " ".join(s)),
+        )[:n]
+        expect = [
+            (i + 1, len(s), sum(ranks[p] for p in s), " ".join(s))
+            for i, s in enumerate(ordered)
+        ]
+        assert sorted(got[w]) == expect, w
+        assert got[w][0][1:] == one[w]  # rank 1 ≡ the 1-best fold
+
+
+def test_unigram_rank_scale_guard_trips_loudly(spark, monkeypatch):
+    """The RANK_SCALE invariant is ENFORCED, not just documented: when
+    len(word) × |vocab| can reach RANK_SCALE (rank sum could bleed into
+    the n_pieces term and silently reorder the Viterbi argmax), the
+    encode must FAIL the job instead of returning a plausible-but-wrong
+    segmentation. Shrunk RANK_SCALE via monkeypatch so the trip condition
+    is reachable at test size; valid-size words still encode."""
+    import pytest
+
+    from forgottenlandapp_etl_spark.operators import unigram
+
+    ranks = {c: i + 1 for i, c in enumerate("abcdefghij")}  # |vocab| = 10
+    monkeypatch.setattr(unigram, "RANK_SCALE", 1000)
+    ok = spark.createDataFrame([("abc" * 33, 1)],  # 99 × 10 = 990 < 1000
+                               "word string, wcount long")
+    assert unigram.encode_words(ok, ranks).count() == 1
+    bad = spark.createDataFrame([("abc" * 34, 1)],  # 102 × 10 ≥ 1000
+                                "word string, wcount long")
+    with pytest.raises(Exception, match="RANK_SCALE overflow"):
+        unigram.encode_words(bad, ranks).collect()
+    with pytest.raises(Exception, match="RANK_SCALE overflow"):
+        unigram.encode_words_nbest(bad, ranks).collect()
+
+
+def test_bytelevel_no_oov_and_lossless_roundtrip(spark):
+    """The byte-fallback guarantee, head on: the vocab is trained on an
+    ASCII-ONLY corpus, yet CJK / accented / emoji / mixed words — whose
+    characters (and most of whose BYTES) training never saw — all encode
+    with no unknown token, and un-hexing the concatenated pieces
+    reconstructs the exact UTF-8 bytes of every word."""
+    from forgottenlandapp_etl_spark.operators import bytelevel
+
+    train = spark.createDataFrame(
+        [("hello", 5), ("hell", 2), ("lo", 3)], "word string, wcount long"
+    )
+    ranks = bytelevel.seed_byte_vocab_ranks(train)
+    assert len(ranks) >= 256
+    assert all(f"{i:02X}" in ranks for i in range(256))  # full alphabet
+    words = spark.createDataFrame(
+        [("hello", 5), ("中文", 1), ("héllo", 1), ("💡", 1), ("a中b", 1)],
+        "word string, wcount long",
+    )
+    rows = bytelevel.encode_words_bytes(words, ranks).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_tokens"] >= 1  # never a dead-end lattice
+        raw = bytes.fromhex(r["encoded"].replace(" ", ""))
+        assert raw.decode("utf-8") == r["word"]
+    # the trained byte n-grams still win where they apply: 'hello' is
+    # two multi-byte pieces ('hel' + 'lo'), not five single bytes
+    enc = {r["word"]: r["encoded"] for r in rows}
+    assert enc["hello"] == "68656C 6C6F"
+
+
+def test_bytelevel_viterbi_matches_bruteforce_enumeration(spark):
+    """Optimality on an exhaustive BYTE lattice: enumerate all byte
+    segmentations in Python over the same ranked vocab and require the
+    fold's result to be the global optimum of the exact objective."""
+    from itertools import product
+
+    from forgottenlandapp_etl_spark.operators import bytelevel, unigram
+
+    words = ["".join(p) for n in range(1, 6) for p in product("ab", repeat=n)]
+    words += ["中a", "中文"]
+    df = spark.createDataFrame(
+        [(w, 1) for w in words], "word string, wcount long"
+    )
+    ranks = bytelevel.seed_byte_vocab_ranks(df)
+
+    def all_segs(hx):
+        if not hx:
+            return [[]]
+        out = []
+        for l in range(1, min(bytelevel.MAX_PIECE_BYTES, len(hx) // 2) + 1):
+            p = hx[: 2 * l]
+            if p in ranks:
+                out.extend([[p] + rest for rest in all_segs(hx[2 * l:])])
+        return out
+
+    got = {
+        r["word"]: (r["n_tokens"], r["rank_sum"], r["encoded"])
+        for r in bytelevel.encode_words_bytes(df, ranks).collect()
+    }
+    for w in words:
+        hx = w.encode("utf-8").hex().upper()
+        best = min(
+            all_segs(hx),
+            key=lambda s: (len(s), sum(ranks[p] for p in s), " ".join(s)),
+        )
+        assert got[w] == (
+            len(best), sum(ranks[p] for p in best), " ".join(best)
+        ), w
+    assert unigram.RANK_SCALE > len(ranks) * 64  # guard headroom at test size
+
+
 def test_corpus_datasheet_golden(spark):
     """Hand-computed card: cross-source dup attribution (the syndicated
     page charges BOTH sources), empty-token-free token counts, and the
@@ -2770,6 +2911,76 @@ def test_stream_datasheet_equals_batch_and_granularity(spark, sf_dir):
         )
         assert got == want, f"n_files={n}"
     assert want  # non-degenerate
+
+
+def test_datasheet_null_lang_consistent_across_all_three_engines(
+    spark, tmp_path
+):
+    """NULL-lang hazard (r10 ADVICE): unidentified docs count toward
+    volume but NOT the language mix — n_langs skips NULLs (countDistinct
+    semantics), top_lang ranks only identified langs (a NULL group in
+    the rank would also diverge cross-engine: Spark sorts NULLS FIRST on
+    ASC, DuckDB NULLS LAST), and a source whose docs are ALL
+    unidentified keeps its volume row with top_lang NULL / share 0.
+    Proven three ways on one corpus: batch Spark ≡ DuckDB oracle ≡
+    streaming maintenance."""
+    import duckdb
+    import pandas as pd
+
+    from forgottenlandapp_etl_spark.operators import curation
+    from forgottenlandapp_etl_spark.plans.registry import ORACLE
+    from forgottenlandapp_etl_spark.streaming.datasheet import (
+        stream_corpus_datasheet,
+    )
+
+    texts = ["alpha beta", "gamma", "delta eps", "zeta", "eta theta", "iota"]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": texts,
+            # s0: en,de,NULL -> n_langs 2, top en (tie en/de broken asc);
+            # s1: ALL NULL -> n_langs 0, top_lang NULL, share 0
+            "lang": ["en", None, "de", None, None, None],
+            "source": ["s0", "s1", "s0", "s1", "s0", "s1"],
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = tmp_path / "nulllang"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+
+    batch = curation.corpus_datasheet(
+        spark.read.parquet(str(d / "documents.parquet"))
+    )
+    rows = {r["source"]: r for r in batch.collect()}
+    assert rows["s0"]["n_langs"] == 2 and rows["s0"]["top_lang"] == "de"
+    assert rows["s1"]["n_langs"] == 0
+    assert rows["s1"]["top_lang"] is None
+    assert rows["s1"]["top_lang_share_fp"] == 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    want = con.execute(ORACLE["dq_corpus_datasheet"]).fetchdf()
+    con.close()
+    got = batch.toPandas()
+    cols = sorted(got.columns)
+    assert sorted(want.columns) == cols
+    # fillna first: a NULL top_lang stringifies as 'None' (Spark) vs
+    # 'nan'/'NaN' (duckdb→pandas) — normalize both to one marker
+    gl = sorted(
+        map(tuple, got[cols].fillna("∅").astype(str).itertuples(index=False))
+    )
+    wl = sorted(
+        map(tuple, want[cols].fillna("∅").astype(str).itertuples(index=False))
+    )
+    assert gl == wl
+
+    streamed = sorted(
+        map(tuple, stream_corpus_datasheet(spark, str(d), n_files=3).collect())
+    )
+    assert streamed == sorted(map(tuple, batch.collect()))
 
 
 def test_stream_datasheet_replayed_batch_is_idempotent(spark, sf_dir, tmp_path):
