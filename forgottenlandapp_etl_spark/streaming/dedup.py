@@ -282,6 +282,131 @@ def stream_neardup_minhash(
 #: reshuffled (it is corpus-sized at steady state — the side that grows)
 LSH_INDEX_BUCKETS = 32
 
+#: document-stream schema shared by the near-dup drains
+_DOC_SCHEMA = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+)
+
+
+def _band_key_table(batch: DataFrame) -> DataFrame:
+    """(doc_id, bk) band table with the band-key struct flattened to an
+    injective '|'-joined string — bucketBy cannot cluster on a struct;
+    equality (and therefore the candidate set) is unchanged."""
+    from ..operators import dedup as ops_dedup
+
+    rows = len(ops_dedup.MINHASH_COEFFS) // ops_dedup.LSH_BANDS
+    sh = ops_dedup.shingles(
+        batch.select("doc_id", "text"), "doc_id", "text", n=3
+    )
+    b = ops_dedup.band_table(
+        ops_dedup.minhash_signatures(sh, "doc_id"), "doc_id"
+    )
+    key = F.concat_ws(
+        "|", F.col("bk.band"), *[F.col(f"bk.r{j}") for j in range(rows)]
+    )
+    return b.select("doc_id", key.alias("bk"))
+
+
+def neardup_bucketed_batch_fn(
+    results: str,
+    index_table: str,
+    index_path: str,
+    n_buckets: int = LSH_INDEX_BUCKETS,
+):
+    """The foreachBatch body of the bucketed near-dup index, exposed as a
+    factory so the checkpoint-recovery and replay tests can drive it
+    directly (a replayed batch — the at-least-once contract — must leave
+    the MIN-folded result unchanged; see the probe join's
+    strictly-earlier-partner guard)."""
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        # cluster the batch onto the index's bucket layout ONCE; the
+        # probe join and the append both reuse this exchange
+        bands = (
+            _band_key_table(batch)
+            .repartition(n_buckets, F.col("bk"))
+            .persist()
+        )
+        intra = (
+            bands.alias("a")
+            .join(
+                bands.alias("b"),
+                (F.col("a.bk") == F.col("b.bk"))
+                & (F.col("b.doc_id") < F.col("a.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_id"),
+                F.col("b.doc_id").alias("partner"),
+            )
+        )
+        hits = intra
+        if sess.catalog.tableExists(index_table):
+            prev = sess.table(index_table)  # bucketed: no Exchange side
+            # strictly-earlier partners only: on a foreachBatch replay
+            # the index already holds this batch's own bands
+            hits = hits.unionAll(
+                bands.alias("a")
+                .join(
+                    prev.alias("p"),
+                    (F.col("a.bk") == F.col("p.bk"))
+                    & (F.col("p.doc_id") < F.col("a.doc_id")),
+                )
+                .select(
+                    F.col("a.doc_id").alias("doc_id"),
+                    F.col("p.doc_id").alias("partner"),
+                )
+            )
+        flagged = hits.groupBy("doc_id").agg(
+            F.min("partner").alias("first_dup_of")
+        )
+        flagged.write.mode("append").parquet(results)
+        (
+            bands.write.mode("append")
+            .format("parquet")
+            .bucketBy(n_buckets, "bk")
+            .sortBy("bk")
+            .option("path", index_path)
+            .saveAsTable(index_table)
+        )
+        bands.unpersist()
+
+    return apply_batch
+
+
+def drain_neardup_bucketed(spark: SparkSession, src: str, ckpt: str, batch_fn) -> None:
+    """One availableNow drain of the staged document files through the
+    bucketed per-batch function; each call is its own StreamingQuery whose
+    process ends at completion, so a SECOND call over the same checkpoint
+    IS the kill/restart path (offset log + committed index resume)."""
+    stream = (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def fold_neardup_results(spark: SparkSession, results: str) -> DataFrame:
+    """MIN-fold the appended flag log into (doc_id, first_dup_of) — the
+    replay-insensitive consumer every write in this module is shaped for."""
+    import os
+
+    if any(not f.startswith(("_", ".")) for f in os.listdir(results)):
+        return (
+            spark.read.parquet(results)
+            .groupBy("doc_id")
+            .agg(F.min("first_dup_of").alias("first_dup_of"))
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame([], "doc_id bigint, first_dup_of bigint")
+
 
 def stream_neardup_minhash_bucketed(
     spark: SparkSession,
@@ -319,7 +444,6 @@ def stream_neardup_minhash_bucketed(
     """
     import os
 
-    from ..operators import dedup as ops_dedup
     from .ts import input_bytes, sized_state_partitions, stage_ordered_ranges
 
     path = os.path.join(sf_dir, "documents.parquet")
@@ -331,107 +455,21 @@ def stream_neardup_minhash_bucketed(
     index_path = os.path.join(store, "index")
     _PARTS_CONF = "spark.sql.shuffle.partitions"
     prev_parts = spark.conf.get(_PARTS_CONF, None)
-    rows = len(ops_dedup.MINHASH_COEFFS) // ops_dedup.LSH_BANDS
-
-    def _bands_flat(batch: DataFrame) -> DataFrame:
-        sh = ops_dedup.shingles(
-            batch.select("doc_id", "text"), "doc_id", "text", n=3
-        )
-        b = ops_dedup.band_table(
-            ops_dedup.minhash_signatures(sh, "doc_id"), "doc_id"
-        )
-        key = F.concat_ws(
-            "|", F.col("bk.band"), *[F.col(f"bk.r{j}") for j in range(rows)]
-        )
-        return b.select("doc_id", key.alias("bk"))
-
     try:
         stage_ordered_ranges(spark, path, src, n_files)
 
         spark.conf.set(
             _PARTS_CONF, str(sized_state_partitions(spark, input_bytes(path)))
         )
-
-        def apply_batch(batch: DataFrame, batch_id: int) -> None:
-            sess = batch.sparkSession
-            # cluster the batch onto the index's bucket layout ONCE; the
-            # probe join and the append both reuse this exchange
-            bands = (
-                _bands_flat(batch)
-                .repartition(n_buckets, F.col("bk"))
-                .persist()
-            )
-            intra = (
-                bands.alias("a")
-                .join(
-                    bands.alias("b"),
-                    (F.col("a.bk") == F.col("b.bk"))
-                    & (F.col("b.doc_id") < F.col("a.doc_id")),
-                )
-                .select(
-                    F.col("a.doc_id").alias("doc_id"),
-                    F.col("b.doc_id").alias("partner"),
-                )
-            )
-            hits = intra
-            if sess.catalog.tableExists(index_table):
-                prev = sess.table(index_table)  # bucketed: no Exchange side
-                # same replay guard as the flat form: on a foreachBatch
-                # replay the index already holds this batch's own bands,
-                # so only strictly-earlier partners may match
-                hits = hits.unionAll(
-                    bands.alias("a")
-                    .join(
-                        prev.alias("p"),
-                        (F.col("a.bk") == F.col("p.bk"))
-                        & (F.col("p.doc_id") < F.col("a.doc_id")),
-                    )
-                    .select(
-                        F.col("a.doc_id").alias("doc_id"),
-                        F.col("p.doc_id").alias("partner"),
-                    )
-                )
-            flagged = hits.groupBy("doc_id").agg(
-                F.min("partner").alias("first_dup_of")
-            )
-            flagged.write.mode("append").parquet(results)
-            (
-                bands.write.mode("append")
-                .format("parquet")
-                .bucketBy(n_buckets, "bk")
-                .sortBy("bk")
-                .option("path", index_path)
-                .saveAsTable(index_table)
-            )
-            bands.unpersist()
-
-        stream = (
-            spark.readStream.schema(
-                "doc_id BIGINT, text STRING, lang STRING, "
-                "source STRING, n_chars BIGINT"
-            )
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
+        drain_neardup_bucketed(
+            spark,
+            src,
+            ckpt,
+            neardup_bucketed_batch_fn(
+                results, index_table, index_path, n_buckets
+            ),
         )
-        q = (
-            stream.writeStream.foreachBatch(apply_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        if any(not f.startswith(("_", ".")) for f in os.listdir(results)):
-            out = (
-                spark.read.parquet(results)
-                .groupBy("doc_id")
-                .agg(F.min("first_dup_of").alias("first_dup_of"))
-                .localCheckpoint(eager=True)
-            )
-        else:  # no near-dups anywhere: schema-stable empty result
-            out = spark.createDataFrame(
-                [], "doc_id bigint, first_dup_of bigint"
-            )
-        return out
+        return fold_neardup_results(spark, results)
     finally:
         if prev_parts is None:
             spark.conf.unset(_PARTS_CONF)

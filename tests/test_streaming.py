@@ -399,3 +399,128 @@ def test_ivm_merge_batch_boundary_independent(spark, tmp_path):
     assert one[("2024-03-02", "error")] == (-2, -530)
     total_cents = sum(v[1] for v in one.values())
     assert total_cents == sum(r[3] for r in rows)
+
+
+def test_bucketed_lsh_index_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """Kill-and-restart exactly-once for the BUCKETED streaming LSH index
+    (mirrors the K3 upsert recovery test): drain part of the staged
+    backlog, let the process "die" at availableNow completion, stage the
+    rest, restart from the SAME checkpoint — the MIN-folded flags must
+    equal the uninterrupted run's, a further drain with no new data must
+    change nothing, and the recovered index table must hold exactly the
+    batch band relation over the whole corpus (no lost and no duplicated
+    appends)."""
+    import os
+    import shutil as sh
+    import uuid
+
+    from forgottenlandapp_etl_spark.streaming import dedup as sd
+    from forgottenlandapp_etl_spark.streaming.ts import stage_ordered_ranges
+
+    # uninterrupted reference run (the production entry itself)
+    want = sorted(
+        (r["doc_id"], r["first_dup_of"])
+        for r in sd.stream_neardup_minhash_bucketed(
+            spark, sf_dir, n_files=4
+        ).collect()
+    )
+    assert want  # non-degenerate on the fixture corpus
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    stage_ordered_ranges(spark, path, str(staged), 4)
+    files = sorted(os.listdir(staged))
+    assert len(files) == 4
+    src = tmp_path / "src"
+    src.mkdir()
+    results = tmp_path / "flags"
+    results.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    index_table = f"lsh_recovery_{uuid.uuid4().hex[:8]}"
+    fn = sd.neardup_bucketed_batch_fn(
+        str(results), index_table, str(tmp_path / "index"), n_buckets=8
+    )
+
+    def fold():
+        return sorted(
+            (r["doc_id"], r["first_dup_of"])
+            for r in sd.fold_neardup_results(spark, str(results)).collect()
+        )
+
+    try:
+        for f in files[:2]:  # first half of the backlog arrives
+            sh.copy2(staged / f, src / f)  # copy2 keeps the mtime order
+        sd.drain_neardup_bucketed(spark, str(src), ckpt, fn)  # then "dies"
+        for f in files[2:]:  # the rest arrives while down
+            sh.copy2(staged / f, src / f)
+        sd.drain_neardup_bucketed(spark, str(src), ckpt, fn)  # restart
+        assert fold() == want
+        sd.drain_neardup_bucketed(spark, str(src), ckpt, fn)  # no new data
+        assert fold() == want
+        idx = sorted(
+            map(tuple, spark.table(index_table).collect())
+        )
+        full = sorted(
+            map(
+                tuple,
+                sd._band_key_table(
+                    catalog.table(spark, sf_dir, "documents")
+                ).collect(),
+            )
+        )
+        assert idx == full  # nothing lost, nothing double-appended
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+
+
+def test_bucketed_lsh_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running the SAME batch function
+    (replay after a crash between the index append and the checkpoint
+    commit) must leave the MIN-folded flags unchanged. This is exactly
+    what the probe join's strictly-earlier-partner guard buys — on the
+    replay the index already holds the batch's own bands, and without
+    ``p.doc_id < a.doc_id`` a doc would match itself (partner == doc_id)
+    or same-batch later ids and the fold would diverge."""
+    import uuid
+
+    from forgottenlandapp_etl_spark.streaming import dedup as sd
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "wholly different content that shares no shingles with the rest"
+    batch1 = spark.createDataFrame(
+        [(0, text_a, "en", "s0", len(text_a)),
+         (1, text_a, "en", "s0", len(text_a))],
+        sd._DOC_SCHEMA,
+    )
+    batch2 = spark.createDataFrame(
+        [(2, text_a, "en", "s1", len(text_a)),
+         (3, text_b, "en", "s1", len(text_b))],
+        sd._DOC_SCHEMA,
+    )
+    results = tmp_path / "flags"
+    results.mkdir()
+    index_table = f"lsh_replay_{uuid.uuid4().hex[:8]}"
+    fn = sd.neardup_bucketed_batch_fn(
+        str(results), index_table, str(tmp_path / "index"), n_buckets=4
+    )
+
+    def fold():
+        return sorted(
+            (r["doc_id"], r["first_dup_of"])
+            for r in sd.fold_neardup_results(spark, str(results)).collect()
+        )
+
+    try:
+        fn(batch1, 0)
+        fn(batch2, 1)
+        once = fold()
+        assert once == [(1, 0), (2, 0)]  # exact dups flag to the earliest
+        fn(batch2, 1)  # replay the last batch: index already has its bands
+        assert fold() == once
+        fn(batch1, 0)  # replay an EARLIER batch: the nastier case — the
+        # index now also holds LATER docs' bands (2 matches 0/1's band
+        # keys); the guard must keep 0 and 1 from flagging against 2
+        assert fold() == once
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {index_table}")
