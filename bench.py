@@ -235,6 +235,9 @@ HEADLINE = [
     "dedup_lines_newline",
     "dq_corpus_datasheet",
     "stream_corpus_datasheet",
+    # round 11: byte-fallback tokenization and the n-best Viterbi
+    "tok_byte_encode",
+    "tok_unigram_nbest",
 ]
 
 

@@ -51,11 +51,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # rounds each; j1 keeps the flagship diff-join row and j7 keeps the
     # hardest custom-join family — as-of — windowed)
     "j1_snapshot_diff",
-    "j7_asof_join",
-    # round-9 promotions (r8 registry queue): the interval-overlap join and
-    # the salted skew join get their first hard driver rows
-    "j10_interval_overlap",
-    "j11_salted_skew_join",
+    # (j7_asof_join rotated out r11 after ~6 green rounds — the as-of
+    # family stays pinned by the gate + tests; j10_interval_overlap /
+    # j11_salted_skew_join rotated out r11 after two green rounds each,
+    # the c7b two-round precedent)
     # §2.5 aggregations
     # (a2_horizontal_sum rotated out r6 after five green rounds;
     # a4_count_nonempty / w2_level_rank / c6_date_functions rotated out
@@ -65,7 +64,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # rounds; w3_multikey_rank / wx_range_frame rotated out r7 after 6/4
     # green rounds — wx_partitioned_rank keeps the rank family's row, and
     # the promoted wx_ewma below keeps the wx window family windowed)
-    "wx_partitioned_rank",
+    # (wx_partitioned_rank rotated out r11 after long tenure — the window
+    # family's row passes to the promoted wx_rolling_median below)
     # §2.8 scalar functions
     # (c1_skill_points rotated out r6 after five green rounds — the
     # skill-points formula stays exercised inside w5/j2's gate entries;
@@ -91,11 +91,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (k5_row_merge / scd2_intervals rotated out r9 after five green rounds —
     # sink semantics stay pinned by tests/test_sink_atomicity.py's 10-test
     # crash/concurrency suite and the full-registry gate)
-    # round-9 promotions: CDC apply, the streaming exact-HLL distinct, and
-    # the streaming top-k get their first hard driver rows
-    "stream_cdc_apply",
-    "stream_distinct_hll",
-    "stream_topk_users",
+    # (stream_cdc_apply / stream_distinct_hll / stream_topk_users rotated
+    # out r11 after two green rounds each — the streaming family keeps
+    # stream_sliding_counts / stream_quality_filter / both neardup-LSH
+    # forms below, plus the promoted stream_corpus_datasheet)
     # LLM-pipeline extension families
     # (dedup_exact / text_stats / text_quality / pipeline_train_val_split
     # rotated out r6 after five green rounds each — their families keep
@@ -129,17 +128,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # exact-integer sketch family, hash-exact integer PCA, the bounded
     # wedge-join link prediction, the composed RAG index, and the published
     # quality-rule battery (Gopher) + two-stage IVF re-rank added this round
-    "dedup_semantic",
-    "pipeline_dsir_select",
-    "agg_time_bucket_gapfill",
-    "sketch_hll_exact_daily_merge",
-    "sketch_quantile_histogram",
-    "sketch_kmv_intersection",
-    "emb_power_iteration",
-    "graph_link_prediction",
-    "pipeline_rag_index",
-    "quality_gopher_rules",
-    "sim_ivf_rerank",
+    # (the eleven r9-promotion rows — dedup_semantic, pipeline_dsir_select,
+    # agg_time_bucket_gapfill, the three sketch rows, emb_power_iteration,
+    # graph_link_prediction, pipeline_rag_index, quality_gopher_rules,
+    # sim_ivf_rerank — rotated out r11 after two green rounds each; their
+    # families keep windowed representatives: semantic dedup via the
+    # promoted emb_near_dup_bucketed, quality via quality_c4_rules +
+    # quality_kneser_ney_lm + the promoted perplexity/calibrated rows,
+    # pipelines via the promoted training_ready/pack_ffd)
     # (emb_kmeans_exact / sim_ivf_exact_topk / decontaminate_bloom /
     # sketch_cms_daily_merge / tpch_q9_product_type_profit /
     # tpch_q4_order_priority / stream_stream_join / stream_dedup_keys
@@ -148,14 +144,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # dedup_semantic + emb_power_iteration, IVF serving via sim_ivf_rerank
     # + the held sim_ivfpq_topk, sketches/TPC-H/streaming via the
     # promotions above)
-    # round-9 promotions (continued): the production LSH geometry's RHP
-    # siblings and four never-windowed TPC-H shapes
-    "emb_near_dup_rhp_sized",
-    "emb_near_dup_rhp_multipass",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q7_volume_shipping",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
+    # (emb_near_dup_rhp_sized / emb_near_dup_rhp_multipass and TPC-H
+    # q5/q7/q10/q13 rotated out r11 after two green rounds each — every
+    # one of the 22 TPC-H shapes has now held a driver row, and the RHP
+    # geometry passes its row to the promoted emb_near_dup_bucketed)
     # (round-7 promotions — sim_ivfpq_topk / src_python_datasource /
     # stream_python_datasource / wx_ewma / emb_power_top2 / graph_kcore /
     # sql_lateral_topk / stream_ivm_rollup / tpch_q2 / q8 / q17 / q20 —
@@ -210,23 +202,54 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # exact-integer Viterbi lattice — encode + hard-EM usage refit)
     "tok_unigram_encode",
     "tok_unigram_train",
+    # round-11 promotions (the r10 registry queue + the r10 VERDICT's
+    # never-windowed priority list): training-data pipeline tiers that
+    # never held a hard driver row — decontamination, the composed
+    # training-ready pipeline, FFD sequence packing, both PII rows, the
+    # multimodal feature pass, corpus-scale BPE encode, the production
+    # embedding near-dup geometry, perplexity buckets, and the
+    # cross-family fertility report
+    "decontaminate",
+    "pipeline_training_ready",
+    "pipeline_pack_ffd",
+    "pii_redact",
+    "pii_k_anonymity",
+    "mm_media_features",
+    "bpe_encode_corpus",
+    "emb_near_dup_bucketed",
+    "quality_perplexity_buckets",
+    "tok_fertility_compare",
+    # round-11 promotions (continued): the r10 additions not yet windowed
+    # (the closed hard-EM round, newline-unit line dedup, the corpus
+    # datasheet and its exactly-once streaming twin) plus never-windowed
+    # r9 batch-B / relational rows
+    "tok_unigram_refit_encode",
+    "dedup_lines_newline",
+    "dq_corpus_datasheet",
+    "stream_corpus_datasheet",
+    "layout_zorder",
+    "text_normalize",
+    "filter_domain_blocklist",
+    "quality_domain_calibrated",
+    "set_intersect_all",
+    "agg_grouping_sets",
+    "dq_drift_histogram",
+    "wx_rolling_median",
+    # round-11 flagships: byte-fallback tokenization (no-OOV by
+    # construction) and the deterministic n-best Viterbi enumeration
+    "tok_byte_encode",
+    "tok_unigram_nbest",
 )
-# Round-11 rotation candidates (same mechanism, once the r9/r10
-# promotions go multi-round green): the round-10 additions not yet
-# windowed (tok_fertility_compare — the cross-family tokenizer report —
-# tok_unigram_refit_encode — the closed E→M→E hard-EM round —
-# dedup_lines_newline, dq_corpus_datasheet and its streaming sibling
-# stream_corpus_datasheet — the batchId-keyed exactly-once pattern — all
-# first), the remaining never-windowed r9
-# batch-B rows (layout_zorder, text_normalize, filter_domain_blocklist,
-# quality_domain_calibrated, quality_perplexity_buckets), the set-op
-# family (set_intersect_all / set_except_all), reshape_unpivot, agg_cube
-# / agg_grouping_sets / agg_rollup, sql_recursive_rollup,
-# dq_drift_histogram, dq_anomaly_mad, wx_rolling_median,
-# wx_streak_lengths, agg_time_bucket_interp (gap-fill's interpolating
-# sibling), and — once two rounds green — re-window rotation returns for
-# the j9/k-family reference rows on the usual cadence. TPC-H is fully
-# exhausted: all 22 shapes have now held at least one hard driver row.
+# Round-12 rotation candidates (same mechanism, once the r10/r11
+# promotions go multi-round green): the remaining never-windowed rows —
+# the set-op sibling set_except_all, reshape_unpivot, agg_cube /
+# agg_rollup (grouping_sets now windowed), sql_recursive_rollup,
+# dq_anomaly_mad, wx_streak_lengths, agg_time_bucket_interp (gap-fill's
+# interpolating sibling), text_winnow_fingerprint's family, the
+# sample_* tiers, and the src_* format round-trips — then re-window
+# rotation returns for the j9/k-family reference rows on the usual
+# cadence. TPC-H is fully exhausted: all 22 shapes have held at least
+# one hard driver row.
 
 _missing = [n for n in DRIVER_WINDOW if n not in _ALL_QUERIES]
 if _missing:
