@@ -169,6 +169,12 @@ DOC_ONLY_ENTRIES = [
     "tok_unigram_train",
     "tok_unigram_refit_encode",
     "tok_fertility_compare",
+    # round 11: the n-best enumeration must stay exact on hazard words
+    # (unicode multi-byte, 200-char, same-symbol runs), and the byte
+    # lattice must segment EVERY document byte-exactly — non-ASCII words
+    # exercise the fallback alphabet the even-doc training never saw
+    "tok_unigram_nbest",
+    "tok_byte_encode",
     # round 10: the datasheet's dup attribution must count the exact
     # duplicates in this corpus and its token counts must skip the
     # empty-token hazard rows; the streaming form must agree with the
@@ -194,7 +200,17 @@ def adv_dir(tmp_path_factory):
         {
             "doc_id": range(len(TEXTS)),
             "text": TEXTS,
-            "lang": ["en"] * len(TEXTS),
+            # NULL lang is a standing hazard class (r10 ADVICE: the
+            # streaming datasheet diverged on it and no fixture could
+            # catch it): every third doc is unidentified, so any entry
+            # that counts/ranks/stratifies by lang must state its NULL
+            # rule identically on both sides (Spark sorts NULLS FIRST on
+            # ASC, DuckDB NULLS LAST — a bare ORDER BY lang diverges)
+            # period-4 against the period-3 source so every source sees
+            # a MIX of identified and NULL langs (incl. en/de ties)
+            "lang": [
+                [None, "en", "de", "en"][i % 4] for i in range(len(TEXTS))
+            ],
             "source": [f"s{i % 3}" for i in range(len(TEXTS))],
             "n_chars": [len(t) for t in TEXTS],
         }
