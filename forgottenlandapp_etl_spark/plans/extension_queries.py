@@ -4058,24 +4058,31 @@ def dedup_components(spark, sf_dir):
 
 
 def _triangles_oracle() -> str:
+    # every multiply-referenced CTE below is MATERIALIZED: DuckDB inlines
+    # plain CTEs PER REFERENCE, and `tri` references o THREE times while o
+    # references deg twice and edges once — without the hints the whole
+    # shingle-self-join + minhash + LSH-verify subtree re-evaluates ~9-12×
+    # (measured: >80 min at sf0.1 vs seconds materialized; the round-6/r7
+    # CTE-inlining lesson, missed here because the fixture-sized gate
+    # never showed it)
     return f"""
     WITH {_SQL_SHINGLES.strip()}, {_minhash_sig_sql().strip()},
     {_lsh_candidates_sql()}, {_SQL_JACCARD_PAIRS.strip()},
-    verified AS (
+    verified AS MATERIALIZED (
       SELECT jp.id_a, jp.id_b
       FROM jp JOIN cand ON jp.id_a = cand.id_a AND jp.id_b = cand.id_b
       WHERE jp.jaccard >= 0.8
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT DISTINCT LEAST(id_a, id_b) AS a, GREATEST(id_a, id_b) AS b
       FROM verified WHERE id_a <> id_b
     ),
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT id, CAST(COUNT(*) AS BIGINT) AS d
       FROM (SELECT a AS id FROM edges UNION ALL SELECT b FROM edges)
       GROUP BY 1
     ),
-    o AS (
+    o AS MATERIALIZED (
       SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS src,
              CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS dst,
              CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS ddst
