@@ -238,6 +238,9 @@ HEADLINE = [
     # round 11: byte-fallback tokenization and the n-best Viterbi
     "tok_byte_encode",
     "tok_unigram_nbest",
+    # round 11b: the lossless prefix-filtered exact-Jaccard tier — bench it
+    # against dedup_ngram_jaccard (same oracle, pruned candidate volume)
+    "dedup_jaccard_prefix_filter",
 ]
 
 

@@ -265,6 +265,81 @@ def jaccard_pairs(
     return out.select("id_a", "id_b", "common", "na", "nb", "jaccard")
 
 
+def prefix_filter_candidates(
+    sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.8
+) -> DataFrame:
+    """LOSSLESS prefix-filtered candidate pairs for exact Jaccard ≥ t
+    (AllPairs, Bayardo et al. WWW'07; PPJoin, Xiao et al. WWW'08).
+
+    The exact tier's bottleneck is the shingle self-join: every pair of
+    documents sharing ANY shingle becomes a group. Prefix filtering prunes
+    that lossless-ly. Order every document's shingle set by one GLOBAL
+    total order — ascending document frequency, shingle ASC as the
+    tie-break (rarest first, so prefixes index the least-shared tokens) —
+    and keep only each document's first
+
+        p(x) = |x| − ⌈t·|x|⌉ + 1
+
+    shingles. If J(x,y) ≥ t then |x∩y| ≥ t·|x∪y| ≥ ⌈t·max(|x|,|y|)⌉ = α,
+    and two sets whose overlap is ≥ α must collide within their first
+    |x|−α+1 / |y|−α+1 tokens of any shared total order (if all α shared
+    tokens sat past both prefixes, each set would need α tokens AFTER a
+    prefix that already excludes fewer than α positions — pigeonhole).
+    Since α ≥ ⌈t·|x|⌉ and α ≥ ⌈t·|y|⌉, the per-side prefix p(·) suffices.
+    So the prefix self-join loses NO qualifying pair — same output as the
+    full self-join, verified downstream by exact counting.
+
+    The length filter stacks on top: t·|x| ≤ |y| ≤ |x|/t, held in exact
+    integers (t as a rational t_num/t_den, so t·|x| ≤ |y| becomes
+    t_num·n_a ≤ t_den·n_b — no float boundary).
+
+    Scale: document frequency is one re-aggregatable shuffle on shingle;
+    rank-within-document is a PARTITIONED window (by id — no global sort,
+    the "global" order is only a comparator); the candidate join touches
+    prefix rows only. At t=0.8 a 100-shingle document indexes 21 shingles
+    instead of 100 — a ~25× pair-volume cut before verification, and the
+    rarest-first order makes surviving buckets the smallest ones.
+    """
+    from fractions import Fraction
+
+    from pyspark.sql import Window as W
+
+    fr = Fraction(threshold).limit_denominator(10**6)
+    t_num, t_den = fr.numerator, fr.denominator
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w_rank = W.partitionBy(id_col).orderBy(
+        F.col("df").asc(), F.col("shingle").asc()
+    )
+    w_size = W.partitionBy(id_col)
+    ranked = sh.join(dfreq, "shingle").select(
+        F.col(id_col),
+        "shingle",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_size).alias("n"),
+    )
+    # p = n − ceil(t·n) + 1 with ceil(t·n) = (t_num·n + t_den − 1) div t_den
+    # (integer `div`, not float `/`+floor: at t_den=10⁶ and n~10⁶ the true
+    # rational sits closer to an integer than one double ulp)
+    prefix_len = F.expr(f"n - (({t_num} * n + {t_den - 1}) div {t_den}) + 1")
+    pref = ranked.where(F.col("rn") <= prefix_len).select(id_col, "shingle", "n")
+    a = pref.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("n").alias("na")
+    )
+    b = pref.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("n").alias("nb")
+    )
+    return (
+        a.join(b, "shingle")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.lit(t_num) * F.col("na") <= F.lit(t_den) * F.col("nb"))
+            & (F.lit(t_num) * F.col("nb") <= F.lit(t_den) * F.col("na"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """k=16 minhash values + shingle-set size per document.
 

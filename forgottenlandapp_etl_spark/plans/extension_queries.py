@@ -265,6 +265,49 @@ def dedup_containment(spark, sf_dir):
 
 
 @ext_query(
+    "dedup_jaccard_prefix_filter",
+    f"""
+    WITH {_SQL_SHINGLES.strip().rstrip()}, {_SQL_JACCARD_PAIRS.strip()}
+    SELECT id_a, id_b, CAST(common AS BIGINT) AS common,
+           CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb, jaccard
+    FROM jp WHERE jaccard >= 0.8
+    """,
+)
+def dedup_jaccard_prefix_filter(spark, sf_dir):
+    """Prefix-filtered EXACT Jaccard join (AllPairs/PPJoin, Bayardo WWW'07
+    / Xiao WWW'08): same output as ``dedup_ngram_jaccard`` — the oracle is
+    literally the full self-join SQL, which is the point: prefix filtering
+    is a LOSSLESS plan rewrite, not an approximation, so the hash must
+    match the quadratic tier bit-for-bit.
+
+    Plan: document-frequency agg → rarest-first per-doc prefix (a
+    PARTITIONED window, |prefix| = n − ⌈t·n⌉ + 1) → prefix-only self-join
+    with the exact-integer length filter → exact-count verification
+    restricted to surviving candidates (operators.dedup.
+    verify_candidate_pairs — the same verifier the MinHash tier uses).
+    Against the plain shingle self-join this cuts pair fan-out ~(1−t)²
+    per bucket at equal recall; unlike the MinHash tier there is no
+    probabilistic miss — this is the exact tier's 100 TB-viable form.
+    The shingle relation feeds four consumers (dfreq, prefix rank, both
+    verify sides), so it is persisted once."""
+    from pyspark import StorageLevel
+
+    d = _docs(spark, sf_dir, fan_out=True)
+    sh = dedup.shingles(d, "doc_id", "text", n=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cand = dedup.prefix_filter_candidates(sh, "doc_id", threshold=0.8)
+    return dedup.verify_candidate_pairs(cand, sh, threshold=0.8).select(
+        "id_a",
+        "id_b",
+        F.col("common").cast("long").alias("common"),
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        "jaccard",
+    )
+
+
+@ext_query(
     "dedup_levenshtein",
     f"""
     WITH d AS (

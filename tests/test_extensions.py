@@ -3028,3 +3028,89 @@ def test_unigram_encode_round_trips_every_fixture_word(spark, sf_dir):
         assert "".join(pieces) == r["word"]
         assert r["n_tokens"] == len(pieces)
         assert r["rank_sum"] == sum(ranks[p] for p in pieces)
+
+
+def test_prefix_filter_is_lossless_and_prunes(spark, sf_dir):
+    """Prefix filtering (AllPairs/PPJoin) is a plan rewrite, not an
+    approximation: verifying its candidates returns EXACTLY the quadratic
+    self-join's pairs — and the candidate set it verifies is strictly
+    smaller than the plain share-any-shingle pair universe."""
+    d = catalog.table(spark, sf_dir, "documents")
+    sh = dedup.shingles(d, "doc_id", "text", n=3).persist()
+    try:
+        full = {
+            (r["id_a"], r["id_b"], r["common"], r["na"], r["nb"])
+            for r in dedup.jaccard_pairs(sh, "doc_id", 0.8).collect()
+        }
+        cand = dedup.prefix_filter_candidates(sh, "doc_id", 0.8)
+        got = {
+            (r["id_a"], r["id_b"], r["common"], r["na"], r["nb"])
+            for r in dedup.verify_candidate_pairs(
+                cand, sh, threshold=0.8
+            ).collect()
+        }
+        assert got == full
+        a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+        n_all = (
+            a.join(b, "shingle")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+            .count()
+        )
+        n_cand = cand.count()
+        assert n_cand < n_all, (n_cand, n_all)
+        # every qualifying pair is a candidate (losslessness, directly)
+        assert {(p[0], p[1]) for p in full} <= {
+            (r["id_a"], r["id_b"]) for r in cand.collect()
+        }
+    finally:
+        sh.unpersist()
+
+
+def test_prefix_filter_lossless_on_random_corpora(spark):
+    """Randomized cross-check at three thresholds (exercising the exact
+    ceil(t·n) rational math at t=1/2, 4/5, 9/10) on small-vocab corpora
+    built to force document-frequency ties and near-dup clusters."""
+    import random
+
+    for seed, t in [(1, 0.5), (2, 0.8), (3, 0.9)]:
+        rng = random.Random(seed)
+        vocab = [f"w{i:02d}" for i in range(25)]
+        rows = []
+        doc_id = 0
+        for _ in range(40):
+            n = rng.randint(3, 12)
+            words = rng.sample(vocab, n)
+            rows.append((doc_id, " ".join(words)))
+            doc_id += 1
+            if rng.random() < 0.5:  # near-dup: drop/swap one token
+                dup = list(words)
+                if rng.random() < 0.5 and len(dup) > 3:
+                    dup.pop(rng.randrange(len(dup)))
+                else:
+                    dup[rng.randrange(len(dup))] = rng.choice(vocab)
+                rows.append((doc_id, " ".join(dup)))
+                doc_id += 1
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # n=1 shingles: the raw token sets — smallest sets, tightest
+        # prefix-length boundaries
+        sh = dedup.shingles(df, "doc_id", "text", n=1)
+        cols = ["id_a", "id_b", "common", "na", "nb", "jaccard"]
+        full = sorted(
+            map(tuple, dedup.jaccard_pairs(sh, "doc_id", t).select(cols).collect())
+        )
+        got = sorted(
+            map(
+                tuple,
+                dedup.verify_candidate_pairs(
+                    dedup.prefix_filter_candidates(sh, "doc_id", t),
+                    sh,
+                    threshold=t,
+                )
+                .select(cols)
+                .collect(),
+            )
+        )
+        assert got == full, (seed, t)
