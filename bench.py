@@ -241,6 +241,8 @@ HEADLINE = [
     # round 11b: the lossless prefix-filtered exact-Jaccard tier — bench it
     # against dedup_ngram_jaccard (same oracle, pruned candidate volume)
     "dedup_jaccard_prefix_filter",
+    # round 11c: PMI collocation mining (exact scaled-ratio ranking)
+    "text_collocations_pmi",
 ]
 
 

@@ -609,3 +609,93 @@ def kneser_ney_scores(df: "DataFrame", id_col: str, text_col: str) -> "DataFrame
     out = out.localCheckpoint(eager=True)  # materialize, then release bg
     bg.unpersist()
     return out
+
+
+#: fixed-point scale for collocation PMI ratios (1.0 == 10^6) — the ratio
+#: n12·N/(n1·n2) is what's scaled; log is monotone so ranking by the scaled
+#: ratio IS ranking by PMI, with no float ever computed
+PMI_SCALE = 10**6
+#: hapax guard: bigrams seen fewer times than this are PMI noise (a pair of
+#: two corpus-unique words scores the theoretical maximum N — Church &
+#: Hanks' "the PMI of rare events is unreliable" caveat made structural)
+PMI_MIN_COUNT = 3
+
+
+def collocations_pmi(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    min_count: int = PMI_MIN_COUNT,
+    k: int = 100,
+) -> "DataFrame":
+    """Corpus-wide collocation mining by pointwise mutual information
+    (Church & Hanks, CL 1990), exact fixed point.
+
+    PMI(w1,w2) = log( P(w1,w2) / (P(w1)·P(w2)) ) with the NLTK contingency
+    convention: all three probabilities estimated from the BIGRAM relation
+    itself — P(w1,w2) = n12/N, P(w1·) = n1/N (w1 as left element),
+    P(·w2) = n2/N (w2 as right element), N = total bigrams. The log is
+    monotone, so the top-k by PMI is exactly the top-k by the RATIO
+    n12·N/(n1·n2), held as a scaled integer pmi_fp = (n12·N·PMI_SCALE)
+    div (n1·n2) — order-free, hash-identical cross-engine, no float.
+    Empty tokens (delimiter runs) are excluded; bigrams below min_count
+    are dropped (rare-pair PMI is degenerate: a hapax pair of two hapax
+    words scores the theoretical maximum N).
+
+    Scale shape: one narrow bigram fan-out persisted for its four
+    consumers (pair counts, both marginals, the 1-row total); the three
+    counts are map-side-combinable hash aggregates; marginals join back
+    on vocabulary-sized keys; the final top-k is TakeOrderedAndProject
+    (per-partition heaps, no global sort). Products widen to
+    DECIMAL(38,0) before the scale multiply: n12·N·10^6 reaches ~10^32
+    at a 10^13-bigram corpus, far past BIGINT, and Spark would wrap
+    where DuckDB raises. The quotient is ≤ N·PMI_SCALE/min_count, which
+    stays inside a long through ~10^13 bigrams (≈ 100 TB of text).
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F  # noqa: F811 - local alias
+
+    toks = df.select(F.split(F.col(text_col), " ").alias("t"))
+    bg = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    total = bg.agg(F.count(F.lit(1)).alias("nb"))
+    cl = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    cr = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("n2"))
+    cp = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n12"))
+        .where(F.col("n12") >= min_count)
+    )
+    out = (
+        cp.join(cl, on="w1")
+        .join(cr, on="w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.col("n12").cast("long").alias("n12"),
+            F.expr(
+                f"(CAST(n12 AS DECIMAL(38,0)) * nb * {PMI_SCALE})"
+                " div (CAST(n1 AS DECIMAL(38,0)) * n2)"
+            )
+            .cast("long")
+            .alias("pmi_fp"),
+        )
+        .orderBy(F.desc("pmi_fp"), "w1", "w2")
+        .limit(k)
+    )
+    out = out.localCheckpoint(eager=True)  # materialize, then release bg
+    bg.unpersist()
+    return out

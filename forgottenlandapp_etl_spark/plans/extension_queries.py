@@ -7366,3 +7366,47 @@ def tok_byte_encode(spark, sf_dir):
     out = out.localCheckpoint(eager=True)
     words.unpersist()
     return out
+
+
+@ext_query(
+    "text_collocations_pmi",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT t[g.i + 1] AS w1, t[g.i + 2] AS w2
+      FROM toks, UNNEST(generate_series(0, len(t) - 2)) g(i)
+      WHERE len(t) >= 2
+    ),
+    bgc AS (SELECT w1, w2 FROM bg WHERE w1 <> '' AND w2 <> ''),
+    n AS (SELECT COUNT(*) AS nb FROM bgc),
+    cl AS (SELECT w1, COUNT(*) AS n1 FROM bgc GROUP BY w1),
+    cr AS (SELECT w2, COUNT(*) AS n2 FROM bgc GROUP BY w2),
+    cp AS (
+      SELECT w1, w2, COUNT(*) AS n12 FROM bgc GROUP BY w1, w2
+      HAVING COUNT(*) >= {text.PMI_MIN_COUNT}
+    )
+    SELECT cp.w1, cp.w2, CAST(cp.n12 AS BIGINT) AS n12,
+           CAST((CAST(cp.n12 AS HUGEINT) * n.nb * {text.PMI_SCALE})
+                // (CAST(cl.n1 AS HUGEINT) * cr.n2) AS BIGINT) AS pmi_fp
+    FROM cp JOIN cl USING (w1) JOIN cr USING (w2), n
+    ORDER BY pmi_fp DESC, cp.w1, cp.w2 LIMIT 100
+    """,
+)
+def text_collocations_pmi(spark, sf_dir):
+    """Collocation mining by pointwise mutual information (Church & Hanks,
+    CL 1990): the top-100 bigrams by PMI under the NLTK contingency
+    convention (marginals from the bigram relation itself), with the float
+    log replaced by the exact scaled ratio n12·N·10^6 div (n1·n2) — log is
+    monotone, so the ranking is identical and the hash is stable. The
+    min-count floor makes the rare-event caveat structural: without it a
+    pair of two corpus-unique words always tops the list at ratio N.
+
+    Scale shape: one persisted bigram fan-out → three re-aggregatable hash
+    counts + a 1-row broadcast total → vocabulary-keyed equi-joins →
+    TakeOrderedAndProject top-k (per-partition heaps, no global sort).
+    Linear in corpus size end to end; the count relations are the reusable
+    'collocation model' in production."""
+    d = _docs(spark, sf_dir, fan_out=True)
+    return text.collocations_pmi(d, "doc_id", "text", k=100)

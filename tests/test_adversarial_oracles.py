@@ -190,6 +190,11 @@ DOC_ONLY_ENTRIES = [
     # duplicates give error decile 0 (est 1.0, true 1.0), near-dups and
     # hash collisions fill the tail; zero-common candidates keep c=0
     "dedup_minhash_error_hist",
+    # round 11: PMI collocations — the hazard corpus exercises the empty
+    # tokens dropped from the bigram relation, the min-count floor (the
+    # "the the" run and cyclic tok{i} vocab clear it; hapax pairs don't),
+    # and pmi_fp ties broken by the (w1, w2) lexicographic order
+    "text_collocations_pmi",
 ]
 
 

@@ -3114,3 +3114,37 @@ def test_prefix_filter_lossless_on_random_corpora(spark):
             )
         )
         assert got == full, (seed, t)
+
+
+def test_collocations_pmi_ranks_association_over_frequency(spark):
+    """Golden PMI semantics: 'strong tea' occurs 4× and its words occur
+    NOWHERE else (perfect association), while 'of the' occurs 6× but both
+    words are spread across many other bigrams (high frequency, weak
+    association). PMI must rank the exclusive pair first; a raw-count
+    ranking would invert them. Also pins the min-count floor (pairs seen
+    < PMI_MIN_COUNT times never appear) and the exact fixed-point value:
+    for 'strong tea', n12=n1=n2=4 so pmi_fp = N·10^6 div 4."""
+    from forgottenlandapp_etl_spark.operators import text as T
+
+    filler = " ".join(
+        f"of w{i} the x{i} of the" for i in range(6)
+    )  # 'of' and 'the' frequent but mostly apart; 'of the' 6 times
+    rows = [
+        (0, "strong tea strong tea"),
+        (1, "strong tea strong tea"),
+        (2, filler),
+        (3, "rare pair rare pair"),  # 'rare pair' only 2x -> below floor
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = T.collocations_pmi(df, "doc_id", "text", k=50).collect()
+    got = {(r.w1, r.w2): (r.n12, r.pmi_fp) for r in out}
+    assert ("rare", "pair") not in got  # 2 < PMI_MIN_COUNT=3
+    assert ("strong", "tea") in got and ("of", "the") in got
+    # exclusive pair outranks the frequent-but-weak pair
+    order = [(r.w1, r.w2) for r in out]
+    assert order.index(("strong", "tea")) < order.index(("of", "the"))
+    # exact fixed point: n12=4, n1=4, n2=4 -> pmi_fp = N * 10^6 div 4
+    N = sum(
+        len(t.split(" ")) - 1 for _, t in rows if len(t.split(" ")) >= 2
+    )
+    assert got[("strong", "tea")] == (4, N * T.PMI_SCALE // 4)
