@@ -243,6 +243,8 @@ HEADLINE = [
     "dedup_jaccard_prefix_filter",
     # round 11c: PMI collocation mining (exact scaled-ratio ranking)
     "text_collocations_pmi",
+    # round 11c: content-defined chunking dedup (LBFS-style, offset-proof)
+    "dedup_cdc_chunks",
 ]
 
 

@@ -913,3 +913,101 @@ def minhash_error_histogram(
     sig.unpersist()
     sh.unpersist()
     return out
+
+
+#: content-defined chunking: fingerprint window width (chars) and the cut
+#: modulus — a boundary lands after any W-char window whose md5-derived
+#: 60-bit integer is ≡ 0 mod CDC_MOD, so the EXPECTED chunk length is
+#: CDC_MOD + CDC_W − 1 chars and boundaries move only when the local W
+#: characters change (the insertion-locality property fixed-size chunking
+#: lacks)
+CDC_W = 8
+CDC_MOD = 64
+
+
+def _cdc_cut_hash_sql(win: str) -> str:
+    """The shared window-hash cut predicate: 60-bit integer from the md5
+    hex prefix (identical in DuckDB as CAST('0x'||SUBSTR(md5(w),1,15) AS
+    BIGINT)), reduced mod CDC_MOD."""
+    return (
+        f"cast(conv(substring(md5({win}), 1, 15), 16, 10) as bigint)"
+        f" % {CDC_MOD} = 0"
+    )
+
+
+def cdc_chunk_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content-defined chunking dedup profile (the storage-dedup classic —
+    Muthitacharoen et al., LBFS SOSP'01 — applied to corpus text): each
+    document is split at positions where the rolling W-char window's
+    fingerprint matches a mask, chunks are keyed by md5, and an instance
+    is 'dup' iff an identical chunk exists at a strictly earlier
+    (doc_id, idx). Because boundaries are chosen by CONTENT, an insertion
+    reshapes only the chunks overlapping the edit — shared passages at
+    ARBITRARY byte offsets still align, which is exactly what fixed
+    n-gram/shingle tiers miss (property-tested: prefix edits preserve the
+    suffix chunk set). Σ dup_chars over the corpus is the exact
+    dedup-savings a chunk store would realize.
+
+    Per doc: (n_chunks, n_chars, dup_chunks, dup_chars).
+
+    Scale shape: cut discovery is per-row ARRAY math inside codegen (a
+    transform/filter over char positions — linear, no fan-out); the only
+    explode is one row per ~(CDC_MOD+W)-char chunk; chunk TEXT never
+    crosses a shuffle — instances are reduced to (md5, len) immediately
+    (the round-10 digest discipline) before the digest-partitioned
+    row_number and the per-doc re-aggregation. Every empty document forms
+    one zero-length chunk, so the output is total on doc_id with no
+    left-join leg."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    W, L = CDC_W, f"length({text_col})"
+    cuts = (
+        f"filter(transform(sequence(1, greatest({L} - {W - 1}, 1)),"
+        f" i -> IF(i + {W - 1} < {L}"
+        f" AND {_cdc_cut_hash_sql(f'substr({text_col}, i, {W})')},"
+        " cast(i as bigint) + " + str(W - 1) + ", cast(0 as bigint))),"
+        " x -> x > 0)"
+    )
+    b = f"concat(array(cast(0 as bigint)), {cuts}, array(cast({L} as bigint)))"
+    chunks_expr = (
+        f"transform(sequence(1, size({b}) - 1),"
+        f" k -> substr({text_col}, cast(element_at({b}, k) as int) + 1,"
+        f" cast(element_at({b}, k + 1) - element_at({b}, k) as int)))"
+    )
+    inst = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(F.expr(chunks_expr)).alias("idx", "chunk"),
+        )
+        .select(
+            "__id",
+            F.col("idx").cast("long").alias("idx"),
+            F.md5(F.col("chunk")).alias("h"),
+            F.length("chunk").cast("long").alias("clen"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    w = Window.partitionBy("h").orderBy("__id", "idx")
+    ranked = inst.withColumn("r", F.row_number().over(w))
+    out = (
+        ranked.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("clen").alias("n_chars"),
+            F.sum(F.when(F.col("r") > 1, 1).otherwise(0)).alias("dup_chunks"),
+            F.sum(F.when(F.col("r") > 1, F.col("clen")).otherwise(0)).alias(
+                "dup_chars"
+            ),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("dup_chunks").cast("long").alias("dup_chunks"),
+            F.col("dup_chars").cast("long").alias("dup_chars"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    inst.unpersist()
+    return out

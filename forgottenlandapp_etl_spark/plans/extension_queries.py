@@ -7410,3 +7410,72 @@ def text_collocations_pmi(spark, sf_dir):
     'collocation model' in production."""
     d = _docs(spark, sf_dir, fan_out=True)
     return text.collocations_pmi(d, "doc_id", "text", k=100)
+
+
+def _cdc_oracle() -> str:
+    W, M = dedup.CDC_W, dedup.CDC_MOD
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS L FROM documents
+    ),
+    cuts AS (
+      SELECT doc_id, text, L,
+        list_filter(
+          list_transform(generate_series(1, greatest(L - {W - 1}, 1)),
+            i -> CASE WHEN i + {W - 1} < L AND
+              CAST('0x' || SUBSTR(md5(substr(text, i, {W})), 1, 15) AS BIGINT)
+                % {M} = 0
+            THEN CAST(i + {W - 1} AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+          x -> x > 0) AS cp
+      FROM d
+    ),
+    b AS (
+      SELECT doc_id, text,
+             list_concat(list_concat([CAST(0 AS BIGINT)], cp),
+                         [CAST(L AS BIGINT)]) AS bl
+      FROM cuts
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(g.k - 1 AS BIGINT) AS idx,
+             substr(text, CAST(bl[k] AS INT) + 1,
+                    CAST(bl[k + 1] - bl[k] AS INT)) AS chunk
+      FROM b, UNNEST(generate_series(1, len(bl) - 1)) g(k)
+    ),
+    inst AS (
+      SELECT doc_id, idx, md5(chunk) AS h,
+             CAST(length(chunk) AS BIGINT) AS clen
+      FROM chunks
+    ),
+    rn AS (
+      SELECT doc_id, idx, clen,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) AS r
+      FROM inst
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(clen) AS BIGINT) AS n_chars,
+           CAST(SUM(CASE WHEN r > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_chunks,
+           CAST(SUM(CASE WHEN r > 1 THEN clen ELSE 0 END) AS BIGINT)
+             AS dup_chars
+    FROM rn GROUP BY doc_id
+    """
+
+
+@ext_query("dedup_cdc_chunks", _cdc_oracle())
+def dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup profile (LBFS, Muthitacharoen et al.
+    SOSP'01): variable-size chunks cut where the W-char window fingerprint
+    matches a mask, instances keyed by md5, dup = strictly-earlier
+    (doc_id, idx) holds the same chunk. The character-offset-insensitive
+    complement to the shingle/MinHash tiers: shared passages align at
+    ARBITRARY offsets because boundaries move with content, not position
+    (property-tested in tests/test_extensions.py — a prefix edit preserves
+    the suffix chunk set). Σ dup_chars is the exact savings a
+    content-addressed chunk store would realize on this corpus.
+
+    Scale shape: cut discovery is per-row array math in codegen; the only
+    fan-out is ~1 row per 71 chars; only (digest, len) cross the shuffles
+    (digest-partitioned row_number, then a per-doc hash re-aggregate)."""
+    d = _docs(spark, sf_dir, fan_out=True)
+    return dedup.cdc_chunk_stats(d, "doc_id", "text")

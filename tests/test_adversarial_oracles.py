@@ -195,6 +195,12 @@ DOC_ONLY_ENTRIES = [
     # "the the" run and cyclic tok{i} vocab clear it; hapax pairs don't),
     # and pmi_fp ties broken by the (w1, w2) lexicographic order
     "text_collocations_pmi",
+    # round 11: content-defined chunking — the hazard corpus exercises
+    # empty docs (one zero-length chunk each, md5('') group), docs shorter
+    # than the window (single whole-doc chunk), exact duplicates (full
+    # dup_chars), the near-dup cluster (partial chunk sharing), and
+    # non-ASCII text (char-based substr/length on both engines)
+    "dedup_cdc_chunks",
 ]
 
 

@@ -3148,3 +3148,37 @@ def test_collocations_pmi_ranks_association_over_frequency(spark):
         len(t.split(" ")) - 1 for _, t in rows if len(t.split(" ")) >= 2
     )
     assert got[("strong", "tea")] == (4, N * T.PMI_SCALE // 4)
+
+
+def test_cdc_chunks_reconstruction_and_insertion_locality(spark):
+    """The two properties that make content-defined chunking correct and
+    worth having: (a) chunks concatenate back to the exact text (the
+    boundary array partitions [0, L] with no gap or overlap), and (b) a
+    PREFIX edit leaves the suffix chunk set intact — boundaries are chosen
+    by local content, so the edit reshapes only chunks overlapping it,
+    where fixed-size chunking would shift every downstream boundary and
+    share ~nothing. Pinned via dup accounting: the edited copy must still
+    dedup most of its bytes against the original."""
+    import random as rnd
+
+    from forgottenlandapp_etl_spark.operators import dedup as D
+
+    r = rnd.Random(7)
+    base = " ".join(
+        "".join(r.choice("abcdefgh ") for _ in range(12)) for _ in range(80)
+    )
+    rows = [(0, base), (1, "ZQX" + base)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        x.doc_id: x.asDict()
+        for x in D.cdc_chunk_stats(df, "doc_id", "text").collect()
+    }
+    # (a) reconstruction: per-doc chunk chars sum to the text length
+    assert got[0]["n_chars"] == len(base)
+    assert got[1]["n_chars"] == len(base) + 3
+    assert got[0]["dup_chars"] == 0  # doc 0 is the original everywhere
+    # (b) insertion locality: expected chunk ~71 chars on ~1 KB of text;
+    # the 3-char prefix edit may reshape the first chunk(s) but the
+    # suffix must still align -> the copy dedups >= 60% of its bytes
+    assert got[1]["dup_chars"] >= 0.6 * got[1]["n_chars"], got[1]
+    assert got[1]["n_chunks"] >= 2, "fixture produced no real cuts"
