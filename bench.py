@@ -245,6 +245,10 @@ HEADLINE = [
     "text_collocations_pmi",
     # round 11c: content-defined chunking dedup (LBFS-style, offset-proof)
     "dedup_cdc_chunks",
+    # round 11c: vocab-sizing coverage curve (Zipf analytics)
+    "tok_coverage_curve",
+    # round 11c: shot-boundary detection over the sampled-frame index
+    "mm_scene_cuts",
 ]
 
 

@@ -256,3 +256,57 @@ def frame_sample(df: DataFrame, every: int = 4, frame_bytes: int = 16) -> DataFr
             )
 
     return df.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+#: scene-cut threshold on the per-frame brightness-proxy delta (sum of
+#: byte values, 0..4080 for a 16-byte frame) — a cut opens a new scene
+#: when consecutive sampled frames differ by more than this
+SCENE_CUT_THRESHOLD = 64
+
+
+def frame_signature(frames: DataFrame) -> DataFrame:
+    """Per-frame compact signature: the byte-value sum (a brightness proxy
+    — the cheapest luminance statistic a real decoder would emit, here
+    computed directly from the payload bytes so the oracle can reproduce
+    it). Rides the HEX carrier (uppercase, 2 chars/byte in both engines)
+    so the statistic is byte-faithful for ANY payload, not just ASCII:
+    sig = Σ_j int(hex[2j−1..2j], 16). Pure per-row array math in codegen;
+    handles the short tail frame (fewer than frame_bytes bytes)."""
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.expr(
+            "aggregate(transform(sequence(1, length(hex(frame_bytes)) div 2),"
+            " j -> cast(conv(substr(hex(frame_bytes), 2*j - 1, 2), 16, 10)"
+            " as bigint)), cast(0 as bigint), (a, x) -> a + x)"
+        ).alias("sig"),
+    )
+
+
+def scene_segments(
+    sigs: DataFrame, threshold: int = SCENE_CUT_THRESHOLD
+) -> DataFrame:
+    """Scene segmentation from frame signatures: a cut opens wherever
+    |sig_i − sig_{i−1}| > threshold (LAG within each media, ordered by the
+    deterministic frame_idx), scene ids are the running cut count, and
+    each (media, scene) collapses to (start_frame, end_frame, n_frames).
+    Two media-partitioned window passes plus one hash aggregate — the
+    shuffle key is media_id throughout, so the three stages reuse one
+    partitioning; nothing global, nothing quadratic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    cut = (
+        F.abs(F.col("sig") - F.lag("sig").over(w)) > F.lit(threshold)
+    ).cast("long")
+    scened = sigs.withColumn(
+        "scene_idx",
+        F.sum(F.coalesce(cut, F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return scened.groupBy("media_id", "scene_idx").agg(
+        F.min("frame_idx").cast("long").alias("start_frame"),
+        F.max("frame_idx").cast("long").alias("end_frame"),
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+    )

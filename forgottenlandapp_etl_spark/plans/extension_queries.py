@@ -7479,3 +7479,153 @@ def dedup_cdc_chunks(spark, sf_dir):
     (digest-partitioned row_number, then a per-doc hash re-aggregate)."""
     d = _docs(spark, sf_dir, fan_out=True)
     return dedup.cdc_chunk_stats(d, "doc_id", "text")
+
+
+#: candidate-vocab cap and the reported vocab-size checkpoints for the
+#: coverage curve — VMAX bounds every post-limit relation (model-sized)
+TOK_COVERAGE_VMAX = 16384
+TOK_COVERAGE_CHECKPOINTS = (4, 16, 64, 256, 1024, 4096, 16384)
+
+
+@ext_query(
+    "tok_coverage_curve",
+    f"""
+    WITH toks AS (
+      SELECT u.w AS w
+      FROM (SELECT string_split(text, ' ') AS t FROM documents), UNNEST(t) u(w)
+      WHERE u.w <> ''
+    ),
+    total AS (SELECT COUNT(*) AS nt FROM toks),
+    tc AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+    top AS (
+      SELECT w, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rnk
+      FROM tc ORDER BY cnt DESC, w LIMIT {TOK_COVERAGE_VMAX}
+    ),
+    ck AS (
+      SELECT UNNEST({list(TOK_COVERAGE_CHECKPOINTS)}) AS vocab_size
+    )
+    SELECT CAST(ck.vocab_size AS BIGINT) AS vocab_size,
+           CAST(COUNT(top.rnk) AS BIGINT) AS n_types,
+           CAST(COALESCE(SUM(top.cnt), 0) AS BIGINT) AS covered_tokens,
+           CAST(total.nt AS BIGINT) AS total_tokens,
+           CAST(COALESCE(SUM(top.cnt), 0) * {text.PMI_SCALE} // total.nt
+                AS BIGINT) AS coverage_fp
+    FROM ck LEFT JOIN top ON top.rnk <= ck.vocab_size, total
+    GROUP BY ck.vocab_size, total.nt
+    """,
+)
+def tok_coverage_curve(spark, sf_dir):
+    """Token-coverage-vs-vocab-size curve — the Zipf analytics behind
+    tokenizer vocabulary sizing (what fraction of corpus token
+    OCCURRENCES the top-V types cover, reported at the standard power-of-4
+    checkpoints). Coverage is the exact scaled ratio covered·10^6 div
+    total; ranking ties break on the token string so the curve is
+    hash-stable.
+
+    Scale shape: one corpus-linear token count (map-side combinable), a
+    TakeOrderedAndProject top-VMAX (per-partition heaps — the candidate
+    vocab IS the model, ≤ 16 384 rows from there on), a broadcast 1-row
+    total, and a broadcast checkpoint relation joined by rank inequality
+    (5 × VMAX comparisons). The corpus never sees a global sort."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir, fan_out=True)
+    toks = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("nt"))
+    tc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    top = tc.orderBy(F.desc("cnt"), "w").limit(TOK_COVERAGE_VMAX)
+    ranked = top.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), "w")),
+    )
+    ck = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(v) for v in TOK_COVERAGE_CHECKPOINTS])
+        ).alias("vocab_size")
+    )
+    return (
+        F.broadcast(ck)
+        .join(ranked, ranked["rnk"] <= ck["vocab_size"], "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy("vocab_size", "nt")
+        .agg(
+            F.count("rnk").alias("n_types"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("covered"),
+        )
+        .select(
+            F.col("vocab_size").cast("long").alias("vocab_size"),
+            F.col("n_types").cast("long").alias("n_types"),
+            F.col("covered").cast("long").alias("covered_tokens"),
+            F.col("nt").cast("long").alias("total_tokens"),
+            F.expr(f"(covered * {text.PMI_SCALE}) div nt")
+            .cast("long")
+            .alias("coverage_fp"),
+        )
+    )
+
+
+@ext_query(
+    "mm_scene_cuts",
+    f"""
+    WITH fr AS (
+      SELECT doc_id AS media_id, CAST(g.i AS INT) AS frame_idx,
+             substring(hex(encode(text)), CAST(g.i * 128 + 1 AS INT), 32) AS h
+      FROM documents,
+           UNNEST(generate_series(
+             0,
+             CAST(ceil(ceil(octet_length(encode(text)) / 16.0) / 4.0) AS INT) - 1
+           )) g(i)
+    ),
+    sig AS (
+      SELECT media_id, frame_idx,
+             COALESCE(list_sum(list_transform(
+               generate_series(1, len(h) // 2),
+               j -> CAST('0x' || substr(h, 2*j - 1, 2) AS BIGINT))), 0) AS s
+      FROM fr
+    ),
+    cuts AS (
+      SELECT media_id, frame_idx, s,
+             CASE WHEN abs(s - LAG(s) OVER
+                    (PARTITION BY media_id ORDER BY frame_idx))
+                  > {multimodal.SCENE_CUT_THRESHOLD}
+                  THEN 1 ELSE 0 END AS cut
+      FROM sig
+    ),
+    scened AS (
+      SELECT media_id, frame_idx,
+             SUM(cut) OVER (PARTITION BY media_id ORDER BY frame_idx
+                            ROWS UNBOUNDED PRECEDING) AS scene_idx
+      FROM cuts
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(scene_idx AS BIGINT) AS scene_idx,
+           CAST(MIN(frame_idx) AS BIGINT) AS start_frame,
+           CAST(MAX(frame_idx) AS BIGINT) AS end_frame,
+           CAST(COUNT(*) AS BIGINT) AS n_frames
+    FROM scened GROUP BY media_id, scene_idx
+    """,
+)
+def mm_scene_cuts(spark, sf_dir):
+    """Video scene segmentation over the sampled-frame index: per-frame
+    brightness-proxy signatures (byte-value sums over the HEX carrier —
+    byte-faithful cross-engine for any payload), a cut wherever
+    consecutive frames differ by more than SCENE_CUT_THRESHOLD, scenes as
+    the running cut count, collapsed to (start, end, n_frames) spans.
+    This is the shot-boundary-detection shape of a real video pipeline
+    (decode → per-frame statistic → temporal delta → segment), with the
+    codec statistic swapped for the deterministic byte proxy the
+    environment supports — the Spark plumbing (mapInPandas fan-out,
+    media-partitioned temporal windows, span aggregation) is the real
+    thing.
+
+    Scale shape: the signature is per-row codegen array math; LAG, the
+    running sum and the span aggregate all share the media_id
+    partitioning, so the whole segmentation costs ONE shuffle of
+    (media_id, frame_idx, sig) rows — frame text never moves."""
+    d = _docs(spark, sf_dir, fan_out=True)
+    media = multimodal.attach_media(d, "doc_id", "text", kind="video")
+    frames = multimodal.frame_sample(media, every=4, frame_bytes=16)
+    return multimodal.scene_segments(multimodal.frame_signature(frames))

@@ -201,6 +201,13 @@ DOC_ONLY_ENTRIES = [
     # dup_chars), the near-dup cluster (partial chunk sharing), and
     # non-ASCII text (char-based substr/length on both engines)
     "dedup_cdc_chunks",
+    # round 11: coverage curve — empty-token exclusion, non-ASCII types,
+    # count ties broken by token string, checkpoints past the type count
+    "tok_coverage_curve",
+    # round 11: scene cuts — empty docs (no frames), sub-16-byte tail
+    # frames, non-ASCII payloads through the hex carrier, single-frame
+    # media (LAG sees NULL -> no cut, one scene)
+    "mm_scene_cuts",
 ]
 
 

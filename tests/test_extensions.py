@@ -3182,3 +3182,58 @@ def test_cdc_chunks_reconstruction_and_insertion_locality(spark):
     # suffix must still align -> the copy dedups >= 60% of its bytes
     assert got[1]["dup_chars"] >= 0.6 * got[1]["n_chars"], got[1]
     assert got[1]["n_chunks"] >= 2, "fixture produced no real cuts"
+
+
+def test_tok_coverage_curve_golden(spark, tmp_path):
+    """Hand-computable Zipf curve: counts a=8, b=4, c=2, d=1 (total 15).
+    Coverage at V=4 is 15/15; the smallest checkpoint (V=4) already holds
+    all four types here, so pin the interior of the curve by computing
+    over a corpus with MORE types than the smallest checkpoint: 6 types
+    with counts 32,16,8,4,2,1 (total 63) -> top-4 covers 60/63."""
+    import os
+
+    import pandas as pd
+
+    from forgottenlandapp_etl_spark.plans.registry import QUERIES
+
+    counts = {"t0": 32, "t1": 16, "t2": 8, "t3": 4, "t4": 2, "t5": 1}
+    text = " ".join(" ".join([w] * n) for w, n in counts.items())
+    d = str(tmp_path / "cov")
+    os.makedirs(d)
+    pd.DataFrame(
+        {"doc_id": [0], "text": [text], "source": ["s"], "lang": ["en"],
+         "url": ["u"]}
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+    out = {
+        r.vocab_size: r
+        for r in QUERIES["tok_coverage_curve"](spark, d).collect()
+    }
+    assert out[4].n_types == 4 and out[4].covered_tokens == 60
+    assert out[4].total_tokens == 63
+    assert out[4].coverage_fp == 60 * 10**6 // 63
+    assert out[16].n_types == 6 and out[16].covered_tokens == 63
+    assert out[16].coverage_fp == 10**6
+
+
+def test_scene_segments_golden(spark):
+    """Hand-built signature sequence: frames [10, 12, 11, 500, 505, 20]
+    with threshold 64 cut exactly twice (11→500 and 505→20), giving three
+    scenes spanning frames [0..2], [3..4], [5..5]; a single-frame media
+    has one scene (LAG NULL -> no cut)."""
+    from forgottenlandapp_etl_spark.operators import multimodal as M
+
+    rows = [(1, i, s) for i, s in enumerate([10, 12, 11, 500, 505, 20])]
+    rows += [(2, 0, 7)]
+    sigs = spark.createDataFrame(
+        rows, "media_id long, frame_idx int, sig long"
+    )
+    got = {
+        (r.media_id, r.scene_idx): (r.start_frame, r.end_frame, r.n_frames)
+        for r in M.scene_segments(sigs, threshold=64).collect()
+    }
+    assert got == {
+        (1, 0): (0, 2, 3),
+        (1, 1): (3, 4, 2),
+        (1, 2): (5, 5, 1),
+        (2, 0): (0, 0, 1),
+    }
