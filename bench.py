@@ -249,6 +249,8 @@ HEADLINE = [
     "tok_coverage_curve",
     # round 11c: shot-boundary detection over the sampled-frame index
     "mm_scene_cuts",
+    # round 11c: RAKE keyword extraction (stopword-delimited phrases)
+    "text_rake_keywords",
 ]
 
 

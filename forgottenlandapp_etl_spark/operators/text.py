@@ -699,3 +699,94 @@ def collocations_pmi(
     out = out.localCheckpoint(eager=True)  # materialize, then release bg
     bg.unpersist()
     return out
+
+
+def rake_keywords(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    stopwords: tuple[str, ...] = STOPWORDS_EN,
+    k: int = 100,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010), exact fixed point.
+
+    Candidate phrases are maximal runs of consecutive non-stopword,
+    non-empty tokens (stopwords and delimiter-run empty tokens are the
+    breakers). Corpus-level word statistics over phrase INSTANCES — per
+    occurrence of word w in a phrase of length L: freq(w) += 1,
+    deg(w) += L (the include-self degree convention, so deg/freq is the
+    mean length of phrases containing w). Word score is the scaled ratio
+    wscore_fp = deg·PMI_SCALE div freq (the integer div rounding is part
+    of the pinned definition); a phrase scores the sum of its words'
+    scores, identical for every instance of the same phrase text. Output:
+    top-k distinct phrases by (score_fp DESC, phrase) with occurrence
+    counts.
+
+    Scale shape: one token posexplode (linear), segmentation as a running
+    breaker count over the doc_id window, phrase assembly via an
+    order-embedded array_sort (no nondeterministic collect_list order),
+    two corpus-linear hash aggregates (word stats, phrase groups), a
+    broadcast-sized word-score join keyed on the vocabulary, and a
+    TakeOrderedAndProject top-k. All shuffles are keyed by doc, word, or
+    phrase — nothing global, nothing quadratic."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F  # noqa: F811 - local alias
+
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    pos = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    ).withColumn(
+        "brk",
+        ((F.col("w") == "") | F.array_contains(sw, F.col("w"))).cast("int"),
+    )
+    wseg = Window.partitionBy("__id").orderBy("pos")
+    seg = (
+        pos.withColumn(
+            "seg",
+            F.sum("brk").over(wseg.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .where(F.col("brk") == 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    plen = seg.groupBy("__id", "seg").agg(F.count(F.lit(1)).alias("pl"))
+    words = seg.join(plen, on=["__id", "seg"]).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    wstats = words.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("pl").alias("deg")
+    )
+    wscore = wstats.select(
+        "w",
+        F.expr(f"(CAST(deg AS DECIMAL(38,0)) * {PMI_SCALE}) div freq")
+        .cast("long")
+        .alias("ws"),
+    )
+    inst = (
+        words.join(wscore, on="w")
+        .groupBy("__id", "seg")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("ws").alias("score_fp"),
+        )
+    )
+    out = (
+        inst.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.max("score_fp").cast("long").alias("score_fp"),
+        )
+        .orderBy(F.desc("score_fp"), "phrase")
+        .limit(k)
+    )
+    out = out.localCheckpoint(eager=True)
+    words.unpersist()
+    seg.unpersist()
+    return out

@@ -7629,3 +7629,61 @@ def mm_scene_cuts(spark, sf_dir):
     media = multimodal.attach_media(d, "doc_id", "text", kind="video")
     frames = multimodal.frame_sample(media, every=4, frame_bytes=16)
     return multimodal.scene_segments(multimodal.frame_signature(frames))
+
+
+def _rake_oracle() -> str:
+    sw = ", ".join(f"'{s}'" for s in text.STOPWORDS_EN)
+    return f"""
+    WITH pos AS (
+      SELECT doc_id, g.i - 1 AS pos, t[g.i] AS w,
+             CASE WHEN t[g.i] = '' OR t[g.i] IN ({sw}) THEN 1 ELSE 0 END
+               AS brk
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(generate_series(1, len(t))) g(i)
+    ),
+    seg AS (
+      SELECT doc_id, pos, w, brk,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS seg
+      FROM pos
+    ),
+    nws AS (SELECT doc_id, seg, pos, w FROM seg WHERE brk = 0),
+    plen AS (SELECT doc_id, seg, COUNT(*) AS pl FROM nws GROUP BY doc_id, seg),
+    words AS (
+      SELECT n.doc_id, n.seg, n.pos, n.w, p.pl
+      FROM nws n JOIN plen p USING (doc_id, seg)
+    ),
+    wscore AS (
+      SELECT w, (CAST(SUM(pl) AS HUGEINT) * {text.PMI_SCALE}) // COUNT(*)
+               AS ws
+      FROM words GROUP BY w
+    ),
+    inst AS (
+      SELECT w0.doc_id, w0.seg,
+             string_agg(w0.w, ' ' ORDER BY w0.pos) AS phrase,
+             SUM(s.ws) AS score_fp
+      FROM words w0 JOIN wscore s USING (w)
+      GROUP BY w0.doc_id, w0.seg
+    )
+    SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MAX(score_fp) AS BIGINT) AS score_fp
+    FROM inst GROUP BY phrase
+    ORDER BY score_fp DESC, phrase LIMIT 100
+    """
+
+
+@ext_query("text_rake_keywords", _rake_oracle())
+def text_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010): stopword-delimited
+    candidate phrases, corpus word statistics freq/deg over phrase
+    instances (include-self degree), word score deg·10^6 div freq held in
+    exact fixed point, phrase score = Σ word scores, top-100 distinct
+    phrases. The unsupervised keyword miner of the text-analysis tier —
+    complements the PMI collocations (association between word PAIRS)
+    with multi-word phrase ranking.
+
+    Scale shape: see operators.text.rake_keywords — one token explode,
+    doc-keyed running-count segmentation, word- and phrase-keyed hash
+    aggregates, vocabulary-sized score join, TakeOrderedAndProject."""
+    d = _docs(spark, sf_dir, fan_out=True)
+    return text.rake_keywords(d, "doc_id", "text", k=100)

@@ -208,6 +208,10 @@ DOC_ONLY_ENTRIES = [
     # frames, non-ASCII payloads through the hex carrier, single-frame
     # media (LAG sees NULL -> no cut, one scene)
     "mm_scene_cuts",
+    # round 11: RAKE — stopword runs (all-stopword docs yield no phrase),
+    # empty-token breakers, repeated phrases across docs, phrase-text
+    # grouping with score ties broken lexicographically
+    "text_rake_keywords",
 ]
 
 

@@ -3237,3 +3237,31 @@ def test_scene_segments_golden(spark):
         (1, 2): (5, 5, 1),
         (2, 0): (0, 0, 1),
     }
+
+
+def test_rake_keywords_golden(spark):
+    """Hand-computed RAKE on two docs sharing the phrase 'deep learning'
+    and one stopword-broken compound: 'deep learning of neural networks'
+    splits at 'of' into ['deep learning'] and ['neural networks'].
+    With docs ["deep learning of neural networks",
+               "deep learning and deep models"]:
+      phrases: ['deep learning', 'neural networks',
+                'deep learning', 'deep models']
+      freq: deep=3, learning=2, neural=1, networks=1, models=1
+      deg:  deep=2+2+2=6, learning=4, neural=2, networks=2, models=2
+      ws (x1e6): deep=2_000_000, learning=2_000_000, neural=2_000_000,
+                 networks=2_000_000, models=2_000_000
+      'deep learning' scores 4e6 with 2 occurrences."""
+    from forgottenlandapp_etl_spark.operators import text as T
+
+    rows = [
+        (0, "deep learning of neural networks"),
+        (1, "deep learning and deep models"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = T.rake_keywords(df, "doc_id", "text", k=10).collect()
+    got = {r.phrase: (r.n_occurrences, r.score_fp) for r in out}
+    assert got["deep learning"] == (2, 4_000_000)
+    assert got["neural networks"] == (1, 4_000_000)
+    assert got["deep models"] == (1, 4_000_000)
+    assert "of" not in " ".join(got) and "and" not in got
