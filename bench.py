@@ -251,6 +251,8 @@ HEADLINE = [
     "mm_scene_cuts",
     # round 11c: RAKE keyword extraction (stopword-delimited phrases)
     "text_rake_keywords",
+    # round 11c: Benford first-digit DQ audit (exact integer-cents path)
+    "dq_benford_digits",
 ]
 
 

@@ -7687,3 +7687,115 @@ def text_rake_keywords(spark, sf_dir):
     aggregates, vocabulary-sized score join, TakeOrderedAndProject."""
     d = _docs(spark, sf_dir, fan_out=True)
     return text.rake_keywords(d, "doc_id", "text", k=100)
+
+
+#: Benford's-law expected first-digit mass, fixed point 1e6 == 1.0
+#: (log10(1+1/d) — literal constants, identical in plan and oracle)
+BENFORD_FP = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+
+
+@ext_query(
+    "dq_benford_digits",
+    f"""
+    WITH vals AS (
+      SELECT 'extendedprice' AS metric,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+      UNION ALL
+      SELECT 'quantity', CAST(ROUND(l_quantity * 100) AS BIGINT)
+      FROM lineitem
+    ),
+    digits AS (
+      SELECT metric,
+             CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM vals WHERE cents > 0
+    ),
+    tot AS (SELECT metric, COUNT(*) AS nt FROM digits GROUP BY metric),
+    obs AS (
+      SELECT metric, digit, COUNT(*) AS n FROM digits GROUP BY metric, digit
+    ),
+    exp AS (
+      SELECT g.d AS digit, CAST(e.l[g.d] AS BIGINT) AS exp_fp
+      FROM (SELECT {list(BENFORD_FP)} AS l) e,
+           UNNEST(generate_series(1, 9)) g(d)
+    )
+    SELECT obs.metric, CAST(obs.digit AS INT) AS digit,
+           CAST(obs.n AS BIGINT) AS n,
+           CAST((obs.n * {text.PMI_SCALE}) // tot.nt AS BIGINT) AS obs_fp,
+           exp.exp_fp,
+           CAST(abs((obs.n * {text.PMI_SCALE}) // tot.nt - exp.exp_fp)
+                AS BIGINT) AS dev_fp
+    FROM obs JOIN tot USING (metric) JOIN exp ON exp.digit = obs.digit
+    """,
+)
+def dq_benford_digits(spark, sf_dir):
+    """Benford's-law first-digit audit (the fraud/anomaly screen of
+    financial DQ practice) over lineitem prices and quantities: observed
+    first-significant-digit mass vs the log10(1+1/d) expectation, both in
+    fixed point. On this synthetic fixture BOTH metrics deviate (TPC-H
+    prices are uniform-ish in the leading digit, quantities uniform 1–50)
+    — which is the audit working as designed: dev_fp is the signal, and
+    mechanically-generated values are exactly what a Benford screen is
+    meant to flag. Float-safe cross-engine: values go through exact
+    integer CENTS (round(x·100) — the true values are money/integer
+    quantities, so the double error is ≪ the rounding step and ×100
+    preserves the leading significant digit), and the digit is the first
+    char of the INTEGER's string, never a float rendering.
+
+    Scale shape: a 2-column pruned scan, per-row digit math, one
+    (metric, digit)-keyed hash aggregate (≤ 18 groups), a broadcast 2-row
+    total and a broadcast 9-row expectation table."""
+    li = catalog.table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_quantity"
+    )
+    vals = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("extendedprice").alias("metric"),
+                    F.expr(
+                        "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+                    ).alias("cents"),
+                ),
+                F.struct(
+                    F.lit("quantity").alias("metric"),
+                    F.expr("CAST(ROUND(l_quantity * 100) AS BIGINT)").alias(
+                        "cents"
+                    ),
+                ),
+            )
+        ).alias("v")
+    ).select("v.metric", "v.cents")
+    digits = vals.where(F.col("cents") > 0).select(
+        "metric",
+        F.substring(F.col("cents").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit"),
+    )
+    tot = digits.groupBy("metric").agg(F.count(F.lit(1)).alias("nt"))
+    obs = digits.groupBy("metric", "digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    exp = spark.range(1).select(
+        F.posexplode(F.array(*[F.lit(v) for v in BENFORD_FP])).alias(
+            "d0", "exp_fp"
+        )
+    ).select((F.col("d0") + 1).cast("int").alias("digit"), "exp_fp")
+    return (
+        obs.join(F.broadcast(tot), on="metric")
+        .join(F.broadcast(exp), on="digit")
+        .select(
+            "metric",
+            F.col("digit").cast("int").alias("digit"),
+            F.col("n").cast("long").alias("n"),
+            F.expr(f"(n * {text.PMI_SCALE}) div nt").cast("long").alias(
+                "obs_fp"
+            ),
+            F.col("exp_fp").cast("long").alias("exp_fp"),
+            F.expr(
+                f"abs((n * {text.PMI_SCALE}) div nt - exp_fp)"
+            )
+            .cast("long")
+            .alias("dev_fp"),
+        )
+    )

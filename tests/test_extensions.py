@@ -3265,3 +3265,37 @@ def test_rake_keywords_golden(spark):
     assert got["neural networks"] == (1, 4_000_000)
     assert got["deep models"] == (1, 4_000_000)
     assert "of" not in " ".join(got) and "and" not in got
+
+
+def test_benford_digit_extraction_golden(spark, tmp_path):
+    """Digit extraction edges: zeros are excluded (no first significant
+    digit), sub-unit values keep their leading significant digit through
+    the ×100 cents shift (0.05 -> digit 5), and near-integer doubles
+    round to the exact cents (9.99 -> 999 -> digit 9)."""
+    import os
+
+    import pandas as pd
+
+    from forgottenlandapp_etl_spark.plans.registry import QUERIES
+
+    d = str(tmp_path / "benford")
+    os.makedirs(d)
+    pd.DataFrame(
+        {
+            "l_extendedprice": [0.0, 0.05, 123.45, 9.99],
+            "l_quantity": [50.0, 1.0, 7.0, 0.0],
+        }
+    ).to_parquet(os.path.join(d, "lineitem.parquet"))
+    out = QUERIES["dq_benford_digits"](spark, d).collect()
+    got = {(r.metric, r.digit): r.n for r in out}
+    assert got == {
+        ("extendedprice", 5): 1,   # 0.05 -> 5 cents
+        ("extendedprice", 1): 1,   # 123.45 -> 12345
+        ("extendedprice", 9): 1,   # 9.99 -> 999
+        ("quantity", 5): 1,        # 50 -> 5000
+        ("quantity", 1): 1,
+        ("quantity", 7): 1,
+    }
+    # totals: zero rows dropped per metric independently
+    obs = {(r.metric, r.digit): r.obs_fp for r in out}
+    assert obs[("extendedprice", 5)] == 10**6 // 3
