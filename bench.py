@@ -253,6 +253,8 @@ HEADLINE = [
     "text_rake_keywords",
     # round 11c: Benford first-digit DQ audit (exact integer-cents path)
     "dq_benford_digits",
+    # round 11c: BFS hop distance to the cluster keeper
+    "graph_bfs_distances",
 ]
 
 

@@ -421,3 +421,121 @@ def kcore(
             )
         prev = n
     raise RuntimeError(f"k-core did not converge in {KCORE_MAX_ROUNDS} rounds")
+
+
+BFS_MAX_ROUNDS = 40
+
+
+def _bfs_single_task(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Exact multi-source BFS for a measured-small graph: plain queue BFS
+    from every component-minimum seed inside one Arrow task — the same
+    (id, component, dist) contract as the distributed loop."""
+    import pandas as pd
+
+    # single-task path: union both relations into one applyInPandas task
+    # via a constant group key (the measured-small tier makes this bounded)
+    e = edges.select("src", "dst").withColumn("__g", F.lit(1))
+    l = labels.select(
+        F.col("id").alias("src"),
+        F.col("component").alias("dst"),
+    ).withColumn("__g", F.lit(2))
+
+    def solve(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ed = pdf[pdf["__g"] == 1]
+        lb = pdf[pdf["__g"] == 2]
+        adj: dict[int, list[int]] = {}
+        for s, d in zip(ed["src"], ed["dst"]):
+            adj.setdefault(int(s), []).append(int(d))
+        comp = {int(i): int(c) for i, c in zip(lb["src"], lb["dst"])}
+        dist: dict[int, int] = {}
+        from collections import deque
+
+        seeds = sorted(set(comp.values()))
+        q = deque()
+        for s in seeds:
+            dist[s] = 0
+            q.append(s)
+        while q:
+            u = q.popleft()
+            if dist[u] >= BFS_MAX_ROUNDS:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        rows = [
+            {"id": i, "component": comp[i], "dist": dist[i]}
+            for i in comp
+            if i in dist
+        ]
+        return pd.DataFrame(rows, columns=["id", "component", "dist"])
+
+    return (
+        e.unionByName(l)
+        .groupBy(F.lit(1).alias("__k"))
+        .applyInPandas(solve, schema="id long, component long, dist long")
+    )
+
+
+def bfs_distances(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Hop distance from each node to its duplicate-cluster representative:
+    multi-source BFS over the undirected near-dup graph, seeded at every
+    component's MINIMUM id (the keeper the dedup tier elects). Returns
+    (id, component, dist) — dist is the length of the shortest
+    chain-of-pairs connecting a document to its keeper, the 'how indirect
+    is this duplicate' audit that distinguishes a doc directly paired with
+    the keeper (dist 1) from one held only through a chain of borderline
+    matches (dist >= 2, the same appendages kcore peels).
+
+    Scale shape: component labels come from connected_components (the
+    measured two-tier iteration); each BFS round is one equi-join of the
+    CURRENT FRONTIER against the edge relation plus an anti-join against
+    the settled set — frontier-sized work, not graph-sized, with the edge
+    relation checkpointed once. Rounds = graph diameter (near-dup
+    clusters are dense; single digits in practice, BFS_MAX_ROUNDS caps
+    pathology). Measured-small graphs solve in one Arrow task instead."""
+    from ..operators.dedup import connected_components
+
+    labels = connected_components(pairs, id_a, id_b).localCheckpoint(
+        eager=True
+    )
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    if n_edges <= SMALL_GRAPH_EDGES:
+        return _bfs_single_task(edges, labels)
+    dist = (
+        labels.select(F.col("component").alias("id"))
+        .distinct()
+        .select("id", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for r in range(1, BFS_MAX_ROUNDS + 1):
+        cand = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        new = (
+            cand.join(dist.select("id"), on="id", how="left_anti")
+            .select("id", F.lit(r).cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if new.count() == 0:
+            break
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return labels.join(dist, on="id").select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"),
+        F.col("dist").cast("long").alias("dist"),
+    )

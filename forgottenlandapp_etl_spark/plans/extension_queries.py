@@ -7799,3 +7799,71 @@ def dq_benford_digits(spark, sf_dir):
             .alias("dev_fp"),
         )
     )
+
+
+def _bfs_oracle() -> str:
+    from ..operators.graph import BFS_MAX_ROUNDS
+
+    return f"""
+    WITH RECURSIVE {_SQL_SHINGLES.strip()}, {_minhash_sig_sql().strip()},
+    {_lsh_candidates_sql()}, {_SQL_JACCARD_PAIRS.strip()},
+    verified AS (
+      SELECT DISTINCT jp.id_a, jp.id_b
+      FROM jp JOIN cand ON jp.id_a = cand.id_a AND jp.id_b = cand.id_b
+      WHERE jp.jaccard >= 0.8
+    ),
+    -- MATERIALIZED is load-bearing twice over: edges is referenced from
+    -- BOTH recursions (reach, bfs) and its subtree nests the whole
+    -- shingle/minhash pipeline — inlined, each bfs iteration would
+    -- re-evaluate it (the round-11 graph_triangles bomb); comp likewise
+    -- feeds the bfs base AND the final join
+    edges AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT id_a AS src, id_b AS dst FROM verified
+        UNION ALL
+        SELECT id_b, id_a FROM verified
+      )
+    ),
+    reach(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    comp AS MATERIALIZED (
+      SELECT a AS id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+    ),
+    bfs(id, dist) AS (
+      SELECT DISTINCT component, 0 FROM comp
+      UNION
+      SELECT e.dst, b.dist + 1 FROM bfs b JOIN edges e ON b.id = e.src
+      WHERE b.dist < {BFS_MAX_ROUNDS}
+    )
+    SELECT CAST(c.id AS BIGINT) AS id,
+           CAST(c.component AS BIGINT) AS component,
+           CAST(MIN(b.dist) AS BIGINT) AS dist
+    FROM comp c JOIN bfs b ON b.id = c.id
+    GROUP BY c.id, c.component
+    """
+
+
+@ext_query("graph_bfs_distances", _bfs_oracle())
+def graph_bfs_distances(spark, sf_dir):
+    """Hop distance from every near-duplicate to its cluster keeper:
+    multi-source BFS over the MinHash-LSH verified pair graph, seeded at
+    each component's minimum id (the keeper dedup elects). dist 1 = doc
+    directly paired with the keeper; dist >= 2 = held only through a
+    chain of borderline matches — the per-node form of the appendage
+    signal graph_kcore peels, and the audit that tells you how much of a
+    cluster would survive if the chain's weakest link were re-verified.
+
+    Scale shape: component labels from the measured two-tier
+    connected_components; each BFS round joins the CURRENT FRONTIER (not
+    the graph) against the once-checkpointed edge relation plus an
+    anti-join against settled nodes — frontier-sized work, rounds =
+    cluster diameter (single digits on dense near-dup clusters).
+    Measured-small graphs solve in one Arrow task. The oracle runs the
+    same BFS as a bounded recursive CTE with the edge relation
+    materialized against re-evaluation."""
+    d = _docs(spark, sf_dir, fan_out=True)
+    pairs = dedup.minhash_lsh_dedup(d, "doc_id", "text", threshold=0.8)
+    return graph.bfs_distances(pairs, "id_a", "id_b")

@@ -212,6 +212,9 @@ DOC_ONLY_ENTRIES = [
     # empty-token breakers, repeated phrases across docs, phrase-text
     # grouping with score ties broken lexicographically
     "text_rake_keywords",
+    # round 11: BFS keeper distances — exact-dup clusters (dense, dist 1),
+    # the near-dup chain cluster, singletons absent from the graph
+    "graph_bfs_distances",
 ]
 
 

@@ -3299,3 +3299,28 @@ def test_benford_digit_extraction_golden(spark, tmp_path):
     # totals: zero rows dropped per metric independently
     obs = {(r.metric, r.digit): r.obs_fp for r in out}
     assert obs[("extendedprice", 5)] == 10**6 // 3
+
+
+def test_bfs_distances_tiers_agree(spark, monkeypatch):
+    """Both BFS tiers (single-Arrow-task and the distributed frontier
+    loop) produce identical (id, component, dist) on a graph with a
+    2-deep chain, a triangle (keeper adjacency at dist 1), and an
+    isolated pair. The distributed tier is forced via SMALL_GRAPH_EDGES=0
+    — also pins that dedup.connected_components is consulted for the
+    seeds, not re-derived."""
+    from forgottenlandapp_etl_spark.operators import graph as g
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    expect = {
+        (1, 1, 0), (2, 1, 1), (3, 1, 2),
+        (10, 10, 0), (11, 10, 1), (12, 10, 1),
+        (20, 20, 0), (21, 20, 1),
+    }
+    small = {tuple(r) for r in g.bfs_distances(pairs).collect()}
+    assert small == expect
+    monkeypatch.setattr(g, "SMALL_GRAPH_EDGES", 0)
+    dist = {tuple(r) for r in g.bfs_distances(pairs).collect()}
+    assert dist == expect
