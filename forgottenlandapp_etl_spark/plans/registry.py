@@ -109,7 +109,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # green rounds each — minhash-lsh keeps the dedup family's hard row;
     # sim_bruteforce_topk rotated out r8, DIRECTLY superseded in the
     # window by its newly hash-exact int64-GEMM sibling below)
-    "dedup_minhash_lsh",
+    # (dedup_minhash_lsh rotated out r11b after NINE green rounds — the
+    # longest tenure ever rotated; it remains the bench host-mode canary
+    # and stays oracle-gated, and the near-dup family keeps five windowed
+    # rows: both streaming LSH forms, the error histogram, line dedup and
+    # the URL tier. Its slot passes to the round-11 CDC flagship below.)
+    "dedup_cdc_chunks",
     # (pipeline_clean_corpus / sim_quantized_topk / sim_rp_lsh_topk
     # rotated out r10 after seven green rounds each — see the r10
     # rotation note below)
@@ -241,15 +246,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tok_unigram_nbest",
 )
 # Round-12 rotation candidates (same mechanism, once the r10/r11
-# promotions go multi-round green): the remaining never-windowed rows —
-# the set-op sibling set_except_all, reshape_unpivot, agg_cube /
-# agg_rollup (grouping_sets now windowed), sql_recursive_rollup,
-# dq_anomaly_mad, wx_streak_lengths, agg_time_bucket_interp (gap-fill's
-# interpolating sibling), text_winnow_fingerprint's family, the
-# sample_* tiers, and the src_* format round-trips — then re-window
-# rotation returns for the j9/k-family reference rows on the usual
-# cadence. TPC-H is fully exhausted: all 22 shapes have held at least
-# one hard driver row.
+# promotions go multi-round green): FIRST the round-11 additions still
+# waiting for a hard driver row — dedup_jaccard_prefix_filter (lossless
+# exact-Jaccard tier), text_collocations_pmi, text_rake_keywords,
+# tok_coverage_curve, mm_scene_cuts, dq_benford_digits,
+# graph_bfs_distances — then the remaining never-windowed rows: the
+# set-op sibling set_except_all, reshape_unpivot, agg_cube / agg_rollup
+# (grouping_sets now windowed), sql_recursive_rollup, dq_anomaly_mad,
+# wx_streak_lengths, agg_time_bucket_interp (gap-fill's interpolating
+# sibling), text_winnow_fingerprint's family, the sample_* tiers, and
+# the src_* format round-trips — then re-window rotation returns for the
+# j9/k-family reference rows on the usual cadence. TPC-H is fully
+# exhausted: all 22 shapes have held at least one hard driver row.
 
 _missing = [n for n in DRIVER_WINDOW if n not in _ALL_QUERIES]
 if _missing:
