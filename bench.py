@@ -255,6 +255,8 @@ HEADLINE = [
     "dq_benford_digits",
     # round 11c: BFS hop distance to the cluster keeper
     "graph_bfs_distances",
+    # round 11c: first-occurrence information-novelty rate
+    "text_ngram_novelty",
 ]
 
 

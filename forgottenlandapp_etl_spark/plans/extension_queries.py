@@ -7867,3 +7867,80 @@ def graph_bfs_distances(spark, sf_dir):
     d = _docs(spark, sf_dir, fan_out=True)
     pairs = dedup.minhash_lsh_dedup(d, "doc_id", "text", threshold=0.8)
     return graph.bfs_distances(pairs, "id_a", "id_b")
+
+
+@ext_query(
+    "text_ngram_novelty",
+    f"""
+    WITH {_SQL_SHINGLES.strip()},
+    keeper AS (
+      SELECT md5(shingle) AS h, MIN(doc_id) AS first_doc
+      FROM sh GROUP BY md5(shingle)
+    ),
+    per AS (
+      SELECT sh.doc_id, COUNT(*) AS n_ngrams,
+             SUM(CASE WHEN k.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+               AS n_novel
+      FROM sh JOIN keeper k ON k.h = md5(sh.shingle)
+      GROUP BY sh.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+           CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(COALESCE((p.n_novel * {text.PMI_SCALE}) // p.n_ngrams, 0)
+                AS BIGINT) AS novelty_fp
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Per-document information novelty: the fraction of a doc's distinct
+    word trigrams whose FIRST corpus occurrence (minimum doc_id) is this
+    doc — the 'new information rate' curation signal that separates
+    original content from recombinations of already-seen text (the
+    document-level reading of the same first-occurrence discipline the
+    line/substring dedup tiers apply to spans). Scanning docs in id order,
+    novelty_fp is exactly the share of trigrams you had never seen before
+    opening this doc.
+
+    Scale shape: the shingle relation is the dedup tier's narrow
+    map+explode (no shuffle); first-occurrence is one md5-keyed hash
+    aggregate (32-char digests cross the shuffle, not shingle text —
+    round-10 discipline), joined back on the same digest key, then one
+    per-doc count. Linear end to end."""
+    from pyspark import StorageLevel
+
+    d = _docs(spark, sf_dir, fan_out=True)
+    sh = (
+        dedup.shingles(d, "doc_id", "text", n=3)
+        .select("doc_id", F.md5("shingle").alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    keeper = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(keeper, on="h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    out = (
+        d.select("doc_id")
+        .join(per, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.coalesce(
+                F.expr(f"(n_novel * {text.PMI_SCALE}) div n_ngrams"),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("novelty_fp"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out

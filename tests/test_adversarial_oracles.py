@@ -215,6 +215,10 @@ DOC_ONLY_ENTRIES = [
     # round 11: BFS keeper distances — exact-dup clusters (dense, dist 1),
     # the near-dup chain cluster, singletons absent from the graph
     "graph_bfs_distances",
+    # round 11: ngram novelty — sub-3-token docs (zero ngrams, zero-safe
+    # ratio), exact duplicates (later copy scores 0), the near-dup pair
+    # (partial novelty), shared-shingle min-doc ties
+    "text_ngram_novelty",
 ]
 
 
