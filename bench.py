@@ -257,6 +257,8 @@ HEADLINE = [
     "graph_bfs_distances",
     # round 11c: first-occurrence information-novelty rate
     "text_ngram_novelty",
+    # round 11c: order-sensitive streaming SCD2 maintenance
+    "stream_scd2_apply",
 ]
 
 

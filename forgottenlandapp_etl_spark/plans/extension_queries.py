@@ -7944,3 +7944,49 @@ def text_ngram_novelty(spark, sf_dir):
     out = out.localCheckpoint(eager=True)
     sh.unpersist()
     return out
+
+
+@ext_query(
+    "stream_scd2_apply",
+    """
+    WITH c AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+      FROM events WHERE ts IS NOT NULL
+    ),
+    o AS (
+      SELECT user_id, ts_us, event_id, event_type,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                       OR LAG(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    g AS (
+      SELECT user_id, ts_us, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM o
+    )
+    SELECT user_id, event_type,
+           CAST(MIN(ts_us) AS BIGINT) AS from_us,
+           CAST(MAX(ts_us) AS BIGINT) AS to_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id, event_type, grp
+    """,
+)
+def stream_scd2_apply(spark, sf_dir):
+    """Streaming SCD-type-2 maintenance — the ORDER-SENSITIVE write-side
+    shape beside stream_cdc_apply's associative snapshot: consecutive
+    equal event_type runs per user collapse to [from_us, to_us] interval
+    rows, maintained incrementally as micro-batches land. Because a run
+    boundary depends on NEIGHBORING events, late rows can split or merge
+    intervals anywhere in a user's history — no per-row merge exists, so
+    the exact discipline is affected-key recomputation (streaming/scd2.py):
+    per batch, only users in the delta get re-segmented, from a
+    bucket-partitioned log pruned to their buckets, published through the
+    K3 generation-pointer upsert. Batch-keyed delta dirs make replays
+    rewrite rather than double-append; the shared oracle is the batch
+    gaps-and-islands segmentation of the full history."""
+    from ..streaming.scd2 import maintain_scd2_intervals
+
+    return maintain_scd2_intervals(spark, sf_dir)

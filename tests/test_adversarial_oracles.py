@@ -438,6 +438,10 @@ EVENTS_ONLY_ENTRIES = [
     # tables) before its spark.sql — cannot run on the events-only dir
     "src_jsonl_roundtrip",
     "stream_cdc_apply",
+    # round 11: streaming SCD2 — NULL-ts drop rule, (ts, event_id) tie
+    # runs, single-event users, out-of-order file slices re-segmented by
+    # the affected-key recomputation
+    "stream_scd2_apply",
     "stream_daily_counts",
     "stream_dedup_keys",
     "stream_ivm_rollup",

@@ -524,3 +524,62 @@ def test_bucketed_lsh_replayed_batch_is_idempotent(spark, tmp_path):
         assert fold() == once
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+
+
+def test_scd2_stream_replay_and_out_of_order(spark, tmp_path):
+    """The two hazards of order-sensitive streaming maintenance, pinned:
+
+    (a) REPLAY: re-running the same (batch, batch_id) pair must leave the
+    interval store unchanged — the batch-keyed delta dir is rewritten,
+    not double-appended, and the generation-pointer upsert republishes
+    identical rows.
+
+    (b) OUT-OF-ORDER ARRIVAL: a user's later-timestamped events landing
+    in an EARLIER micro-batch (batch 2 carries ts 10..20, batch 3 carries
+    ts 0..9 with a type that MERGES batch 2's two runs) must converge to
+    the batch segmentation of the union — affected-key recomputation
+    re-sorts the full history, where any per-batch run-stitching would
+    keep the stale split."""
+    import os
+
+    from forgottenlandapp_etl_spark.streaming import scd2
+
+    log_dir = str(tmp_path / "log")
+    target = str(tmp_path / "intervals")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts_us long, event_id long, event_type string"
+        )
+
+    def snap():
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(target)
+            .select("user_id", "event_type", "from_us", "to_us", "n_events")
+            .collect()
+        )
+
+    # batch 0: user 1 has runs A[10,20] B[30]
+    b0 = [(1, 10, 100, "A"), (1, 20, 101, "A"), (1, 30, 102, "B")]
+    scd2.apply_batch(mk(b0), 0, log_dir, target, n_buckets=4)
+    once = snap()
+    assert once == [(1, "A", 10, 20, 2), (1, "B", 30, 30, 1)]
+    # (a) replay batch 0 byte-for-byte
+    scd2.apply_batch(mk(b0), 0, log_dir, target, n_buckets=4)
+    assert snap() == once
+    # (b) late batch: ts 25 of type A lands AFTER batch 0 — it must
+    # split nothing (A run is [10,20], B [30]) but a ts-5 B row plus a
+    # ts-25 A row re-segment the middle of the history
+    b1 = [(1, 5, 99, "B"), (1, 25, 103, "A")]
+    scd2.apply_batch(mk(b1), 1, log_dir, target, n_buckets=4)
+    assert snap() == [
+        (1, "A", 10, 25, 3),   # ts-25 A joins the A run; B[30] stays
+        (1, "B", 5, 5, 1),
+        (1, "B", 30, 30, 1),
+    ]
+    # untouched-user isolation: user 2 in its own bucket, then a replay
+    # of b1 must not touch user 2's rows
+    scd2.apply_batch(mk([(2, 1, 200, "X")]), 2, log_dir, target, n_buckets=4)
+    scd2.apply_batch(mk(b1), 1, log_dir, target, n_buckets=4)
+    assert (2, "X", 1, 1, 1) in snap()
