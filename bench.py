@@ -259,6 +259,8 @@ HEADLINE = [
     "text_ngram_novelty",
     # round 11c: order-sensitive streaming SCD2 maintenance
     "stream_scd2_apply",
+    # round 11c: explicit Bloom runtime-filter join
+    "j12_bloom_pruned_join",
 ]
 
 

@@ -187,3 +187,63 @@ def bloom_contamination(
         .cast("int")
         .alias("is_flagged"),
     )
+
+
+def key_hash(key: F.Column) -> F.Column:
+    """Integer join keys folded onto the 31-bit hash domain the Bloom
+    coefficient pairs expect (non-negative; pmod handles negatives)."""
+    return F.pmod(key.cast("long"), F.lit(dedup.MERSENNE_31))
+
+
+def bloom_bits_for_keys(keys: DataFrame, key_col: str) -> DataFrame:
+    """The ``(widx, w)`` Bloom bitset relation over a KEY column — the
+    join-pruning form of ``bloom_bits`` (same k/m geometry, same ≤2048-row
+    ≈ 8 KB bound regardless of key count)."""
+    pos = (
+        keys.select(key_hash(F.col(key_col)).alias("h"))
+        .select(F.explode(F.array(*_bloom_positions(F.col("h")))).alias("pos"))
+        .distinct()
+    )
+    word_bit = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD} AS INT))"
+    )
+    return pos.groupBy((F.col("pos") / BLOOM_WORD).cast("long").alias("widx")).agg(
+        F.bit_or(word_bit).alias("w")
+    )
+
+
+def bloom_prune(fact: DataFrame, fact_key: str, keys: DataFrame, key_col: str) -> DataFrame:
+    """Pre-shuffle Bloom pruning of a fact table against a dimension's key
+    set: keep only fact rows whose key MIGHT be in the dimension (all k
+    probe bits set). No false negatives — the surviving superset feeds the
+    exact join unchanged, so the composition is LOSSLESS; false positives
+    only cost extra shuffled rows (bounded by the k=4/m=2^16 rate).
+
+    This is the runtime-filter pattern (Spark's own bloom runtime filters,
+    made explicit and engine-independent): at 100 TB a dimension too large
+    to broadcast-join still ships as an 8 KB bitset, and the fact shuffle
+    shrinks by the dimension's selectivity BEFORE any exchange. All probe
+    math is row-local column arithmetic on a broadcast 1-row map literal."""
+    bits = bloom_bits_for_keys(keys, key_col)
+    bitmap = bits.agg(
+        F.map_from_entries(F.collect_list(F.struct("widx", "w"))).alias("bm")
+    )
+    h = key_hash(F.col(fact_key))
+
+    def probe_one(pos: F.Column) -> F.Column:
+        word = F.coalesce(
+            F.element_at(F.col("bm"), (pos / BLOOM_WORD).cast("long")),
+            F.lit(0).cast("long"),
+        )
+        mask = F.pow(F.lit(2.0), (pos % BLOOM_WORD).cast("double")).cast("long")
+        return (word.bitwiseAND(mask) > 0).cast("int")
+
+    probes = [probe_one(p) for p in _bloom_positions(h)]
+    maybe = probes[0]
+    for p in probes[1:]:
+        maybe = maybe * p
+    return (
+        fact.crossJoin(F.broadcast(bitmap))
+        .where(maybe == 1)
+        .drop("bm")
+    )

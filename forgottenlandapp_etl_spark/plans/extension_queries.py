@@ -7990,3 +7990,52 @@ def stream_scd2_apply(spark, sf_dir):
     from ..streaming.scd2 import maintain_scd2_intervals
 
     return maintain_scd2_intervals(spark, sf_dir)
+
+
+@ext_query(
+    "j12_bloom_pruned_join",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def j12_bloom_pruned_join(spark, sf_dir):
+    """Explicitly Bloom-pruned dimension join — the runtime-filter pattern
+    made a first-class operator: the BUILDING-segment customer keys fold
+    into an 8 KB bitset (k=4, m=2^16 — constant size at ANY dimension
+    cardinality), broadcast as a one-row map literal, and the orders fact
+    table is probed ROW-LOCALLY before any exchange, so the join shuffle
+    carries ~the dimension's selectivity (≈1/5 here) plus a bounded
+    false-positive tail. No false negatives — the exact equi-join then
+    removes the tail, so the composition is LOSSLESS and the oracle is the
+    plain join SQL. At 100 TB this is the shape that saves the shuffle
+    when the dimension is too big to broadcast-join but its BITSET isn't
+    (a billion keys still ship 8 KB); pinned by a plan test asserting the
+    probe filter sits below the join exchange. Revenue is summed in exact
+    integer cents (the Benford discipline)."""
+    from ..operators import contamination
+
+    cust = (
+        catalog.table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = catalog.table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    pruned = contamination.bloom_prune(orders, "o_custkey", cust, "c_custkey")
+    return (
+        pruned.join(cust, pruned["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
