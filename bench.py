@@ -261,6 +261,8 @@ HEADLINE = [
     "stream_scd2_apply",
     # round 11c: explicit Bloom runtime-filter join
     "j12_bloom_pruned_join",
+    # round 11c: embedding-table norm/dimension DQ screen
+    "dq_embedding_norms",
 ]
 
 

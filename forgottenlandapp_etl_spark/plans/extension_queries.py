@@ -8039,3 +8039,45 @@ def j12_bloom_pruned_join(spark, sf_dir):
             .alias("revenue_cents"),
         )
     )
+
+
+@ext_query(
+    "dq_embedding_norms",
+    f"""
+    WITH {_SQL_EMB}
+    SELECT CAST(len(v) AS INT) AS dim,
+           CAST(FLOOR(list_dot_product(v, v)) AS BIGINT) AS norm2_floor,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN list_dot_product(v, v) = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_zero
+    FROM e GROUP BY 1, 2
+    """,
+)
+def dq_embedding_norms(spark, sf_dir):
+    """Embedding-table DQ screen: squared-norm histogram keyed by
+    (dimension, ⌊‖v‖²⌋) with zero-vector counts — the pre-index audit that
+    catches the three embedding-pipeline pathologies before they poison an
+    ANN index: dimension drift (rows with unexpected len(v) get their own
+    dim group), zero/degenerate vectors (cosine-undefined — the NULLIF
+    class the sim tier guards against), and norm-scale drift between
+    model versions (normalized batches cluster at floor 0/1, unnormalized
+    ones spread). The norm is the same sequential double fold the cosine
+    tier already relies on cross-engine (aggregate(zip_with) ≡
+    list_dot_product), so the floor buckets are engine-exact.
+
+    Scale shape: one pruned scan, per-row array math in codegen, a single
+    ≤(dims×buckets)-group hash aggregate. Nothing else moves."""
+    e = _emb(spark, sf_dir, fan_out=True)
+    n2 = similarity.dot(F.col("v"), F.col("v"))
+    return (
+        e.select(
+            F.size("v").cast("int").alias("dim"),
+            F.floor(n2).cast("long").alias("norm2_floor"),
+            (n2 == 0).cast("int").alias("z"),
+        )
+        .groupBy("dim", "norm2_floor")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum("z").cast("long").alias("n_zero"),
+        )
+    )

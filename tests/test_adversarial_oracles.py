@@ -638,6 +638,10 @@ EMB_ONLY_ENTRIES = [
     # whose first 16 dims are all zero gets a NULL truncated cosine even
     # though the full cosine is defined — both engines must agree)
     "sim_matryoshka_recall",
+    # round 11: the embedding DQ screen — zero vectors land in the
+    # (dim, 0) bucket with n_zero counted, and the adversarial corpus's
+    # hazard vectors exercise the floor-bucket boundary
+    "dq_embedding_norms",
 ]
 
 
