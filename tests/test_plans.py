@@ -60,6 +60,8 @@ CROSS_JOIN_OK = {
     "sim_ann_recall_eval",  # query-set broadcast ×2 (composes sim_bruteforce_topk + sim_quantized_topk)
     "sim_matryoshka_recall",  # query-set broadcast ×2 (brute-force at two dimension budgets)
     "dq_event_freshness",  # 1-row high-water-mark scalar broadcast
+    "tok_coverage_curve",  # 7-row checkpoint relation joined by rank inequality over the ≤16K candidate vocab (model-sized × model-sized)
+    "j12_bloom_pruned_join",  # 1-row 8 KB bloom-bitmap-map broadcast (same class as decontaminate_bloom)
 }
 
 
