@@ -470,10 +470,9 @@ def contrastive_triplets(
     # anti-join, and its own union build) — without materialization each
     # consumer re-derives the whole shingle pipeline from the corpus scan
     # (measured: 9 scans unpersisted vs 2 persisted)
-    sh = dedup.shingles(df, id_col, text_col, n=3)
-    sig = dedup.minhash_signatures(sh, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sig = dedup.minhash_signatures_arrays(
+        dedup.shingle_arrays(df, id_col, text_col, n=3), id_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cand = dedup.lsh_candidate_pairs(sig, id_col)
     partners = (
         cand.select(F.col("id_a").alias("anchor"), F.col("id_b").alias("partner"))

@@ -51,21 +51,50 @@ def token_hash(tok: Column) -> Column:
     return h60 % F.lit(MERSENNE_31)
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) — distinct word n-grams per document.
+def shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, sharr) — each document's DISTINCT shingle set as one array row.
 
-    A narrow map + explode: no shuffle. Documents shorter than n tokens
-    produce no shingles (mirrors SQL generate_series emptiness).
+    Entirely map-side: the distinct-per-document step is ``array_distinct``
+    inside the row (a hash-set pass over the gram array), not a cluster-wide
+    ``DISTINCT`` — a document's shingles never leave the row, so no Exchange
+    is needed to dedupe them. Requires ``id_col`` to be unique per input row
+    (true for every caller: documents are keyed by doc_id), under which
+    per-row distinct ≡ relation-wide distinct on (id, shingle).
+    Documents shorter than n tokens produce no row (mirrors SQL
+    generate_series emptiness).
     """
     toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    # total expression: short docs get an EMPTY index array, not the
+    # descending [1, 0, ...] that F.sequence(1, N<=0) infers — the optimizer
+    # hoists this transform into an inferred size(...)>0 filter evaluated
+    # BEFORE the size(toks)>=n conjunct (subexpression elimination ignores
+    # short-circuit order), where an out-of-range element_at throws under
+    # ANSI mode even though the row is about to be rejected
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
     )
-    return (
-        df.where(F.size(toks) >= n)
-        .select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .distinct()
+    return df.where(F.size(toks) >= n).select(
+        F.col(id_col), F.array_distinct(grams).alias("sharr")
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) — distinct word n-grams per document.
+
+    A narrow map + explode of :func:`shingle_arrays`: no shuffle. The old
+    form deduplicated with a relation-wide ``.distinct()`` — a full Exchange
+    of the exploded shingle relation (the heaviest relation in the dedup
+    pipeline, ~n× the corpus text bytes) that r11 replaced with the per-row
+    ``array_distinct`` (guide §2.4: remove shuffles outright; (id, shingle)
+    distinctness is per-document because ids are unique per row).
+    """
+    return shingle_arrays(df, id_col, text_col, n).select(
+        F.col(id_col), F.explode("sharr").alias("shingle")
     )
 
 
@@ -357,6 +386,35 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return base.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signatures_arrays(sa: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Map-side minhash signatures from a :func:`shingle_arrays` relation.
+
+    Value-identical to :func:`minhash_signatures` over the exploded shingle
+    relation — min and count commute with the array form (duplicates cannot
+    exist inside ``sharr``) — but with ZERO shuffles: a document's signature
+    is a fold over its own row, so the groupBy-by-id Exchange disappears
+    (guide §2.4). The shingle hash array is projected once (its own Project
+    node — Catalyst does not inline a non-cheap alias referenced k times),
+    then each of the k permutations is an ``array_min`` over a linear
+    transform of it.
+    """
+    hashed = sa.select(
+        F.col(id_col),
+        F.transform(F.col("sharr"), lambda s: token_hash(s)).alias("ha"),
+    )
+
+    def perm(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE_31)
+
+    mins = [
+        F.array_min(F.transform(F.col("ha"), perm(a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return hashed.select(
+        F.col(id_col), *mins, F.size("ha").cast("long").alias("n_shingles")
+    )
+
+
 def band_table(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Long-format banded signature: one ``(id, bk)`` row per band, where
     ``bk`` is the (band, r0..r{rows-1}) struct key. This is the exact
@@ -459,15 +517,19 @@ def minhash_lsh_dedup(
     → exact-Jaccard verification of candidates only (never the all-pairs
     shingle join — candidate generation is linear in corpus size).
 
-    The shingle relation feeds three consumers (the signature aggregate and
-    both sides of the verify join) and the signature relation two (both
-    sides of the band join); without materialization each consumer re-derives
-    its input from the source scan — 6 corpus passes, a full-table read each
+    The per-document shingle-array relation feeds three consumers (the
+    map-side signature build and both sides of the verify join) and the
+    signature relation three (both sides of the band join + the sizes side
+    of verification); without materialization each consumer re-derives its
+    input from the source scan — 6 corpus passes, a full-table read each
     at 100 TB. Both are persisted MEMORY_AND_DISK (spill-safe): the corpus
-    parquet is scanned ONCE to build ``sh``, once more nothing. Catalyst's
+    parquet is scanned ONCE to build ``sa``, once more nothing. Catalyst's
     ReuseExchange does NOT reliably fold these branches on its own (observed:
     0 reuses across the band/verify branches), so the materialization is
-    explicit.
+    explicit. r11: signatures are computed map-side from the shingle arrays
+    (minhash_signatures_arrays), so the pre-candidate pipeline plans ZERO
+    Exchange — the old shape shuffled the exploded shingle relation twice
+    (relation-wide DISTINCT + groupBy(id) signature aggregation).
 
     Cache lifetime contract: the persisted relations live in the session's
     CacheManager until unpersisted (repeat calls over the SAME corpus dedupe
@@ -480,11 +542,14 @@ def minhash_lsh_dedup(
     """
     from pyspark import StorageLevel
 
-    sh = shingles(df, id_col, text_col, n=3).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = minhash_signatures(sh, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sa = shingle_arrays(df, id_col, text_col, n=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig = minhash_signatures_arrays(sa, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     if handles is not None:
-        handles.extend([sh, sig])
+        handles.extend([sa, sig])
     cand = lsh_candidate_pairs(sig, id_col)
+    sh = sa.select(F.col(id_col), F.explode("sharr").alias("shingle"))
     return verify_candidate_pairs(cand, sh, sizes=sig, id_col=id_col, threshold=threshold).select(
         "id_a", "id_b", "jaccard"
     )
@@ -868,8 +933,13 @@ def minhash_error_histogram(
     """
     from pyspark import StorageLevel
 
-    sh = shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = minhash_signatures(sh, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sharrs = shingle_arrays(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh = sharrs.select(F.col(id_col), F.explode("sharr").alias("shingle"))
+    sig = minhash_signatures_arrays(sharrs, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cand = lsh_candidate_pairs(sig, id_col)
     k = len(MINHASH_COEFFS)
     sa = sig.select(
@@ -911,7 +981,7 @@ def minhash_error_histogram(
     # repeated gate/bench invocations don't accumulate cached blocks
     out = out.localCheckpoint(eager=True)
     sig.unpersist()
-    sh.unpersist()
+    sharrs.unpersist()
     return out
 
 

@@ -186,11 +186,15 @@ def stream_neardup_minhash(
 
         def apply_batch(batch: DataFrame, batch_id: int) -> None:
             sess = batch.sparkSession
-            sh = ops_dedup.shingles(
+            # map-side signatures (minhash_signatures_arrays): the per-batch
+            # band build plans zero Exchange before the probe joins — the
+            # old shape shuffled the exploded shingle relation twice per
+            # micro-batch (distinct + groupBy)
+            sa = ops_dedup.shingle_arrays(
                 batch.select("doc_id", "text"), "doc_id", "text", n=3
             )
             bands = ops_dedup.band_table(
-                ops_dedup.minhash_signatures(sh, "doc_id"), "doc_id"
+                ops_dedup.minhash_signatures_arrays(sa, "doc_id"), "doc_id"
             ).persist()
             intra = (
                 bands.alias("a")
@@ -295,11 +299,11 @@ def _band_key_table(batch: DataFrame) -> DataFrame:
     from ..operators import dedup as ops_dedup
 
     rows = len(ops_dedup.MINHASH_COEFFS) // ops_dedup.LSH_BANDS
-    sh = ops_dedup.shingles(
+    sa = ops_dedup.shingle_arrays(
         batch.select("doc_id", "text"), "doc_id", "text", n=3
     )
     b = ops_dedup.band_table(
-        ops_dedup.minhash_signatures(sh, "doc_id"), "doc_id"
+        ops_dedup.minhash_signatures_arrays(sa, "doc_id"), "doc_id"
     )
     key = F.concat_ws(
         "|", F.col("bk.band"), *[F.col(f"bk.r{j}") for j in range(rows)]

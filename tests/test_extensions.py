@@ -90,6 +90,32 @@ def test_lsh_is_subset_of_exact_with_high_recall(spark, sf_dir):
         assert len(got) / len(exact) >= 0.8, (len(got), len(exact))
 
 
+def test_minhash_arrays_form_equals_agg_form(spark, sf_dir):
+    """The r11 map-side signature build (array_distinct + array_min folds
+    inside the row) is value-identical to the aggregation form over the
+    exploded shingle relation — min/count commute with the array layout —
+    and plans ZERO Exchange: a document's signature never leaves its row."""
+    d = catalog.table(spark, sf_dir, "documents")
+    agg_rows = sorted(
+        tuple(r)
+        for r in dedup.minhash_signatures(
+            dedup.shingles(d, "doc_id", "text", n=3), "doc_id"
+        ).collect()
+    )
+    arr_df = dedup.minhash_signatures_arrays(
+        dedup.shingle_arrays(d, "doc_id", "text", n=3), "doc_id"
+    )
+    arr_rows = sorted(tuple(r) for r in arr_df.collect())
+    assert arr_rows == agg_rows and arr_rows  # non-degenerate fixture
+    # identical schema (names AND types: n_shingles must stay BIGINT)
+    assert arr_df.dtypes == dedup.minhash_signatures(
+        dedup.shingles(d, "doc_id", "text", n=3), "doc_id"
+    ).dtypes
+    # shuffle-free: the whole signature build is narrow
+    plan = arr_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
 def test_vectorized_topk_matches_jvm_path(spark, sf_dir):
     """The NumPy mapInPandas top-k must return the same neighbor sets as
     the bit-stable JVM higher-order-function path (cos values may differ in
