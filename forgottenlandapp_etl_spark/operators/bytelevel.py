@@ -90,8 +90,14 @@ def seed_byte_vocab_ranks(
     the byte-fallback / no-OOV guarantee, decided at VOCAB level, not
     per word. The collect is bounded by vocab_top + 256 rows —
     model-sized by construction."""
+    from pyspark import StorageLevel
+
     spark = words.sparkSession
-    pieces = byte_pieces(words, max_piece)
+    # persisted: the candidate relation feeds both the top-k sort and the
+    # all-bytes weight join — one byte-n-gram explosion pass, not two
+    pieces = byte_pieces(words, max_piece).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     top = pieces.orderBy(F.col("weight").desc(), F.col("piece")).limit(
         vocab_top
     )
@@ -110,6 +116,7 @@ def seed_byte_vocab_ranks(
         .agg(F.max("weight").alias("weight"))
     )
     rows = vocab.collect()
+    pieces.unpersist()
     ordered = sorted(rows, key=lambda r: (-r["weight"], r["piece"]))
     return {r["piece"]: i + 1 for i, r in enumerate(ordered)}
 

@@ -118,7 +118,15 @@ def seed_vocab_ranks(
     model-sized by construction (the wordpiece/bpe vocab-collect
     discipline), never corpus-proportional.
     """
-    pieces = unigram_pieces(words, max_piece)
+    from pyspark import StorageLevel
+
+    # the candidate relation feeds BOTH the top-k sort and the singles
+    # union branch — persist it so the substring explosion + aggregation
+    # (the corpus-derived heavy pass of the training) runs once, not twice
+    # per call (guide §5: reuse beats recompute when the input is reused)
+    pieces = unigram_pieces(words, max_piece).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     top = pieces.orderBy(F.col("weight").desc(), F.col("piece")).limit(
         vocab_top
     )
@@ -127,6 +135,7 @@ def seed_vocab_ranks(
         F.max("weight").alias("weight")
     )
     rows = vocab.collect()
+    pieces.unpersist()
     ordered = sorted(rows, key=lambda r: (-r["weight"], r["piece"]))
     return {r["piece"]: i + 1 for i, r in enumerate(ordered)}
 

@@ -87,11 +87,18 @@ def wordpiece_vocab(
             ),
         )
     )
+    from pyspark import StorageLevel
+
+    # persisted: the candidate relation feeds both the top-k sort and the
+    # singles branch — one substring-explosion aggregation pass, not two.
+    # Every caller immediately collects the (model-sized) result, so the
+    # eager localCheckpoint pins it and releases the candidate cache here.
     pieces = (
         words.select(F.col("wcount"), F.explode(cands).alias("c"))
         .select("wcount", "c.is_initial", "c.piece")
         .groupBy("is_initial", "piece")
         .agg(F.sum("wcount").alias("weight"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     top = (
         pieces.orderBy(
@@ -101,7 +108,9 @@ def wordpiece_vocab(
         .select("is_initial", "piece")
     )
     singles = pieces.where(F.length("piece") == 1).select("is_initial", "piece")
-    return top.unionAll(singles).distinct()
+    out = top.unionAll(singles).distinct().localCheckpoint(eager=True)
+    pieces.unpersist()
+    return out
 
 
 def collect_vocab(vocab: DataFrame) -> dict[tuple[bool, int], list[str]]:
