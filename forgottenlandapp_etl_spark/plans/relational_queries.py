@@ -1980,7 +1980,11 @@ def tpch_q17_small_quantity_revenue(spark, sf_dir):
     MULTIPLIED into exact integers/decimals (5·qty·cnt < sum) — an actual
     decimal division would round differently in each engine and flip
     boundary rows."""
-    li = _t(spark, sf_dir, "lineitem")
+    # keyed spread (r11): the per-part aggregate AND the probe join both
+    # consume lineitem hashed by l_partkey — one reusable exchange, and the
+    # single-split local scan no longer serializes the decimal partial agg
+    # onto one core; no-op at real scale (guide §2.4)
+    li = catalog.spread(_t(spark, sf_dir, "lineitem"), key="l_partkey")
     p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1").select(
         "p_partkey"
     )
