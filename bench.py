@@ -328,7 +328,11 @@ def main() -> None:
     spark = build_session(app_name="forgottenlandapp-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = [n for n in HEADLINE if n in QUERIES]
+    # dict.fromkeys: r8 added tpch_q3/q12/q18 rows that duplicated names
+    # already on the list — a duplicated name was WARMED AND MEASURED twice
+    # per pass (pure wasted bench wall-clock; the reported `queries` dict and
+    # total were always deduped by construction, so numbers are unaffected)
+    names = [n for n in dict.fromkeys(HEADLINE) if n in QUERIES]
     restart_every = int(os.environ.get("SPARK_GRAFT_BENCH_RESTART", "12"))
     # Passes: the committed local artifacts use 3 full passes and report
     # per-entry MEDIANS across passes (r5 verdict item 3 — the robust
