@@ -51,50 +51,103 @@ def token_hash(tok: Column) -> Column:
     return h60 % F.lit(MERSENNE_31)
 
 
+def _zip_grams(toks, n: int):
+    """Word n-gram array built ONLY from row-level outer references.
+
+    ``arrays_zip`` of the n shifted slices of the token array, then a
+    transform whose lambda touches nothing but its own struct variable.
+    This shape is load-bearing twice over:
+
+    - an index-based lambda (``element_at(toks, i+j)``) re-evaluates its
+      outer expression PER ELEMENT once the optimizer inlines it — there
+      is no common-subexpression elimination across higher-order-function
+      boundaries, so ``split(text)`` would re-tokenize the document for
+      every gram (O(m²) chars);
+    - the optimizer's InferFiltersFromGenerate pushes a ``size(e) > 0``
+      predicate below every staging projection, fully re-inlining ``e`` —
+      with per-element outer references that inlined copy cost O(m²) PER
+      ROW (measured: 11 s vs 1.6 s for the sf0.1 corpus explode; 272 s in
+      the worst formulation). With slices-and-zip, the fully inlined
+      expression stays O(m·n) per evaluation.
+
+    Short docs yield empty slices → an empty gram array (no phantom
+    grams, no ANSI out-of-range probes — the slice length is clamped ≥ 0).
+    """
+    ln = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(toks, k + 1, ln) for k in range(n)])
+    return F.transform(
+        z, lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)])
+    )
+
+
 def shingle_arrays(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """(id, sharr) — each document's DISTINCT shingle set as one array row.
 
-    Entirely map-side: the distinct-per-document step is ``array_distinct``
-    inside the row (a hash-set pass over the gram array), not a cluster-wide
-    ``DISTINCT`` — a document's shingles never leave the row, so no Exchange
-    is needed to dedupe them. Requires ``id_col`` to be unique per input row
-    (true for every caller: documents are keyed by doc_id), under which
-    per-row distinct ≡ relation-wide distinct on (id, shingle).
-    Documents shorter than n tokens produce no row (mirrors SQL
-    generate_series emptiness).
+    Entirely map-side: the distinct-per-document step happens inside the
+    row, not as a cluster-wide ``DISTINCT`` — a document's shingles never
+    leave the row, so no Exchange is needed to dedupe them. Requires
+    ``id_col`` to be unique per input row (true for every caller: documents
+    are keyed by doc_id), under which per-row distinct ≡ relation-wide
+    distinct on (id, shingle). Documents shorter than n tokens produce no
+    row (mirrors SQL generate_series emptiness).
+
+    The in-row dedupe is SORT-based (array_sort + drop-equal-to-previous
+    via zip_with against the 1-shifted copy + array_compact), NOT
+    ``array_distinct``: for non-primitive element types (strings here)
+    ArrayDistinct takes Spark's O(m²) pairwise-comparison fallback — the
+    specialized hash-set path covers only primitive numerics — which an
+    alternating A/B measured as a 2× wall regression on the shingle
+    self-join entries. Sorting is O(m log m) comparisons; element order
+    inside ``sharr`` is not part of the contract (every consumer treats it
+    as a set). Like :func:`_zip_grams`, every outer-array reference is
+    row-level, so the optimizer's inferred generate-filter copy stays
+    O(m log m) per row.
+
+    Consumers that EXPLODE this relation should do so from a persisted
+    handle (the minhash tier does) — an unpersisted explode pays one extra
+    inlined evaluation of the whole pipeline in the pushed-down inferred
+    filter. Consumers that only need the flat distinct relation should use
+    :func:`shingles`, which keeps the relation-level distinct.
     """
     toks = F.split(F.col(text_col), " ")
-    # total expression: short docs get an EMPTY index array, not the
-    # descending [1, 0, ...] that F.sequence(1, N<=0) infers — the optimizer
-    # hoists this transform into an inferred size(...)>0 filter evaluated
-    # BEFORE the size(toks)>=n conjunct (subexpression elimination ignores
-    # short-circuit order), where an out-of-range element_at throws under
-    # ANSI mode even though the row is about to be rejected
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+    grams = _zip_grams(toks, n)
+    # the sorted gram array is staged as its own projection so downstream
+    # references don't re-evaluate the sort
+    staged = df.where(F.size(toks) >= n).select(
+        F.col(id_col), F.array_sort(grams).alias("_sg")
     )
-    return df.where(F.size(toks) >= n).select(
-        F.col(id_col), F.array_distinct(grams).alias("sharr")
+    sg = F.col("_sg")
+    prev = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(sg, 1, F.greatest(F.size(sg) - 1, F.lit(0))),
     )
+    dedup = F.array_compact(
+        F.zip_with(sg, prev, lambda x, p: F.when(p.isNull() | (x != p), x))
+    )
+    return staged.select(F.col(id_col), dedup.alias("sharr"))
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) — distinct word n-grams per document.
 
-    A narrow map + explode of :func:`shingle_arrays`: no shuffle. The old
-    form deduplicated with a relation-wide ``.distinct()`` — a full Exchange
-    of the exploded shingle relation (the heaviest relation in the dedup
-    pipeline, ~n× the corpus text bytes) that r11 replaced with the per-row
-    ``array_distinct`` (guide §2.4: remove shuffles outright; (id, shingle)
-    distinctness is per-document because ids are unique per row).
+    Explode + relation-level ``.distinct()``. The distinct's exchange is
+    retained HERE deliberately: this form feeds the exact self-join tiers,
+    whose join shuffles the relation anyway, and an in-row dedupe would be
+    re-inlined into the pushed-down inferred generate-filter (one full
+    extra per-row evaluation of the dedupe pipeline — measured net-slower
+    than the partial-agg distinct, whose map-side combine already removes
+    every duplicate BEFORE the exchange because a document's duplicate
+    shingles are row-local). The gram construction shares
+    :func:`_zip_grams`, so no per-element re-tokenization anywhere. The
+    shuffle-free set form for signature building is :func:`shingle_arrays`.
     """
-    return shingle_arrays(df, id_col, text_col, n).select(
-        F.col(id_col), F.explode("sharr").alias("shingle")
+    toks = F.split(F.col(text_col), " ")
+    return (
+        df.where(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(_zip_grams(toks, n)).alias("shingle"))
+        .distinct()
     )
 
 
