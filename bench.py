@@ -383,9 +383,10 @@ def main() -> None:
         ),
     }
     # Two JSON lines: the full per-query dict first (humans, side files),
-    # then a SHORT totals-only line LAST — the driver's capture keeps only
-    # a ~2 KB tail of stdout and clips the long line at the FRONT (r3/r4:
-    # parsed=null twice), so the final line must fit the window whole.
+    # then a SHORT line LAST — the driver's capture keeps only a 2000-char
+    # tail of stdout and clips the long line at the FRONT (r3/r4:
+    # parsed=null twice; BENCH_r11.json's tail field measures the window
+    # at exactly 2000 chars), so the final line must fit the window whole.
     print(json.dumps(out, separators=(",", ":")))
     summary = {
         "metric": out["metric"],
@@ -397,6 +398,20 @@ def main() -> None:
         "slow_host_passes": variance["slow_host_passes"],
         "queries": {},
     }
+    # r11 verdict item 2: an empty `queries` dict left the driver's
+    # per-query comparator and scaling blocks permanently blind. Fill it
+    # with the SLOWEST entries (2 dp) that fit a conservative byte budget —
+    # the window is 2000 chars and the line must survive whole, so cap the
+    # serialized line at 1900 chars including the `detail` pointer added
+    # below. Names are never removed from the full dict (first line + side
+    # file); this only chooses which subset the driver can see.
+    detail_reserve = 80  # worst-case len of the `detail` field added below
+    by_cost = sorted(times.items(), key=lambda kv: kv[1], reverse=True)
+    for name, sec in by_cost:
+        summary["queries"][name] = round(sec, 2)
+        if len(json.dumps(summary, separators=(",", ":"))) + detail_reserve > 1900:
+            del summary["queries"][name]
+            break
     # r6 verdict item 8: the driver keeps only this tail line, so it must
     # NAME where the per-query detail lives. The side file is always
     # written (env override or the default below, committed per round as

@@ -166,23 +166,34 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # tier stays consumed inside sim_ivf_rerank) / pipeline_clean_corpus
     # (7 rounds; pipeline family keeps rag_index + dsir_select) rotated
     # out r10. All stay oracle-gated by tools/drive_gate.py.)
-    # round-10 promotions (r9 registry queue): the five remaining
-    # never-windowed TPC-H shapes (q11 group-HAVING-over-scalar-subquery,
-    # q14 conditional-ratio promo, q16 anti-join distinct-count, q19
-    # disjunctive multi-range predicate, q22 anti-join + scalar-avg
-    # subquery)
-    "tpch_q11_important_stock",
-    "tpch_q14_promo_revenue",
-    "tpch_q16_parts_supplier_relationship",
-    "tpch_q19_disjunctive_pred",
-    "tpch_q22_sales_opportunity",
-    # round-10 promotions: the r9 curation tier gets its first hard driver
-    # rows (line dedup, URL keep-best dedup, integer epoch upsampling,
+    # (the five r10 TPC-H promotions — q11/q14/q16/q19/q22 — rotated out
+    # r12 after two green rounds each, the c7b precedent; every one of the
+    # 22 TPC-H shapes has now held a driver row and the relational family
+    # keeps the two returning heavy-agg shapes below. dedup_lines /
+    # mix_epoch_upsample / sim_ann_recall_eval / dq_event_freshness /
+    # stream_sliding_counts rotated out r12 after two green rounds each —
+    # their families keep dedup_lines_newline + dedup_url_canonical,
+    # mix_domain_weights, sim_matryoshka_recall, dq_corpus_datasheet +
+    # dq_drift_histogram, and stream_quality_filter + both neardup forms.)
+    # round-12 window (r11 VERDICT item 1): the round-11 optimization
+    # touched these paths with no committed driver-gate evidence at final
+    # HEAD — the map-side MinHash/shingle tier, its graph/pipeline
+    # consumers, and the three keyed fan-out heavy-agg shapes. Hard driver
+    # rows now pin the optimized plans.
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_components",
+    "graph_pagerank",
+    "graph_kcore",
+    "pipeline_dedup_corpus",
+    "a2_horizontal_sum",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    # round-10 promotions: the r9 curation tier (URL keep-best dedup,
     # contrastive triplet mining, the streaming incremental LSH index) —
     # plus the r10 bucketed production serve path of the same index
-    "dedup_lines",
     "dedup_url_canonical",
-    "mix_epoch_upsample",
     "pairs_contrastive_mining",
     "stream_neardup_lsh",
     "stream_neardup_lsh_bucketed",
@@ -196,12 +207,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tok_wordpiece_encode",
     "tok_wordpiece_fertility",
     "quality_kneser_ney_lm",
-    "sim_ann_recall_eval",
     "sim_matryoshka_recall",
     "dedup_minhash_error_hist",
-    "dq_event_freshness",
     # round-10 promotions: the never-windowed streaming surface
-    "stream_sliding_counts",
     "stream_quality_filter",
     # round-10 flagships: the third tokenizer family (SentencePiece-style
     # exact-integer Viterbi lattice — encode + hard-EM usage refit)

@@ -11,7 +11,12 @@ batch entries, also records:
   is passed (the judge-checkable artifact).
 
 Usage:
-  python tools/profile_entries.py [--plans TAG] name1 name2 ...
+  python tools/profile_entries.py [--plans-dir DIR] [--plans TAG] name1 ...
+
+--plans TAG writes <name>_<TAG>.txt under --plans-dir (default
+plans/$SPARK_GRAFT_ROUND, default round r12) relative to the repo root,
+which is derived from this file's location (r11 ADVICE: the hardcoded
+/root/repo + r11 paths broke outside that checkout/round).
 """
 
 from __future__ import annotations
@@ -21,13 +26,16 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
 
 from forgottenlandapp_etl_spark.plans import QUERIES  # noqa: E402
 from forgottenlandapp_etl_spark.session import build_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-PLANS_DIR = "/root/repo/plans/r11"
+PLANS_DIR = os.path.join(
+    REPO_ROOT, "plans", os.environ.get("SPARK_GRAFT_ROUND", "r12")
+)
 
 
 def materialize(df) -> None:
@@ -35,10 +43,16 @@ def materialize(df) -> None:
 
 
 def main() -> None:
+    global PLANS_DIR
     args = sys.argv[1:]
     tag = None
-    if args and args[0] == "--plans":
-        tag = args[1]
+    while args and args[0].startswith("--"):
+        if args[0] == "--plans-dir":
+            PLANS_DIR = args[1]
+        elif args[0] == "--plans":
+            tag = args[1]
+        else:
+            raise SystemExit(f"unknown flag {args[0]}")
         args = args[2:]
     names = args
     spark = build_session(app_name="profile-entries")
